@@ -1,0 +1,166 @@
+"""Config system.
+
+Mirrors the reference's flat-JSON schema (reference: config/*.json, loaded at
+train_lego.py:30-50 into module globals) but parses into a frozen dataclass
+with validation, defaults-merging and CLI overrides — three things the
+reference lacks (SURVEY.md §2.5).
+
+The JSON key set is kept verbatim (UPPERCASE) so the reference's shipped
+config files load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Hyperparameters for one training/inference run.
+
+    Field names map 1:1 to the reference's UPPERCASE JSON keys
+    (reference: train_lego.py:37-50).  Extra TPU-native knobs (mesh shape,
+    compute dtype, sampling mode, pallas toggle) have defaults that keep
+    reference configs loading untouched.
+    """
+
+    # --- reference schema (config/*.json) ---
+    batch_size: int = 256
+    test_batch_size: int | None = None  # reference: fern configs only
+    ns_coarse: int = 16
+    ns_fine: int = 32
+    height: int = 25
+    width: int = 25
+    l_xyz: int = 10
+    l_dir: int = 4
+    num_layers: int = 8
+    hidden_dim: int = 256
+    skip_layer: int = 4
+    epochs: int = 1000
+    learning_rate: float = 5e-4
+    batch_norm: bool = False
+    with_gcs: bool = False
+
+    # --- TPU-native extensions (defaulted; absent from reference JSONs) ---
+    compute_dtype: str = "bfloat16"  # matmul compute dtype; params stay f32
+    sampling_mode: str = "stratified"  # 'stratified' | 'shared' | 'center'
+    #   'stratified': per-ray per-sample jitter (standard NeRF; improvement)
+    #   'shared': one jitter vector shared across the batch, drawn per step
+    #             (closest jit-able analogue of reference data_utils.py:131-137)
+    #   'center': deterministic linspace (reference rand_sampling=False)
+    use_pallas: bool = False  # fused Pallas ray-march kernel for the MLP
+    mesh_data: int = -1  # -1: all devices on the data axis
+    mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
+    seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
+    eval_every: int = 1  # epochs between eval/checkpoint (reference: 1/10/50)
+    log_every: int = 0  # steps between per-step metric prints (0 = off)
+
+    @property
+    def xyz_dim(self) -> int:
+        """Encoded position width: 3 + 2*3*l_xyz (reference models.py:25)."""
+        return 3 + 2 * 3 * self.l_xyz
+
+    @property
+    def dir_dim(self) -> int:
+        """Encoded direction width: 3 + 2*3*l_dir (reference models.py:26)."""
+        return 3 + 2 * 3 * self.l_dir
+
+    @property
+    def ns_total(self) -> int:
+        """Samples per ray seen by the fine MLP (reference models.py:167)."""
+        return self.ns_coarse + self.ns_fine
+
+    def validate(self) -> "NeRFConfig":
+        if self.batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {self.batch_size}")
+        if self.ns_coarse < 2:
+            raise ValueError(f"ns_coarse must be >= 2, got {self.ns_coarse}")
+        if self.ns_fine < 0:
+            raise ValueError(f"ns_fine must be >= 0, got {self.ns_fine}")
+        if self.skip_layer <= 0:
+            raise ValueError(f"skip_layer must be positive, got {self.skip_layer}")
+        if self.sampling_mode not in ("stratified", "shared", "center"):
+            raise ValueError(f"unknown sampling_mode: {self.sampling_mode!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype: {self.compute_dtype!r}")
+        return self
+
+
+# reference JSON key -> dataclass field
+_KEY_MAP = {
+    "BATCH_SIZE": "batch_size",
+    "TEST_BATCH_SIZE": "test_batch_size",
+    "NS_COARSE": "ns_coarse",
+    "NS_FINE": "ns_fine",
+    "HEIGHT": "height",
+    "WIDTH": "width",
+    "L_XYZ": "l_xyz",
+    "L_DIR": "l_dir",
+    "NUM_LAYERS": "num_layers",
+    "HIDDEN_DIM": "hidden_dim",
+    "SKIP_LAYER": "skip_layer",
+    "EPOCHS": "epochs",
+    "LEARNING_RATE": "learning_rate",
+    "BATCH_NORM": "batch_norm",
+    "WITH_GCS": "with_gcs",
+    # extensions keep UPPERCASE style for uniformity in JSON files
+    "COMPUTE_DTYPE": "compute_dtype",
+    "SAMPLING_MODE": "sampling_mode",
+    "USE_PALLAS": "use_pallas",
+    "MESH_DATA": "mesh_data",
+    "MESH_MODEL": "mesh_model",
+    "SEED": "seed",
+    "EVAL_EVERY": "eval_every",
+    "LOG_EVERY": "log_every",
+}
+
+
+def config_from_dict(raw: Mapping[str, Any]) -> NeRFConfig:
+    """Build a validated config from a flat reference-schema dict."""
+    kwargs = {}
+    unknown = []
+    for key, value in raw.items():
+        field = _KEY_MAP.get(key)
+        if field is None:
+            unknown.append(key)
+        else:
+            kwargs[field] = value
+    if unknown:
+        raise ValueError(
+            f"unknown config keys {unknown}; known keys: {sorted(_KEY_MAP)}"
+        )
+    return NeRFConfig(**kwargs).validate()
+
+
+def load_config(path: str, **overrides: Any) -> NeRFConfig:
+    """Load a reference-schema JSON config, with keyword overrides.
+
+    Mirrors the reference CLI contract (``--config config/<name>.json``,
+    train_lego.py:25-31).
+    """
+    with open(path) as f:
+        raw = json.load(f)
+    cfg = config_from_dict(raw)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides).validate()
+    return cfg
+
+
+def config_name(path: str) -> str:
+    """Basename without extension, used in run-dir names (train_lego.py:34)."""
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def to_reference_json(cfg: NeRFConfig) -> dict:
+    """Serialize back to the reference's UPPERCASE flat-JSON schema."""
+    inv = {v: k for k, v in _KEY_MAP.items()}
+    out = {}
+    for field in dataclasses.fields(cfg):
+        value = getattr(cfg, field.name)
+        if field.name == "test_batch_size" and value is None:
+            continue
+        out[inv[field.name]] = value
+    return out

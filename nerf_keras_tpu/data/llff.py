@@ -1,0 +1,339 @@
+"""LLFF forward-facing dataset loader (Fern).
+
+Capability parity with reference fern_data_utils.py: ``poses_bounds.npy``
+parsing, on-disk image minification, pose axis correction, bound rescaling,
+recentering around the average pose, optional spherification, spiral render
+path generation, single-view holdout split, and ray flattening
+(fern_data_utils.py:369-520).
+
+Rebuilt rather than ported:
+
+* minification is in-process PIL (the reference shells out to ImageMagick
+  ``mogrify``, fern_data_utils.py:45-51 — a process boundary and an
+  external binary dependency);
+* poses are carried as ``(N, 3, 5)`` end to end (the reference shuttles a
+  ``(3, 5, N)`` layout through transposes/moveaxis);
+* local and ``gs://`` data roots share one code path via the fsspec
+  storage layer (the reference maintains a full duplicated ``*_gcs``
+  loader, fern_data_utils.py:59-131, :192-248 — which contains a dead
+  ``os.io.gfile`` typo path);
+* the reference's 3-vs-4 unpack crash (train_fern.py:73 vs
+  fern_data_utils.py:520) is impossible here by construction: we return a
+  dataclass-based contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from nerf_keras_tpu.data.pipeline import RayDataset, flatten_views
+from nerf_keras_tpu.ops.rays import get_rays
+from nerf_keras_tpu.utils import io
+
+
+# ---------------------------------------------------------------------------
+# pose math (pure numpy; the linear algebra is the standard LLFF recipe,
+# reference fern_data_utils.py:251-366)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v)
+
+
+def view_matrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Camera-to-world basis from viewing dir z, up hint and position."""
+    z = _normalize(z)
+    x = _normalize(np.cross(up, z))
+    y = _normalize(np.cross(z, x))
+    return np.stack([x, y, z, pos], axis=1)  # (3, 4)
+
+
+def average_pose(poses: np.ndarray) -> np.ndarray:
+    """Mean camera pose (reference ``poses_avg``, fern_data_utils.py:266).
+
+    Args: poses (N, 3, 5); returns (3, 5) with the hwf column preserved.
+    """
+    hwf = poses[0, :, 4:5]
+    center = poses[:, :, 3].mean(axis=0)
+    z = _normalize(poses[:, :, 2].sum(axis=0))
+    up = poses[:, :, 1].sum(axis=0)
+    return np.concatenate([view_matrix(z, up, center), hwf], axis=1)
+
+
+def recenter_poses(poses: np.ndarray) -> np.ndarray:
+    """Rigidly transform all poses so the average pose is the identity
+    (reference ``recenter_poses``, fern_data_utils.py:292-304)."""
+    avg = average_pose(poses)
+    bottom = np.array([[0, 0, 0, 1.0]], dtype=poses.dtype)
+    avg44 = np.concatenate([avg[:, :4], bottom], axis=0)
+    poses44 = np.concatenate(
+        [poses[:, :, :4], np.broadcast_to(bottom, (poses.shape[0], 1, 4))], axis=1
+    )
+    fixed = np.linalg.inv(avg44) @ poses44
+    out = poses.copy()
+    out[:, :, :4] = fixed[:, :3, :4]
+    return out
+
+
+def spiral_render_path(
+    c2w: np.ndarray,
+    up: np.ndarray,
+    rads: np.ndarray,
+    focal: float,
+    zrate: float,
+    rots: int,
+    n_frames: int,
+) -> np.ndarray:
+    """Spiral of camera poses around an anchor pose (reference
+    ``render_path_spiral``, fern_data_utils.py:279-288)."""
+    rads4 = np.array(list(rads) + [1.0])
+    hwf = c2w[:, 4:5]
+    out = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * rots, n_frames + 1)[:-1]:
+        offset = np.array(
+            [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]
+        )
+        pos = c2w[:3, :4] @ (offset * rads4)
+        z = _normalize(pos - c2w[:3, :4] @ np.array([0, 0, -focal, 1.0]))
+        out.append(np.concatenate([view_matrix(z, up, pos), hwf], axis=1))
+    return np.stack(out).astype(np.float32)
+
+
+def spherify_poses(
+    poses: np.ndarray, bds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Re-center 360° captures onto a sphere and emit an orbit render path
+    (reference ``spherify_poses``, fern_data_utils.py:310-366)."""
+    dirs = poses[:, :, 2:3]  # (N, 3, 1)
+    origins = poses[:, :, 3:4]
+
+    # Point minimizing distance to all camera axes (least-squares).
+    eye = np.eye(3)
+    a = eye - dirs @ np.transpose(dirs, (0, 2, 1))
+    b = -a @ origins
+    focus = np.squeeze(
+        -np.linalg.inv(np.transpose(a, (0, 2, 1) ) @ a).mean(0) @ b.mean(0)
+    )
+
+    up = _normalize((poses[:, :, 3] - focus).mean(axis=0))
+    x = _normalize(np.cross([0.1, 0.2, 0.3], up))
+    y = _normalize(np.cross(up, x))
+    world = np.stack([x, y, up, focus], axis=1)  # (3, 4)
+    bottom = np.array([[0, 0, 0, 1.0]])
+    world44 = np.concatenate([world, bottom], axis=0)
+
+    poses44 = np.concatenate(
+        [poses[:, :, :4], np.broadcast_to(bottom[None], (poses.shape[0], 1, 4))],
+        axis=1,
+    )
+    reset = (np.linalg.inv(world44)[None] @ poses44)[:, :3, :4]
+
+    radius = float(np.sqrt(np.mean(np.sum(reset[:, :, 3] ** 2, axis=-1))))
+    scale = 1.0 / radius
+    reset[:, :, 3] *= scale
+    bds = bds * scale
+    radius *= scale
+
+    zh = reset[:, :, 3].mean(axis=0)[2]
+    ring = np.sqrt(radius**2 - zh**2)
+    orbit = []
+    for th in np.linspace(0.0, 2.0 * np.pi, 120):
+        pos = np.array([ring * np.cos(th), ring * np.sin(th), zh])
+        z = _normalize(pos)
+        x = _normalize(np.cross(z, np.array([0, 0, -1.0])))
+        y = _normalize(np.cross(z, x))
+        orbit.append(np.stack([x, y, z, pos], axis=1))
+    orbit = np.stack(orbit)
+
+    hwf = np.broadcast_to(poses[0, :, 4:5], (orbit.shape[0], 3, 1))
+    orbit = np.concatenate([orbit, hwf], axis=-1).astype(np.float32)
+    hwf_n = np.broadcast_to(poses[0, :, 4:5], (reset.shape[0], 3, 1))
+    reset = np.concatenate([reset, hwf_n], axis=-1).astype(np.float32)
+    return reset, orbit, bds
+
+
+# ---------------------------------------------------------------------------
+# disk loading
+# ---------------------------------------------------------------------------
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".JPG", ".PNG", ".JPEG")
+
+
+def _image_files(directory: str) -> list[str]:
+    return [
+        io.join(directory, f)
+        for f in io.listdir(directory)
+        if f.endswith(_IMG_EXTS)
+    ]
+
+
+def _read_image(path: str) -> np.ndarray:
+    """Decode to float32 [0,1] RGB."""
+    from PIL import Image
+
+    with io.open_file(path, "rb") as f:
+        img = Image.open(f)
+        img = img.convert("RGB")
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def minify(basedir: str, factor: int) -> str:
+    """Ensure ``images_{factor}/`` exists with PIL-downsampled PNGs.
+
+    In-process replacement for the reference's ImageMagick subprocess
+    (fern_data_utils.py:8-57). Remote (gs://) roots are minified into a
+    local cache directory.
+    """
+    src_dir = io.join(basedir, "images")
+    name = f"images_{factor}"
+    if "://" in basedir:
+        out_dir = os.path.join(
+            os.path.expanduser("~/.cache/nerf_keras_tpu/minify"),
+            basedir.replace("://", "_").replace("/", "_"),
+            name,
+        )
+    else:
+        out_dir = io.join(basedir, name)
+    if io.exists(out_dir) and _image_files(out_dir):
+        return out_dir
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for src in _image_files(src_dir):
+        with io.open_file(src, "rb") as f:
+            img = Image.open(f)
+            img = img.convert("RGB")
+            w, h = img.size
+            img = img.resize((w // factor, h // factor), Image.LANCZOS)
+        stem = os.path.splitext(os.path.basename(src))[0]
+        img.save(os.path.join(out_dir, stem + ".png"))
+    return out_dir
+
+
+def load_llff_data(
+    basedir: str,
+    factor: int = 8,
+    recenter: bool = True,
+    bd_factor: float = 0.75,
+    spherify: bool = False,
+):
+    """Load an LLFF capture (reference ``load_fern_data``,
+    fern_data_utils.py:369-460).
+
+    Returns ``(images, poses, bds, render_poses, i_holdout)`` with
+    images (N, H, W, 3) float32, poses (N, 3, 5), bds (N, 2).
+    """
+    with io.open_file(io.join(basedir, "poses_bounds.npy"), "rb") as f:
+        arr = np.load(f)
+    poses = arr[:, :-2].reshape(-1, 3, 5).astype(np.float64)
+    bds = arr[:, -2:].astype(np.float64)
+
+    img_dir = minify(basedir, factor) if factor and factor != 1 else io.join(basedir, "images")
+    files = _image_files(img_dir)
+    if len(files) != poses.shape[0]:
+        raise ValueError(
+            f"{len(files)} images in {img_dir} but {poses.shape[0]} poses"
+        )
+    images = np.stack([_read_image(f) for f in files])
+
+    # Update hwf for the actual loaded resolution.
+    poses[:, 0, 4] = images.shape[1]
+    poses[:, 1, 4] = images.shape[2]
+    poses[:, 2, 4] = poses[:, 2, 4] / factor
+
+    # LLFF's [down, right, back] -> NeRF's [right, up, back]
+    # (reference fern_data_utils.py:394).
+    poses = np.concatenate(
+        [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:]], axis=2
+    ).astype(np.float32)
+    bds = bds.astype(np.float32)
+
+    scale = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
+    poses[:, :, 3] *= scale
+    bds = bds * scale
+
+    if recenter:
+        poses = recenter_poses(poses)
+
+    if spherify:
+        poses, render_poses, bds = spherify_poses(poses, bds)
+    else:
+        avg = average_pose(poses)
+        up = _normalize(poses[:, :, 1].sum(axis=0))
+        # Focus-depth heuristic (fern_data_utils.py:420-444).
+        close, far = bds.min() * 0.9, bds.max() * 5.0
+        dt = 0.75
+        focal = 1.0 / ((1.0 - dt) / close + dt / far)
+        rads = np.percentile(np.abs(poses[:, :, 3]), 90, axis=0)
+        render_poses = spiral_render_path(
+            avg, up, rads, focal, zrate=0.5, rots=2, n_frames=120
+        )
+
+    avg = average_pose(poses)
+    dists = np.sum((avg[:, 3] - poses[:, :, 3]) ** 2, axis=-1)
+    i_holdout = int(np.argmin(dists))
+
+    return images.astype(np.float32), poses, bds, render_poses, i_holdout
+
+
+def default_fern_dir(from_gcs: bool = False) -> str:
+    if from_gcs:
+        return "gs://dataset-nerf/nerf_llff_data/fern"
+    return os.environ.get(
+        "NERF_LLFF_DIR", "data/nerf_example_data/nerf_llff_data/fern"
+    )
+
+
+def prepare_fern_data(
+    target_height: int,
+    target_width: int,
+    from_gcs: bool = False,
+    basedir: str | None = None,
+    factor: int = 8,
+) -> tuple[RayDataset, RayDataset, tuple[float, float], float]:
+    """Fern train/val RayDatasets (reference ``prepare_fern_data``,
+    fern_data_utils.py:462-520).
+
+    Returns ``(train, val, (near, far), focal)`` — the same 4-tuple
+    contract as the Lego/synthetic loaders (the reference returns 4 values
+    too but its own callers unpack 3, crashing; fixed here by sharing one
+    dataclass contract across datasets).
+    """
+    basedir = basedir or default_fern_dir(from_gcs)
+    images, poses, bds, render_poses, i_holdout = load_llff_data(
+        basedir, factor=factor, recenter=True, bd_factor=0.75, spherify=False
+    )
+
+    if images.shape[1:3] != (target_height, target_width):
+        from nerf_keras_tpu.utils.image import resize_bilinear
+
+        images = resize_bilinear(images, target_height, target_width)
+
+    focal = float(poses[0, 2, 4])
+    near = float(bds.min()) * 0.9
+    far = float(bds.max())
+
+    idx_all = np.arange(images.shape[0])
+    train_idx = idx_all[idx_all != i_holdout]
+    val_idx = np.array([i_holdout])
+
+    def build(indices: np.ndarray) -> RayDataset:
+        oris, dirs = [], []
+        for i in indices:
+            o, d = get_rays(target_height, target_width, focal, poses[i, :, :4])
+            oris.append(np.asarray(o))
+            dirs.append(np.asarray(d))
+        px, o, d = flatten_views(
+            images[indices], np.stack(oris), np.stack(dirs)
+        )
+        return RayDataset(
+            pixels=px, origins=o, directions=d,
+            near=near, far=far, focal=focal,
+            height=target_height, width=target_width,
+        )
+
+    return build(train_idx), build(val_idx), (near, far), focal

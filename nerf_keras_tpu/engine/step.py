@@ -1,0 +1,270 @@
+"""Functional training core: forward pass, train step, eval step.
+
+Replaces the reference's Keras ``NeRFTrainer`` subclass (models.py:64-225)
+with pure functions:
+
+* the full coarse→fine pipeline of ``NeRFTrainer.forward_pass``
+  (models.py:151-176) — sample points, Fourier-encode, coarse MLP, volume
+  render, inverse-CDF importance sampling, sorted union of t-values, fine
+  MLP, second volume render — expressed as one traced function XLA fuses
+  end-to-end;
+* ``train_step`` mirrors models.py:88-120: loss = MSE(img, rgb_coarse) +
+  MSE(img, rgb_fine), one Adam update over both MLPs' params jointly, and
+  the same three metrics (loss_coarse / loss / psnr);
+* t-values are drawn *inside* the step from an explicit PRNG key —
+  per-step stratified sampling instead of the reference's dataset-frozen
+  jitter (data_utils.py:156), a documented behavioral improvement
+  (SURVEY.md §7) with a reference-faithful 'shared' mode for parity runs.
+
+Everything below is shape-static and jit-compiled once per config.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_keras_tpu.config import NeRFConfig
+from nerf_keras_tpu.models.mlp import apply_nerf_mlp, init_bn_state, init_nerf_params
+from nerf_keras_tpu.ops import (
+    encode_position,
+    generate_t_vals,
+    sample_pdf,
+    sample_rays,
+    volume_render,
+)
+
+
+class TrainState(NamedTuple):
+    """Replicable/shardable training state pytree.
+
+    Unlike the reference (weights-only ``.weights.h5``, no optimizer state,
+    no step counter — SURVEY.md §5 checkpoint row), this carries everything
+    needed for true resume.
+    """
+
+    params: dict  # {'coarse': mlp_params, 'fine': mlp_params}
+    bn: dict | None  # {'coarse': bn_state, 'fine': bn_state} or None
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(cfg: NeRFConfig) -> optax.GradientTransformation:
+    """Adam with Keras-default epsilon=1e-7 (reference train_lego.py:149)."""
+    return optax.adam(cfg.learning_rate, eps=1e-7)
+
+
+def init_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
+    """Initialize coarse+fine MLPs (two independent instances, as the
+    reference builds at train_lego.py:115-134) plus Adam state."""
+    k_coarse, k_fine = jax.random.split(key)
+    kwargs = dict(
+        num_layers=cfg.num_layers,
+        hidden_dim=cfg.hidden_dim,
+        skip_layer=cfg.skip_layer,
+        l_xyz=cfg.l_xyz,
+        l_dir=cfg.l_dir,
+        batch_norm=cfg.batch_norm,
+    )
+    params = {
+        "coarse": init_nerf_params(k_coarse, **kwargs),
+        "fine": init_nerf_params(k_fine, **kwargs),
+    }
+    bn = None
+    if cfg.batch_norm:
+        bn = {name: init_bn_state(p) for name, p in params.items()}
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(params, bn, opt_state, jnp.zeros((), jnp.int32))
+
+
+def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error over all elements (keras.losses.MeanSquaredError)."""
+    return jnp.mean(jnp.square(a - b))
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    """PSNR as keras ops.psnr (reference models.py:110)."""
+    m = mse(a, b)
+    return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(m)
+
+
+def _mlp_fn(cfg: NeRFConfig) -> Callable:
+    """Select the MLP evaluation path (jnp reference vs Pallas fused)."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.use_pallas:
+        from nerf_keras_tpu.ops.pallas.fused_mlp import apply_nerf_mlp_pallas
+
+        def run(params, x_enc, d_enc, bn_state, train):
+            # Pallas path has no BatchNorm variant; config validation
+            # rejects use_pallas+batch_norm upstream.
+            return apply_nerf_mlp_pallas(
+                params, x_enc, d_enc, compute_dtype=compute_dtype,
+                skip_layer=cfg.skip_layer,
+            ), bn_state
+
+        return run
+
+    def run(params, x_enc, d_enc, bn_state, train):
+        return apply_nerf_mlp(
+            params,
+            x_enc,
+            d_enc,
+            compute_dtype=compute_dtype,
+            skip_layer=cfg.skip_layer,
+            bn_state=bn_state,
+            train=train,
+        )
+
+    return run
+
+
+def make_forward_pass(cfg: NeRFConfig) -> Callable:
+    """Build the coarse→fine forward pass (reference models.py:151-176).
+
+    Returned signature:
+        forward(params, bn, key, origins, dirs, t_vals, train)
+          -> ((rgb_coarse, rgb_fine), (depth_coarse, depth_fine),
+              (weights_coarse, weights_fine), (preds_coarse, preds_fine)),
+             new_bn
+    """
+    mlp = _mlp_fn(cfg)
+
+    def forward(params, bn, key, ray_origins, ray_directions, t_vals, train):
+        bn = bn or {"coarse": None, "fine": None}
+        new_bn = dict(bn)
+
+        points, dirs = sample_rays(ray_origins, ray_directions, t_vals)
+        x_enc = encode_position(points, cfg.l_xyz)
+        d_enc = encode_position(dirs, cfg.l_dir)
+
+        preds_coarse, new_bn["coarse"] = mlp(
+            params["coarse"], x_enc, d_enc, bn["coarse"], train
+        )
+        rgb_coarse, depth_coarse, weights_coarse = volume_render(preds_coarse, t_vals)
+
+        # Hierarchical importance sampling (models.py:165-167).
+        t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        t_fine = sample_pdf(
+            key, t_mid, weights_coarse, cfg.ns_fine,
+            deterministic=key is None,
+        )
+        t_all = jnp.sort(jnp.concatenate([t_vals, t_fine], axis=-1), axis=-1)
+
+        points_f, dirs_f = sample_rays(ray_origins, ray_directions, t_all)
+        xf_enc = encode_position(points_f, cfg.l_xyz)
+        df_enc = encode_position(dirs_f, cfg.l_dir)
+
+        preds_fine, new_bn["fine"] = mlp(
+            params["fine"], xf_enc, df_enc, bn["fine"], train
+        )
+        rgb_fine, depth_fine, weights_fine = volume_render(preds_fine, t_all)
+
+        outputs = (
+            (rgb_coarse, rgb_fine),
+            (depth_coarse, depth_fine),
+            (weights_coarse, weights_fine),
+            (preds_coarse, preds_fine),
+        )
+        if bn["coarse"] is None:
+            new_bn = None
+        return outputs, new_bn
+
+    return forward
+
+
+def make_train_step(cfg: NeRFConfig, near: float, far: float) -> Callable:
+    """Build the jitted train step.
+
+    Signature: ``train_step(state, batch, key) -> (state, metrics)`` where
+    ``batch = (images, ray_origins, ray_directions)`` — note t-values are
+    generated inside from ``key`` (stratified per step), unlike the
+    reference pipeline which ships frozen t-values with every batch
+    (data_utils.py:156-157).
+    """
+    forward = make_forward_pass(cfg)
+    optimizer = make_optimizer(cfg)
+
+    def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
+        outputs, new_bn = forward(params, bn, key_pdf, origins, dirs, t_vals, True)
+        (rgb_coarse, rgb_fine) = outputs[0]
+        loss_coarse = mse(images, rgb_coarse)
+        loss_fine = mse(images, rgb_fine)
+        loss = loss_coarse + loss_fine
+        return loss, (loss_coarse, loss_fine, rgb_fine, new_bn)
+
+    def train_step(state: TrainState, batch, key: jax.Array):
+        images, origins, dirs = batch
+        key_t, key_pdf = jax.random.split(jax.random.fold_in(key, state.step))
+        t_vals = generate_t_vals(
+            key_t, near, far, images.shape[:-1], cfg.ns_coarse, cfg.sampling_mode
+        )
+        grads, (loss_coarse, loss_fine, rgb_fine, new_bn) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params, state.bn, key_pdf, t_vals, images, origins, dirs)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss_coarse": loss_coarse,
+            "loss": loss_fine,
+            "psnr": psnr(images, rgb_fine),
+        }
+        return TrainState(params, new_bn, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: NeRFConfig, near: float, far: float) -> Callable:
+    """Build the eval step (reference ``test_step``, models.py:122-145).
+
+    Deterministic: centered t-values and midpoint inverse-CDF draws, so
+    validation metrics are reproducible (the reference evaluates with fresh
+    randomness every time).
+    """
+    forward = make_forward_pass(cfg)
+
+    def eval_step(state: TrainState, batch):
+        images, origins, dirs = batch
+        t_vals = generate_t_vals(
+            None, near, far, images.shape[:-1], cfg.ns_coarse, "center"
+        )
+        outputs, _ = forward(state.params, state.bn, None, origins, dirs, t_vals, False)
+        (rgb_coarse, rgb_fine) = outputs[0]
+        return {
+            "loss_coarse": mse(images, rgb_coarse),
+            "loss": mse(images, rgb_fine),
+            "psnr": psnr(images, rgb_fine),
+        }
+
+    return eval_step
+
+
+def make_render_fn(cfg: NeRFConfig, near: float, far: float) -> Callable:
+    """Build the full-output render function for a flat ray batch.
+
+    Used by the chunked renderer (the reference's
+    ``forward_pass_with_minibatch``, models.py:178-225, re-done as a jitted
+    chunk function driven by a host loop).
+    Returns ``render(state, origins, dirs) -> dict`` with rgb/depth for
+    coarse and fine.
+    """
+    forward = make_forward_pass(cfg)
+
+    def render(state: TrainState, origins, dirs):
+        t_vals = generate_t_vals(
+            None, near, far, origins.shape[:-1], cfg.ns_coarse, "center"
+        )
+        outputs, _ = forward(state.params, state.bn, None, origins, dirs, t_vals, False)
+        (rgb_coarse, rgb_fine) = outputs[0]
+        (depth_coarse, depth_fine) = outputs[1]
+        return {
+            "rgb_coarse": rgb_coarse,
+            "rgb_fine": rgb_fine,
+            "depth_coarse": depth_coarse,
+            "depth_fine": depth_fine,
+        }
+
+    return render

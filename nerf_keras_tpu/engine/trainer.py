@@ -1,0 +1,186 @@
+"""Trainer: owns state, mesh, and the jitted step functions.
+
+The orchestration layer that replaces ``keras.Model.fit`` +
+``TPUStrategy.scope()`` (reference train_lego.py:279-284,
+train_tpu_lego.py:127-163).  Single-device and multi-chip are the same code
+path: a 1-chip mesh degenerates to no collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_keras_tpu.config import NeRFConfig
+from nerf_keras_tpu.engine.step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_render_fn,
+    make_train_step,
+)
+from nerf_keras_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    nerf_param_shardings,
+    replicated_sharding,
+    specs_to_shardings,
+)
+
+
+class Trainer:
+    """Owns TrainState + compiled steps for one (config, dataset-bounds) run."""
+
+    def __init__(
+        self,
+        cfg: NeRFConfig,
+        near: float,
+        far: float,
+        mesh=None,
+        seed: int | None = None,
+    ):
+        if cfg.use_pallas and cfg.batch_norm:
+            raise ValueError("use_pallas does not support the BatchNorm variant")
+        self.cfg = cfg
+        self.near = float(near)
+        self.far = float(far)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_data, cfg.mesh_model)
+        if cfg.batch_size % self.mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by the data "
+                f"mesh axis ({self.mesh.shape['data']})"
+            )
+
+        seed = cfg.seed if seed is None else seed
+        self.init_key, self.train_key = jax.random.split(jax.random.PRNGKey(seed))
+        state = init_train_state(self.init_key, cfg)
+
+        # --- sharding layout ---
+        param_specs = nerf_param_shardings(self.mesh, state.params)
+        self._param_shardings = specs_to_shardings(self.mesh, param_specs)
+        repl = replicated_sharding(self.mesh)
+        self._state_shardings = TrainState(
+            params=self._param_shardings,
+            bn=jax.tree_util.tree_map(lambda _: repl, state.bn),
+            opt_state=jax.tree_util.tree_map(
+                lambda _: repl, state.opt_state
+            ),
+            step=repl,
+        )
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._repl = repl
+
+        self.state: TrainState = jax.device_put(state, self._state_shardings)
+
+        # --- compiled steps ---
+        data_in = (self._batch_sharding,) * 3
+        self._train_step = jax.jit(
+            make_train_step(cfg, self.near, self.far),
+            in_shardings=(self._state_shardings, data_in, repl),
+            out_shardings=(self._state_shardings, repl),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(cfg, self.near, self.far),
+            in_shardings=(self._state_shardings, data_in),
+            out_shardings=repl,
+        )
+        self._render = jax.jit(
+            make_render_fn(cfg, self.near, self.far),
+            in_shardings=(self._state_shardings, self._batch_sharding, self._batch_sharding),
+            out_shardings=repl,
+        )
+
+    # ------------------------------------------------------------------
+    def put_batch(self, batch) -> tuple:
+        """Place (images, origins, dirs) onto the mesh's data axis."""
+        return tuple(
+            jax.device_put(np.asarray(x), self._batch_sharding) for x in batch
+        )
+
+    def train_step(self, batch, key: jax.Array | None = None):
+        """One optimization step; returns metrics dict of scalars (device)."""
+        key = self.train_key if key is None else key
+        self.state, metrics = self._train_step(self.state, batch, key)
+        return metrics
+
+    def eval_step(self, batch):
+        return self._eval_step(self.state, batch)
+
+    def train_epoch(self, batches: Iterable, key: jax.Array | None = None) -> dict:
+        """Run all batches; returns epoch-mean metrics as python floats
+        (the reference's keras.metrics.Mean trackers, models.py:84-86)."""
+        totals: dict[str, Any] = {}
+        count = 0
+        for batch in batches:
+            metrics = self.train_step(self.put_batch(batch), key)
+            for k, v in metrics.items():
+                totals[k] = v if k not in totals else totals[k] + v
+            count += 1
+        return {k: float(v) / count for k, v in totals.items()}
+
+    def evaluate(self, batches: Iterable) -> dict:
+        totals: dict[str, Any] = {}
+        count = 0
+        for batch in batches:
+            metrics = self.eval_step(self.put_batch(batch))
+            for k, v in metrics.items():
+                totals[k] = v if k not in totals else totals[k] + v
+            count += 1
+        return {k: float(v) / count for k, v in totals.items()}
+
+    # ------------------------------------------------------------------
+    def render_rays(
+        self, origins: np.ndarray, directions: np.ndarray, chunk: int = 16384
+    ) -> dict:
+        """Full-output render of a flat ray batch, chunked to bound memory.
+
+        TPU-native redo of ``forward_pass_with_minibatch`` (reference
+        models.py:178-225): a host loop over fixed-size chunks hitting one
+        compiled render function (single compilation, no tf.data, last
+        chunk padded to keep shapes static).
+        """
+        n = origins.shape[0]
+        ds = self.mesh.shape["data"]
+        chunk = min(chunk, max(n, 1))
+        chunk = ((chunk + ds - 1) // ds) * ds  # keep divisible by data axis
+        outs: dict[str, list] = {}
+        for start in range(0, n, chunk):
+            o = origins[start : start + chunk]
+            d = directions[start : start + chunk]
+            pad = chunk - o.shape[0]
+            if pad:
+                o = np.concatenate([o, np.zeros((pad, 3), o.dtype)], axis=0)
+                d = np.concatenate([d, np.concatenate(
+                    [np.zeros((pad, 2), d.dtype), -np.ones((pad, 1), d.dtype)], axis=1
+                )], axis=0)
+            res = self._render(
+                self.state,
+                jax.device_put(o, self._batch_sharding),
+                jax.device_put(d, self._batch_sharding),
+            )
+            res = jax.device_get(res)
+            for k, v in res.items():
+                outs.setdefault(k, []).append(v[: chunk - pad] if pad else v)
+        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+    def render_image(
+        self, pose: np.ndarray, height: int, width: int, focal: float,
+        chunk: int = 16384,
+    ) -> dict:
+        """Render one full frame from a camera pose; returns HxW maps."""
+        from nerf_keras_tpu.ops.rays import get_rays
+
+        origins, dirs = get_rays(height, width, focal, pose)
+        origins = np.asarray(origins).reshape(-1, 3)
+        dirs = np.asarray(dirs).reshape(-1, 3)
+        out = self.render_rays(origins, dirs, chunk=chunk)
+        return {
+            "rgb": out["rgb_fine"].reshape(height, width, 3),
+            "depth": out["depth_fine"].reshape(height, width),
+            "rgb_coarse": out["rgb_coarse"].reshape(height, width, 3),
+            "depth_coarse": out["depth_coarse"].reshape(height, width),
+        }

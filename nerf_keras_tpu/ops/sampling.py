@@ -1,0 +1,130 @@
+"""Ray-interval sampling: stratified t-values and inverse-CDF importance.
+
+Counterparts of reference data_utils.py:119-138 (``generate_t_vals``) and
+:172-223 (``sample_pdf``), redesigned TPU-first:
+
+* fully key-driven: randomness is explicit per step under ``jit`` — the
+  reference draws its jitter once at dataset-build time (data_utils.py:156)
+  and its fine-sample uniforms through TF global RNG state;
+* ``sample_pdf`` uses ``jnp.searchsorted`` + ``take_along_axis`` (pure XLA,
+  backend-neutral) — the reference's version is the only TF-locked code in
+  its compute core (tf.searchsorted/tf.gather, data_utils.py:196-213);
+* shape-polymorphic over leading batch dims (the reference special-cases
+  rank-2 and rank-4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def generate_t_vals(
+    key: jax.Array | None,
+    near: float,
+    far: float,
+    batch_shape: tuple[int, ...],
+    num_samples: int,
+    mode: str = "stratified",
+) -> jnp.ndarray:
+    """Sample distances along rays in ``[near, far]``.
+
+    Args:
+        key: PRNG key; may be ``None`` for ``mode='center'``.
+        near, far: scene bounds.
+        batch_shape: leading shape, e.g. ``(B,)`` for a flat ray batch.
+        num_samples: samples per ray S.
+        mode:
+            ``'stratified'`` — per-ray, per-sample jitter within each bin
+                (standard NeRF stratified sampling; documented improvement
+                over the reference, SURVEY.md §7);
+            ``'shared'``    — one jitter vector shared by every ray in the
+                batch, redrawn each call (the jit-able analogue of reference
+                data_utils.py:131-137, whose vector is frozen at
+                dataset-build time);
+            ``'center'``    — deterministic linspace (reference
+                ``rand_sampling=False``).
+
+    Returns:
+        ``(*batch_shape, S)`` float32 t-values, ascending per ray for
+        'stratified'/'center' ('shared' matches the reference: a uniform
+        shift of up to one bin applied to every sample).
+    """
+    base = jnp.linspace(near, far, num_samples, dtype=jnp.float32)
+    bin_width = (far - near) / num_samples
+    if mode == "center":
+        return jnp.broadcast_to(base, (*batch_shape, num_samples))
+    if key is None:
+        raise ValueError(f"mode={mode!r} requires a PRNG key")
+    if mode == "shared":
+        noise = jax.random.uniform(key, (num_samples,)) * bin_width
+        return jnp.broadcast_to(base + noise, (*batch_shape, num_samples))
+    if mode == "stratified":
+        noise = jax.random.uniform(key, (*batch_shape, num_samples)) * bin_width
+        return jnp.broadcast_to(base, (*batch_shape, num_samples)) + noise
+    raise ValueError(f"unknown sampling mode: {mode!r}")
+
+
+def sample_pdf(
+    key: jax.Array,
+    t_vals_mid: jnp.ndarray,
+    weights: jnp.ndarray,
+    ns_fine: int,
+    deterministic: bool = False,
+) -> jnp.ndarray:
+    """Hierarchical sampling: draw ``ns_fine`` t-values ∝ coarse weights.
+
+    Inverse-CDF sampling over the piecewise-constant pdf defined by the
+    coarse pass's compositing weights (reference data_utils.py:172-223;
+    numerics preserved: +1e-5 weight floor, right-side searchsorted, index
+    clamping, denominator floor at 1e-5).
+
+    Args:
+        key: PRNG key for the uniform draws.
+        t_vals_mid: ``(..., S-1)`` midpoints of coarse intervals.
+        weights: ``(..., S)`` coarse compositing weights.
+        ns_fine: number of fine samples to draw.
+        deterministic: if True, use evenly spaced u in (0, 1) instead of
+            uniforms (useful for reproducible eval; not in the reference).
+
+    Returns:
+        ``(..., ns_fine)`` new sample distances (unsorted, as reference).
+    """
+    weights = weights.astype(jnp.float32) + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., S+1)
+
+    u_shape = (*weights.shape[:-1], ns_fine)
+    if deterministic:
+        u = jnp.linspace(0.5 / ns_fine, 1.0 - 0.5 / ns_fine, ns_fine)
+        u = jnp.broadcast_to(u, u_shape).astype(jnp.float32)
+    else:
+        u = jax.random.uniform(key, u_shape, dtype=jnp.float32)
+
+    # searchsorted(side='right') == count of cdf entries <= u.  A dense
+    # (S+1, F) comparison per ray vectorizes perfectly on the VPU (S, F are
+    # small and static), unlike a per-ray binary search.
+    indices = jnp.sum(
+        (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
+    )
+
+    below = jnp.maximum(0, indices - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, indices)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+
+    # t-midpoint gathers clamp to the last midpoint (data_utils.py:211).
+    max_mid = t_vals_mid.shape[-1] - 1
+    t_below = jnp.take_along_axis(
+        t_vals_mid, jnp.minimum(max_mid, below), axis=-1
+    )
+    t_above = jnp.take_along_axis(
+        t_vals_mid, jnp.minimum(max_mid, above), axis=-1
+    )
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return t_below + t * (t_above - t_below)

@@ -1,0 +1,64 @@
+"""Volume rendering: alpha compositing with cumulative transmittance.
+
+Capability parity with reference data_utils.py:75-98 (``volume_render``),
+with two deliberate generalizations documented in SURVEY.md §7:
+
+* works for any leading batch shape (the reference assumes rank-2 inputs —
+  ``delta.shape[0]`` at data_utils.py:82);
+* numerics are kept bit-comparable to the reference: sigmoid on rgb, relu
+  on sigma, 1e10 terminal delta, and the epsilon *inside* the cumulative
+  product (``cumprod(1 - alpha + 1e-10)``, data_utils.py:90).
+
+Everything is elementwise + one cumulative product along the (small,
+static) sample axis — XLA fuses the whole thing into the surrounding
+computation; the Pallas fused ray-march kernel re-implements the same math
+in-register for the megakernel path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-10
+_TERMINAL_DELTA = 1e10
+
+
+def volume_render(
+    preds: jnp.ndarray, t_vals: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Composite raw MLP outputs into pixel rgb / depth / per-sample weights.
+
+    Args:
+        preds: ``(..., S, 4)`` raw MLP outputs; channels ``[:3]`` are rgb
+            logits, ``[3]`` is density (reference data_utils.py:77-78).
+        t_vals: ``(..., S)`` sample distances along each ray.
+
+    Returns:
+        ``(rgb, depth, weights)`` with shapes ``(..., 3)``, ``(...,)``,
+        ``(..., S)``.
+    """
+    preds = preds.astype(jnp.float32)
+    t_vals = t_vals.astype(jnp.float32)
+    rgb = jax.nn.sigmoid(preds[..., :3])
+    sigma = jnp.maximum(preds[..., 3], 0.0)
+
+    # Interval widths; final interval open-ended (data_utils.py:81-83).
+    delta = jnp.diff(t_vals, axis=-1)
+    delta = jnp.concatenate(
+        [delta, jnp.full_like(delta[..., :1], _TERMINAL_DELTA)], axis=-1
+    )
+
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+
+    # Exclusive cumulative transmittance, epsilon inside the product to
+    # match reference numerics exactly (data_utils.py:87-92).
+    trans = jnp.cumprod(1.0 - alpha + _EPS, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
+    )
+
+    weights = alpha * trans
+    rgb_out = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth = jnp.sum(weights * t_vals, axis=-1)
+    return rgb_out, depth, weights

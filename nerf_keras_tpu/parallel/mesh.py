@@ -1,0 +1,130 @@
+"""Device mesh and sharding rules for NeRF training.
+
+Design (SURVEY.md §2.6 "TPU-native equivalent"):
+
+* 2-D logical mesh ``(data, model)``.  ``data`` shards the flat ray batch —
+  the NeRF analogue of data parallelism; every ray is independent, so this
+  axis scales to any chip count with one gradient allreduce per step.
+* ``model`` (optional, default 1) tensor-parallels the MLP in Megatron
+  style: even trunk layers split their output features (column-parallel),
+  odd layers split input features (row-parallel), so activations alternate
+  sharded/replicated and XLA inserts a single reduce per pair over ICI.
+* multi-host: the same mesh spans hosts transparently
+  (``jax.distributed.initialize`` is called by the launcher; DCN handled by
+  the standard device order).
+
+All collectives are emitted by the GSPMD partitioner from these
+annotations; there is no hand-written ``psum`` in the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build the ``(data, model)`` mesh.
+
+    Args:
+        data: size of the data axis; -1 means "all remaining devices".
+        model: size of the tensor-parallel axis.
+        devices: device list override (defaults to ``jax.devices()``).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model <= 0:
+        raise ValueError(f"model axis size must be >= 1, got {model}")
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Flat ray batches shard their leading (ray) dim over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def nerf_param_shardings(mesh: Mesh, params: Any) -> Any:
+    """PartitionSpec pytree for a {'coarse': ..., 'fine': ...} param tree.
+
+    With ``model == 1`` everything is replicated.  With ``model > 1`` the
+    trunk alternates column-/row-parallel; heads follow the trunk's final
+    layout; tiny output heads stay replicated (their cost is negligible and
+    replication avoids a gather before volume rendering).
+    """
+    tp = mesh.shape[MODEL_AXIS] > 1
+
+    def one_mlp(mlp: dict) -> dict:
+        out: dict = {"trunk": []}
+        n = len(mlp["trunk"])
+        for i, layer in enumerate(mlp["trunk"]):
+            spec: dict = {}
+            if tp and i % 2 == 0:
+                spec["w"] = P(None, MODEL_AXIS)  # column-parallel
+                spec["b"] = P(MODEL_AXIS)
+            elif tp:
+                spec["w"] = P(MODEL_AXIS, None)  # row-parallel
+                spec["b"] = P()
+            else:
+                spec["w"] = P()
+                spec["b"] = P()
+            for extra in ("gamma", "beta"):
+                if extra in layer:
+                    spec[extra] = spec["b"] if tp and i % 2 == 0 else P()
+            out["trunk"].append(spec)
+        # trunk output is replicated after the last row-parallel reduce when
+        # n is even; shard the wide feature head column-parallel, keep the
+        # scalar/tiny heads replicated.
+        trunk_out_sharded = tp and (n % 2 == 1)
+        head_in = P(MODEL_AXIS, None) if trunk_out_sharded else P()
+        out["sigma"] = {"w": head_in, "b": P()}
+        feat = {"w": P(None, MODEL_AXIS) if tp else P(), "b": P(MODEL_AXIS) if tp else P()}
+        if trunk_out_sharded:
+            feat = {"w": P(MODEL_AXIS, None), "b": P()}
+        out["feature"] = feat
+        branch = {"w": P(), "b": P()}
+        for extra in ("gamma", "beta"):
+            if extra in mlp["branch"]:
+                branch[extra] = P()
+        out["branch"] = branch
+        out["rgb"] = {"w": P(), "b": P()}
+        return out
+
+    return {name: one_mlp(mlp) for name, mlp in params.items()}
+
+
+def specs_to_shardings(mesh: Mesh, specs: Any) -> Any:
+    """Map a PartitionSpec pytree to NamedSharding leaves."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch onto the mesh, leading dim over ``data``."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

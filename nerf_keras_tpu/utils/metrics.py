@@ -1,0 +1,64 @@
+"""Metric tracking and training history.
+
+Counterpart of the reference's keras.metrics.Mean trackers
+(models.py:84-86) and its per-epoch history JSON
+(train_lego.py:161-181, :243-264) — same key names so downstream tooling
+can consume either."""
+
+from __future__ import annotations
+
+import json
+
+from nerf_keras_tpu.utils import io
+
+
+class MeanTracker:
+    """Streaming mean, reset per epoch (keras.metrics.Mean)."""
+
+    def __init__(self) -> None:
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, value: float, n: int = 1) -> None:
+        self.total += float(value) * n
+        self.count += n
+
+    def result(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+    def reset(self) -> None:
+        self.total, self.count = 0.0, 0
+
+
+class History:
+    """Per-epoch metric history with the reference's JSON schema
+    (keys ``losses_coarse`` / ``losses`` / ``psnrs``, train_lego.py:179-181)."""
+
+    def __init__(self) -> None:
+        self.losses_coarse: list[float] = []
+        self.losses: list[float] = []
+        self.psnrs: list[float] = []
+        self.val: dict[str, list[float]] = {"losses": [], "psnrs": []}
+
+    def append(self, metrics: dict, val_metrics: dict | None = None) -> None:
+        self.losses_coarse.append(float(metrics["loss_coarse"]))
+        self.losses.append(float(metrics["loss"]))
+        self.psnrs.append(float(metrics["psnr"]))
+        if val_metrics is not None:
+            self.val["losses"].append(float(val_metrics["loss"]))
+            self.val["psnrs"].append(float(val_metrics["psnr"]))
+
+    def to_dict(self) -> dict:
+        out = {
+            "losses_coarse": self.losses_coarse,
+            "losses": self.losses,
+            "psnrs": self.psnrs,
+        }
+        if self.val["losses"]:
+            out["val_losses"] = self.val["losses"]
+            out["val_psnrs"] = self.val["psnrs"]
+        return out
+
+    def save(self, path: str) -> None:
+        with io.open_file(path, "w") as f:
+            json.dump(self.to_dict(), f)

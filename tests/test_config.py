@@ -1,0 +1,56 @@
+import glob
+import json
+
+import pytest
+
+from nerf_keras_tpu.config import (
+    NeRFConfig,
+    config_from_dict,
+    load_config,
+    to_reference_json,
+)
+
+
+def test_all_shipped_configs_load():
+    paths = sorted(glob.glob("config/*.json"))
+    assert len(paths) == 6, f"expected 6 shipped configs, found {paths}"
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.num_layers == 8
+        assert cfg.hidden_dim == 256
+        assert cfg.l_xyz == 10 and cfg.l_dir == 4
+        assert cfg.learning_rate == pytest.approx(5e-4)
+
+
+def test_reference_schema_roundtrip():
+    cfg = NeRFConfig(batch_size=512, ns_coarse=16, ns_fine=32, batch_norm=True)
+    raw = to_reference_json(cfg)
+    assert raw["BATCH_SIZE"] == 512
+    cfg2 = config_from_dict(raw)
+    assert cfg2 == cfg
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(ValueError, match="unknown config keys"):
+        config_from_dict({"BATCH_SIZE": 4, "BOGUS": 1})
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        NeRFConfig(batch_size=0).validate()
+    with pytest.raises(ValueError):
+        NeRFConfig(sampling_mode="nope").validate()
+
+
+def test_derived_dims():
+    cfg = NeRFConfig(l_xyz=10, l_dir=4)
+    assert cfg.xyz_dim == 63
+    assert cfg.dir_dim == 27
+    assert cfg.ns_total == cfg.ns_coarse + cfg.ns_fine
+
+
+def test_overrides(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"BATCH_SIZE": 64, "NS_COARSE": 8}))
+    cfg = load_config(str(p), epochs=3)
+    assert cfg.batch_size == 64 and cfg.epochs == 3

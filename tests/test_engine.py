@@ -1,0 +1,129 @@
+"""Train/eval step behavior: loss decreases, metrics match the reference's
+definitions, BatchNorm state threads, forward pass honors shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_keras_tpu.config import NeRFConfig
+from nerf_keras_tpu.engine.step import (
+    init_train_state,
+    make_eval_step,
+    make_forward_pass,
+    make_train_step,
+    mse,
+    psnr,
+)
+
+CFG = NeRFConfig(
+    batch_size=32,
+    ns_coarse=8,
+    ns_fine=16,
+    num_layers=3,
+    hidden_dim=32,
+    compute_dtype="float32",
+)
+
+
+def _fake_batch(key, n=32):
+    k1, k2 = jax.random.split(key)
+    images = jax.random.uniform(k1, (n, 3))
+    dirs = jax.random.normal(k2, (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.zeros((n, 3)) + jnp.asarray([0.0, 0.0, 4.0])
+    return images, origins, dirs
+
+
+def test_psnr_definition():
+    a = jnp.zeros((4, 3))
+    b = jnp.full((4, 3), 0.1)
+    np.testing.assert_allclose(float(psnr(a, b)), -10 * np.log10(0.01), rtol=1e-4)
+    np.testing.assert_allclose(float(mse(a, b)), 0.01, rtol=1e-6)
+
+
+def test_forward_pass_shapes():
+    fwd = make_forward_pass(CFG)
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    images, origins, dirs = _fake_batch(jax.random.PRNGKey(1))
+    t = jnp.broadcast_to(jnp.linspace(2.0, 6.0, CFG.ns_coarse), (32, CFG.ns_coarse))
+    outputs, new_bn = fwd(
+        state.params, state.bn, jax.random.PRNGKey(2), origins, dirs, t, False
+    )
+    (rgb_c, rgb_f), (d_c, d_f), (w_c, w_f), (p_c, p_f) = outputs
+    assert rgb_c.shape == (32, 3) and rgb_f.shape == (32, 3)
+    assert d_c.shape == (32,) and d_f.shape == (32,)
+    assert w_c.shape == (32, CFG.ns_coarse)
+    assert w_f.shape == (32, CFG.ns_coarse + CFG.ns_fine)
+    assert p_f.shape == (32, CFG.ns_coarse + CFG.ns_fine, 4)
+    assert new_bn is None
+
+
+def test_train_step_decreases_loss():
+    step = jax.jit(make_train_step(CFG, 2.0, 6.0))
+    state = init_train_state(jax.random.PRNGKey(0), CFG)
+    batch = _fake_batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(42)
+    first = None
+    for _ in range(60):
+        state, metrics = step(state, batch, key)
+        if first is None:
+            first = float(metrics["loss"] + metrics["loss_coarse"])
+    last = float(metrics["loss"] + metrics["loss_coarse"])
+    assert last < first * 0.7, (first, last)
+    assert int(state.step) == 60
+    assert np.isfinite(float(metrics["psnr"]))
+
+
+def test_train_step_randomness_differs_per_step():
+    """t-value jitter must differ step to step (the reference's is frozen
+    per dataset — our improvement must actually be live)."""
+    cfg = CFG
+    step = jax.jit(make_train_step(cfg, 2.0, 6.0))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _fake_batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(0)
+    state1, m1 = step(state, batch, key)
+    # same params/batch/key but step counter advanced -> different jitter.
+    # (Probe the coarse loss: the tiny fine MLP can initialize with an
+    # all-negative sigma head, making rgb_fine identically zero.)
+    state2, m2 = step(state1._replace(params=state.params, opt_state=state.opt_state), batch, key)
+    assert float(m1["loss_coarse"]) != float(m2["loss_coarse"])
+
+
+def test_eval_step_deterministic():
+    cfg = CFG
+    estep = jax.jit(make_eval_step(cfg, 2.0, 6.0))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _fake_batch(jax.random.PRNGKey(1))
+    a = estep(state, batch)
+    b = estep(state, batch)
+    assert float(a["loss"]) == float(b["loss"])
+    assert float(a["psnr"]) == float(b["psnr"])
+
+
+def test_batchnorm_state_updates_in_training():
+    cfg = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        batch_norm=True, compute_dtype="float32",
+    )
+    step = jax.jit(make_train_step(cfg, 2.0, 6.0))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert state.bn is not None
+    batch = _fake_batch(jax.random.PRNGKey(1), n=16)
+    new_state, _ = step(state, batch, jax.random.PRNGKey(2))
+    before = np.asarray(state.bn["coarse"]["trunk"][0]["mean"])
+    after = np.asarray(new_state.bn["coarse"]["trunk"][0]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_shared_sampling_mode_runs():
+    cfg = NeRFConfig(
+        batch_size=8, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        sampling_mode="shared", compute_dtype="float32",
+    )
+    step = jax.jit(make_train_step(cfg, 2.0, 6.0))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _fake_batch(jax.random.PRNGKey(1), n=8)
+    _, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
