@@ -115,7 +115,7 @@ def spherify_poses(
     a = eye - dirs @ np.transpose(dirs, (0, 2, 1))
     b = -a @ origins
     focus = np.squeeze(
-        -np.linalg.inv(np.transpose(a, (0, 2, 1) ) @ a).mean(0) @ b.mean(0)
+        -np.linalg.inv((np.transpose(a, (0, 2, 1)) @ a).mean(0)) @ b.mean(0)
     )
 
     up = _normalize((poses[:, :, 3] - focus).mean(axis=0))

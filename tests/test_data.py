@@ -1,0 +1,185 @@
+"""Pipeline, synthetic dataset, LLFF pose math, checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import pytest
+
+from nerf_keras_tpu.config import NeRFConfig
+from nerf_keras_tpu.data import RayDataset, iterate_batches, prepare_synthetic_data
+from nerf_keras_tpu.data.llff import (
+    average_pose,
+    recenter_poses,
+    spherify_poses,
+    spiral_render_path,
+    view_matrix,
+)
+from nerf_keras_tpu.engine.step import init_train_state
+from nerf_keras_tpu.utils.checkpoint import (
+    checkpoint_name,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+# ------------------------------------------------------------- pipeline
+def _tiny_dataset(n=100):
+    rng = np.random.default_rng(0)
+    return RayDataset(
+        pixels=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        origins=rng.normal(size=(n, 3)).astype(np.float32),
+        directions=rng.normal(size=(n, 3)).astype(np.float32),
+        near=2.0, far=6.0, focal=50.0, height=10, width=10,
+    )
+
+
+def test_iterate_batches_shapes_and_drop_remainder():
+    ds = _tiny_dataset(100)
+    batches = list(iterate_batches(ds, 32, shuffle=False))
+    assert len(batches) == 3  # 100 // 32, remainder dropped
+    for px, o, d in batches:
+        assert px.shape == (32, 3) and o.shape == (32, 3) and d.shape == (32, 3)
+
+
+def test_iterate_batches_shuffle_is_permutation():
+    ds = _tiny_dataset(64)
+    batches = list(iterate_batches(ds, 64, shuffle=True, seed=1, epoch=0))
+    got = np.sort(batches[0][0], axis=0)
+    expected = np.sort(ds.pixels, axis=0)
+    np.testing.assert_array_equal(got, expected)
+    # different epoch -> different order
+    b2 = list(iterate_batches(ds, 64, shuffle=True, seed=1, epoch=1))
+    assert not np.array_equal(batches[0][0], b2[0][0])
+    # same (seed, epoch) reproduces exactly (multi-host determinism)
+    b3 = list(iterate_batches(ds, 64, shuffle=True, seed=1, epoch=0))
+    np.testing.assert_array_equal(batches[0][0], b3[0][0])
+
+
+def test_process_slice():
+    ds = _tiny_dataset(100)
+    s0 = ds.process_slice(0, 4)
+    s3 = ds.process_slice(3, 4)
+    assert len(s0) == 25 and len(s3) == 25
+    np.testing.assert_array_equal(s0.pixels, ds.pixels[:25])
+    np.testing.assert_array_equal(s3.pixels, ds.pixels[75:100])
+
+
+def test_image_recovery():
+    train, val, bounds, focal = prepare_synthetic_data(8, 12, num_views=5)
+    img = train.image(0)
+    assert img.shape == (8, 12, 3)
+    assert train.num_images == 4 and val.num_images == 1
+    o, d = train.image_rays(1)
+    assert o.shape == (8 * 12, 3)
+
+
+# ------------------------------------------------------------- synthetic
+def test_synthetic_scene_properties():
+    train, val, (near, far), focal = prepare_synthetic_data(16, 16, num_views=10)
+    assert near == 2.0 and far == 6.0
+    # scene has both background (white) and sphere pixels
+    assert train.pixels.max() > 0.95
+    assert train.pixels.min() < 0.6
+    # rays are valid directions
+    norms = np.linalg.norm(train.directions, axis=-1)
+    assert (norms > 0.5).all()
+
+
+# ------------------------------------------------------------- llff math
+def test_view_matrix_orthonormal(rng):
+    z = rng.standard_normal(3)
+    up = rng.standard_normal(3)
+    pos = rng.standard_normal(3)
+    m = view_matrix(z, up, pos)
+    assert m.shape == (3, 4)
+    r = m[:, :3]
+    np.testing.assert_allclose(r.T @ r, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(m[:, 3], pos)
+    np.testing.assert_allclose(r[:, 2], z / np.linalg.norm(z), atol=1e-6)
+
+
+def _random_poses(rng, n=12):
+    poses = []
+    for _ in range(n):
+        q, _r = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        t = rng.standard_normal(3) * 0.3 + np.array([0, 0, 4.0])
+        hwf = np.array([[100.0], [120.0], [90.0]])
+        poses.append(np.concatenate([q, t[:, None], hwf], axis=1))
+    return np.stack(poses).astype(np.float32)
+
+
+def test_recenter_poses_average_becomes_identity(rng):
+    poses = _random_poses(rng)
+    centered = recenter_poses(poses)
+    avg = average_pose(centered)
+    np.testing.assert_allclose(avg[:, :3], np.eye(3), atol=1e-4)
+    np.testing.assert_allclose(avg[:, 3], 0.0, atol=1e-4)
+    # hwf column preserved
+    np.testing.assert_allclose(centered[:, :, 4], poses[:, :, 4])
+
+
+def test_spiral_render_path_properties(rng):
+    poses = _random_poses(rng)
+    avg = average_pose(poses)
+    up = poses[:, :, 1].sum(0)
+    up = up / np.linalg.norm(up)
+    path = spiral_render_path(avg, up, np.array([0.5, 0.5, 0.2]), 3.0, 0.5, 2, 40)
+    assert path.shape == (40, 3, 5)
+    for p in path[::10]:
+        r = p[:, :3]
+        np.testing.assert_allclose(r.T @ r, np.eye(3), atol=1e-5)
+
+
+def test_spherify_poses_unit_radius(rng):
+    poses = _random_poses(rng, n=16)
+    bds = np.stack([np.full(16, 2.0), np.full(16, 6.0)], axis=1).astype(np.float32)
+    reset, orbit, new_bds = spherify_poses(poses, bds)
+    rad = np.sqrt(np.mean(np.sum(reset[:, :, 3] ** 2, axis=-1)))
+    np.testing.assert_allclose(rad, 1.0, rtol=1e-5)
+    assert orbit.shape == (120, 3, 5)
+
+
+# ------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = NeRFConfig(batch_size=8, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / checkpoint_name(cfg))
+    save_checkpoint(path, state, cfg)
+
+    template = init_train_state(jax.random.PRNGKey(1), cfg)
+    restored = load_checkpoint(path, template)
+    w_orig = np.asarray(state.params["coarse"]["trunk"][0]["w"])
+    w_rest = np.asarray(restored.params["coarse"]["trunk"][0]["w"])
+    np.testing.assert_array_equal(w_orig, w_rest)
+    assert int(restored.step) == int(state.step)
+    # optimizer state restored too (the reference cannot do this)
+    o_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    r_leaves = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(o_leaves) == len(r_leaves)
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    cfg = NeRFConfig(batch_size=8, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "c.ckpt.npz")
+    save_checkpoint(path, state)
+    cfg2 = NeRFConfig(batch_size=8, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=32)
+    template = init_train_state(jax.random.PRNGKey(0), cfg2)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_checkpoint(path, template)
+
+
+def test_bn_checkpoint_roundtrip(tmp_path):
+    cfg = NeRFConfig(
+        batch_size=8, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        batch_norm=True,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "bn.ckpt.npz")
+    save_checkpoint(path, state, cfg)
+    restored = load_checkpoint(path, init_train_state(jax.random.PRNGKey(2), cfg))
+    np.testing.assert_array_equal(
+        np.asarray(state.bn["fine"]["trunk"][1]["var"]),
+        np.asarray(restored.bn["fine"]["trunk"][1]["var"]),
+    )
