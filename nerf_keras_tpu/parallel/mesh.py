@@ -72,36 +72,40 @@ def nerf_param_shardings(mesh: Mesh, params: Any) -> Any:
     layout; tiny output heads stay replicated (their cost is negligible and
     replication avoids a gather before volume rendering).
     """
-    tp = mesh.shape[MODEL_AXIS] > 1
+    tp = mesh.shape[MODEL_AXIS]
+
+    def col(w) -> P:
+        """Column-parallel if the output dim divides; else replicate."""
+        return P(None, MODEL_AXIS) if tp > 1 and w.shape[1] % tp == 0 else P()
+
+    def row(w) -> P:
+        """Row-parallel if the input dim divides; else replicate.
+
+        Skip-concat layers have in_dim = hidden + xyz_dim (e.g. 319/127),
+        which rarely divides — those fall back to replication and GSPMD
+        re-shards the activation as needed.
+        """
+        return P(MODEL_AXIS, None) if tp > 1 and w.shape[0] % tp == 0 else P()
 
     def one_mlp(mlp: dict) -> dict:
         out: dict = {"trunk": []}
-        n = len(mlp["trunk"])
         for i, layer in enumerate(mlp["trunk"]):
-            spec: dict = {}
-            if tp and i % 2 == 0:
-                spec["w"] = P(None, MODEL_AXIS)  # column-parallel
-                spec["b"] = P(MODEL_AXIS)
-            elif tp:
-                spec["w"] = P(MODEL_AXIS, None)  # row-parallel
-                spec["b"] = P()
-            else:
-                spec["w"] = P()
-                spec["b"] = P()
+            # Megatron-style alternation: even layers column-split (sharded
+            # activations out), odd layers row-split (one psum back to
+            # replicated) — degraded to replication where dims don't divide.
+            wspec = col(layer["w"]) if i % 2 == 0 else row(layer["w"])
+            bspec = P(MODEL_AXIS) if wspec == P(None, MODEL_AXIS) else P()
+            spec = {"w": wspec, "b": bspec}
             for extra in ("gamma", "beta"):
                 if extra in layer:
-                    spec[extra] = spec["b"] if tp and i % 2 == 0 else P()
+                    spec[extra] = bspec
             out["trunk"].append(spec)
-        # trunk output is replicated after the last row-parallel reduce when
-        # n is even; shard the wide feature head column-parallel, keep the
-        # scalar/tiny heads replicated.
-        trunk_out_sharded = tp and (n % 2 == 1)
-        head_in = P(MODEL_AXIS, None) if trunk_out_sharded else P()
-        out["sigma"] = {"w": head_in, "b": P()}
-        feat = {"w": P(None, MODEL_AXIS) if tp else P(), "b": P(MODEL_AXIS) if tp else P()}
-        if trunk_out_sharded:
-            feat = {"w": P(MODEL_AXIS, None), "b": P()}
-        out["feature"] = feat
+        out["sigma"] = {"w": row(mlp["sigma"]["w"]), "b": P()}
+        fspec = col(mlp["feature"]["w"])
+        out["feature"] = {
+            "w": fspec,
+            "b": P(MODEL_AXIS) if fspec == P(None, MODEL_AXIS) else P(),
+        }
         branch = {"w": P(), "b": P()}
         for extra in ("gamma", "beta"):
             if extra in mlp["branch"]:

@@ -1,0 +1,17 @@
+#!/usr/bin/env python
+"""Train NeRF on the procedural sphere scene (no dataset files needed).
+
+Not in the reference — a zero-egress end-to-end driver used by tests,
+benchmarks and smoke runs.  Same CLI and outputs as train_lego.py.
+"""
+
+from nerf_keras_tpu.cli.train import run_training
+from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
+
+
+def prepare(height, width, data_dir=None):
+    return prepare_synthetic_data(height, width)
+
+
+if __name__ == "__main__":
+    run_training(prepare, "config/lego_batch_debug.json", default_eval_every=5)
