@@ -92,19 +92,41 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(m)
 
 
-def _mlp_fn(cfg: NeRFConfig) -> Callable:
-    """Select the MLP evaluation path (jnp reference vs Pallas fused)."""
+def _mlp_fn(cfg: NeRFConfig, mesh=None) -> Callable:
+    """Select the MLP evaluation path (jnp reference vs Pallas fused).
+
+    The Pallas kernel is an opaque custom call to the GSPMD partitioner, so
+    under a >1-chip data mesh it must be explicitly mapped over the sharded
+    ray axis with ``shard_map`` (params replicated, batch split on 'data');
+    the jnp path needs nothing — XLA partitions it from the shardings alone.
+    """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.use_pallas:
+        from jax.sharding import PartitionSpec as P
+
         from nerf_keras_tpu.ops.pallas.fused_mlp import apply_nerf_mlp_pallas
+        from nerf_keras_tpu.parallel.mesh import DATA_AXIS
+
+        def apply(params, x_enc, d_enc):
+            return apply_nerf_mlp_pallas(
+                params, x_enc, d_enc, compute_dtype=compute_dtype,
+                skip_layer=cfg.skip_layer,
+            )
+
+        if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+            apply = jax.shard_map(
+                apply,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                # pallas_call outputs carry no varying-mesh-axes metadata
+                check_vma=False,
+            )
 
         def run(params, x_enc, d_enc, bn_state, train):
             # Pallas path has no BatchNorm variant; config validation
             # rejects use_pallas+batch_norm upstream.
-            return apply_nerf_mlp_pallas(
-                params, x_enc, d_enc, compute_dtype=compute_dtype,
-                skip_layer=cfg.skip_layer,
-            ), bn_state
+            return apply(params, x_enc, d_enc), bn_state
 
         return run
 
@@ -122,7 +144,7 @@ def _mlp_fn(cfg: NeRFConfig) -> Callable:
     return run
 
 
-def make_forward_pass(cfg: NeRFConfig) -> Callable:
+def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
     """Build the coarse→fine forward pass (reference models.py:151-176).
 
     Returned signature:
@@ -131,7 +153,7 @@ def make_forward_pass(cfg: NeRFConfig) -> Callable:
               (weights_coarse, weights_fine), (preds_coarse, preds_fine)),
              new_bn
     """
-    mlp = _mlp_fn(cfg)
+    mlp = _mlp_fn(cfg, mesh)
 
     def forward(params, bn, key, ray_origins, ray_directions, t_vals, train):
         bn = bn or {"coarse": None, "fine": None}
@@ -176,7 +198,7 @@ def make_forward_pass(cfg: NeRFConfig) -> Callable:
     return forward
 
 
-def make_train_step(cfg: NeRFConfig, near: float, far: float) -> Callable:
+def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Callable:
     """Build the jitted train step.
 
     Signature: ``train_step(state, batch, key) -> (state, metrics)`` where
@@ -185,7 +207,7 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float) -> Callable:
     reference pipeline which ships frozen t-values with every batch
     (data_utils.py:156-157).
     """
-    forward = make_forward_pass(cfg)
+    forward = make_forward_pass(cfg, mesh)
     optimizer = make_optimizer(cfg)
 
     def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
@@ -217,14 +239,14 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float) -> Callable:
     return train_step
 
 
-def make_eval_step(cfg: NeRFConfig, near: float, far: float) -> Callable:
+def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Callable:
     """Build the eval step (reference ``test_step``, models.py:122-145).
 
     Deterministic: centered t-values and midpoint inverse-CDF draws, so
     validation metrics are reproducible (the reference evaluates with fresh
     randomness every time).
     """
-    forward = make_forward_pass(cfg)
+    forward = make_forward_pass(cfg, mesh)
 
     def eval_step(state: TrainState, batch):
         images, origins, dirs = batch
@@ -242,7 +264,7 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float) -> Callable:
     return eval_step
 
 
-def make_render_fn(cfg: NeRFConfig, near: float, far: float) -> Callable:
+def make_render_fn(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Callable:
     """Build the full-output render function for a flat ray batch.
 
     Used by the chunked renderer (the reference's
@@ -251,7 +273,7 @@ def make_render_fn(cfg: NeRFConfig, near: float, far: float) -> Callable:
     Returns ``render(state, origins, dirs) -> dict`` with rgb/depth for
     coarse and fine.
     """
-    forward = make_forward_pass(cfg)
+    forward = make_forward_pass(cfg, mesh)
 
     def render(state: TrainState, origins, dirs):
         t_vals = generate_t_vals(

@@ -44,6 +44,11 @@ class Trainer:
     ):
         if cfg.use_pallas and cfg.batch_norm:
             raise ValueError("use_pallas does not support the BatchNorm variant")
+        if cfg.use_pallas and cfg.mesh_model > 1:
+            raise ValueError(
+                "use_pallas shards rays over 'data' only; tensor parallelism "
+                "(mesh_model > 1) requires the jnp MLP path"
+            )
         self.cfg = cfg
         self.near = float(near)
         self.far = float(far)
@@ -78,18 +83,18 @@ class Trainer:
         # --- compiled steps ---
         data_in = (self._batch_sharding,) * 3
         self._train_step = jax.jit(
-            make_train_step(cfg, self.near, self.far),
+            make_train_step(cfg, self.near, self.far, mesh=self.mesh),
             in_shardings=(self._state_shardings, data_in, repl),
             out_shardings=(self._state_shardings, repl),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            make_eval_step(cfg, self.near, self.far),
+            make_eval_step(cfg, self.near, self.far, mesh=self.mesh),
             in_shardings=(self._state_shardings, data_in),
             out_shardings=repl,
         )
         self._render = jax.jit(
-            make_render_fn(cfg, self.near, self.far),
+            make_render_fn(cfg, self.near, self.far, mesh=self.mesh),
             in_shardings=(self._state_shardings, self._batch_sharding, self._batch_sharding),
             out_shardings=repl,
         )

@@ -1,0 +1,167 @@
+"""Parity: the fused Pallas MLP kernel must match the jnp reference path.
+
+Runs in interpret mode on the virtual-CPU test mesh (the kernel autodetects
+non-TPU backends); the same assertions run compiled on real TPU hardware
+when executed there.  Small model sizes keep interpret mode fast.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_keras_tpu.models.mlp import apply_nerf_mlp, init_nerf_params
+from nerf_keras_tpu.ops.pallas.fused_mlp import apply_nerf_mlp_pallas
+
+L_XYZ, L_DIR = 4, 2  # enc widths 27 / 15
+ARCH = dict(num_layers=4, hidden_dim=32, skip_layer=2, l_xyz=L_XYZ, l_dir=L_DIR)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_nerf_params(jax.random.PRNGKey(0), **ARCH)
+
+
+def _inputs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, 3 + 6 * L_XYZ)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3 + 6 * L_DIR)).astype(np.float32))
+    return x, d
+
+
+def test_forward_parity(params):
+    # 70 rows: exercises padding to the tile size
+    x, d = _inputs(70)
+    ref, _ = apply_nerf_mlp(
+        params, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"]
+    )
+    out = apply_nerf_mlp_pallas(
+        params, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
+        tile=64,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_forward_parity_batched_shape(params):
+    """Leading (B, S) batch shape flattens and restores correctly."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 16, 3 + 6 * L_XYZ)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(8, 16, 3 + 6 * L_DIR)).astype(np.float32))
+    ref, _ = apply_nerf_mlp(
+        params, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"]
+    )
+    out = apply_nerf_mlp_pallas(
+        params, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
+        tile=64,
+    )
+    assert out.shape == (8, 16, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_gradient_parity(params):
+    """Hand-written backward kernel vs autodiff through the jnp path —
+    covers dW/db accumulation across grid steps and the dx/dd outputs
+    (the fine-sample t-values need input grads; SURVEY.md §7 hard parts)."""
+    x, d = _inputs(192, seed=2)
+
+    def loss_ref(p, x, d):
+        o, _ = apply_nerf_mlp(
+            p, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"]
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_pal(p, x, d):
+        o = apply_nerf_mlp_pallas(
+            p, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
+            tile=64,
+        )
+        return jnp.sum(jnp.sin(o))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, x, d)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(params, x, d)
+    for r, p in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(r), atol=5e-4, rtol=1e-4
+        )
+
+
+def test_gradient_parity_skip_heavy():
+    """skip_layer=1 concatenates after every layer — stresses the
+    skip-gradient accumulation path."""
+    arch = dict(num_layers=3, hidden_dim=16, skip_layer=1, l_xyz=2, l_dir=1)
+    params = init_nerf_params(jax.random.PRNGKey(3), **arch)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(64, 15)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(64, 9)).astype(np.float32))
+
+    def loss_ref(p):
+        o, _ = apply_nerf_mlp(p, x, d, compute_dtype=jnp.float32, skip_layer=1)
+        return jnp.sum(o**2)
+
+    def loss_pal(p):
+        o = apply_nerf_mlp_pallas(
+            p, x, d, compute_dtype=jnp.float32, skip_layer=1, tile=32
+        )
+        return jnp.sum(o**2)
+
+    gr = jax.grad(loss_ref)(params)
+    gp = jax.grad(loss_pal)(params)
+    for r, p in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=5e-4, rtol=1e-4)
+
+
+def test_bf16_forward_close(params):
+    """bf16 compute stays within bf16 tolerance of the f32 reference."""
+    x, d = _inputs(64, seed=4)
+    ref, _ = apply_nerf_mlp(
+        params, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"]
+    )
+    out = apply_nerf_mlp_pallas(
+        params, x, d, compute_dtype=jnp.bfloat16, skip_layer=ARCH["skip_layer"],
+        tile=64,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.1, rtol=0.05)
+
+
+def test_pallas_train_step_under_dp_mesh():
+    """End-to-end: the pallas path trains under an 8-way data mesh via
+    shard_map and matches the jnp path's loss on the same batch."""
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    kwargs = dict(
+        batch_size=32, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        l_xyz=2, l_dir=1, compute_dtype="float32",
+    )
+    cfg_p = NeRFConfig(use_pallas=True, **kwargs).validate()
+    cfg_j = NeRFConfig(use_pallas=False, **kwargs).validate()
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (32, 3)).astype(np.float32)
+    dirs = rng.normal(size=(32, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.tile(np.array([0, 0, 4.0], np.float32), (32, 1))
+    batch = (images, origins, dirs)
+
+    t_p = Trainer(cfg_p, 2.0, 6.0, mesh=make_mesh(8, 1))
+    t_j = Trainer(cfg_j, 2.0, 6.0, mesh=make_mesh(8, 1))
+    m_p = t_p.train_step(t_p.put_batch(batch))
+    m_j = t_j.train_step(t_j.put_batch(batch))
+    np.testing.assert_allclose(
+        float(m_p["loss"]), float(m_j["loss"]), rtol=1e-5
+    )
+
+
+def test_pallas_rejects_tensor_parallel():
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = NeRFConfig(
+        batch_size=32, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        use_pallas=True, mesh_model=2,
+    ).validate()
+    with pytest.raises(ValueError, match="tensor parallelism"):
+        Trainer(cfg, 2.0, 6.0, mesh=make_mesh(4, 2))

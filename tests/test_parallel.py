@@ -63,10 +63,16 @@ def test_tp_matches_single_device():
     batch = _batch()
     t_tp = Trainer(CFG, 2.0, 6.0, mesh=make_mesh(4, 2))
     t_single = Trainer(CFG, 2.0, 6.0, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
-    for i in range(2):
-        m_tp = t_tp.train_step(t_tp.put_batch(batch))
-        m_1 = t_single.train_step(t_single.put_batch(batch))
-    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]), rtol=2e-4)
+    m_tp0 = t_tp.train_step(t_tp.put_batch(batch))
+    m_10 = t_single.train_step(t_single.put_batch(batch))
+    # Step 0 runs on identical params: only the TP reduce order differs.
+    np.testing.assert_allclose(float(m_tp0["loss"]), float(m_10["loss"]), rtol=2e-5)
+    m_tp = t_tp.train_step(t_tp.put_batch(batch))
+    m_1 = t_single.train_step(t_single.put_batch(batch))
+    # After an optimizer step the f32 reduce-order difference can flip
+    # inverse-CDF bin boundaries (sample_pdf is discontinuous in its
+    # inputs), so step-1 losses only agree loosely.
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]), rtol=5e-3)
 
 
 def test_tp_weights_actually_sharded():
