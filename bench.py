@@ -11,6 +11,12 @@ JAX exposes, and prints ONE JSON line:
 vs_baseline is measured against the driver north star of 1 Mrays/sec/chip
 (BASELINE.md; the reference publishes no numbers of its own).
 
+Kernel-path selection: the fused Pallas MLP path is ~1.7x faster than the
+XLA path but takes ~10 min to compile through the axon remote-compile
+helper (no persistent cache).  By default the bench tries Pallas in a
+guarded subprocess with a time budget and falls back to the XLA path if
+the budget is blown — so the driver always gets a result.
+
 Extra diagnostics (step time, frame render time) go to stderr with
 --full; the JSON contract line is always the only stdout output.
 """
@@ -19,35 +25,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
 
-
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=30)
-    p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--batch-size", type=int, default=4096)
-    p.add_argument("--full", action="store_true",
-                   help="also time an 800x800 frame render (stderr)")
-    p.add_argument("--use-pallas", action="store_true", default=None)
-    args = p.parse_args()
-
+def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
+              full: bool) -> dict:
     import jax
+    import numpy as np
 
     from nerf_keras_tpu.config import NeRFConfig
     from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.utils.profiling import StepTimer
 
     cfg = NeRFConfig(
-        batch_size=args.batch_size,
+        batch_size=batch_size,
         ns_coarse=64,
         ns_fine=128,
         num_layers=8,
         hidden_dim=256,
         compute_dtype="bfloat16",
-        use_pallas=bool(args.use_pallas) if args.use_pallas is not None else False,
+        use_pallas=use_pallas,
     ).validate()
 
     n_dev = jax.device_count()
@@ -68,35 +68,26 @@ def main() -> None:
     origins = np.tile(np.array([0, 0, 4.0], np.float32), (b, 1))
     batch = trainer.put_batch((images, origins, dirs))
 
-    # Sync via value fetch, not block_until_ready: on tunneled PJRT
-    # backends (axon) block_until_ready returns before execution finishes.
-    # One fetch per timing window; the measured RTT is subtracted.
-    for _ in range(args.warmup):
-        metrics = trainer.train_step(batch)
-    float(metrics["loss"])
-
-    t_r = time.perf_counter()
-    float(metrics["loss"])  # already materialized: measures pure fetch RTT
-    rtt = time.perf_counter() - t_r
-
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        metrics = trainer.train_step(batch)
-    loss = float(metrics["loss"])
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    # StepTimer syncs via value fetch, not block_until_ready: on tunneled
+    # PJRT backends (axon) block_until_ready returns before execution
+    # finishes.  The measured fetch RTT is subtracted from the window.
+    stats = StepTimer(warmup=warmup, steps=steps).measure(
+        lambda: trainer.train_step(batch)
+    )
+    loss = float(trainer.eval_step(batch)["loss"])
     assert np.isfinite(loss), f"non-finite loss in bench: {loss}"
 
-    step_time = dt / args.steps
+    step_time = stats["step_ms"] / 1e3
     rays_per_sec = b / step_time
     rays_per_sec_per_chip = rays_per_sec / n_dev
     print(
-        f"[bench] step_time={step_time * 1e3:.2f} ms "
+        f"[bench] step_time={stats['step_ms']:.2f} ms "
         f"throughput={rays_per_sec / 1e6:.3f} Mrays/s total, "
         f"{rays_per_sec_per_chip / 1e6:.3f} Mrays/s/chip",
         file=sys.stderr,
     )
 
-    if args.full:
+    if full:
         h = w = 800
         pose = np.eye(4, dtype=np.float32)
         pose[2, 3] = 4.0
@@ -115,12 +106,72 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(json.dumps({
+    return {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec_per_chip, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec_per_chip / 1e6, 4),
-    }))
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--full", action="store_true",
+                   help="also time an 800x800 frame render (stderr)")
+    p.add_argument("--kernel", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="auto: try pallas in a guarded subprocess, fall "
+                        "back to xla on failure/timeout")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="alias for --kernel pallas")
+    p.add_argument("--pallas-budget", type=float, default=1500.0,
+                   help="seconds allowed for the guarded pallas run")
+    p.add_argument("--_child", choices=["pallas", "xla"], default=None,
+                   help=argparse.SUPPRESS)
+    args = p.parse_args()
+
+    if args.use_pallas:
+        args.kernel = "pallas"
+
+    if args._child or args.kernel in ("pallas", "xla"):
+        mode = args._child or args.kernel
+        result = run_bench(mode == "pallas", args.steps, args.warmup,
+                           args.batch_size, args.full)
+        print(json.dumps(result))
+        return
+
+    # auto: guarded pallas attempt, xla fallback
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--_child", "pallas",
+        "--steps", str(args.steps), "--warmup", str(args.warmup),
+        "--batch-size", str(args.batch_size),
+    ] + (["--full"] if args.full else [])
+    try:
+        proc = subprocess.run(
+            cmd, timeout=args.pallas_budget,
+            stdout=subprocess.PIPE, stderr=sys.stderr,
+        )
+        if proc.returncode == 0:
+            line = proc.stdout.decode().strip().splitlines()[-1]
+            json.loads(line)  # validate contract
+            print(line)
+            return
+        print(f"[bench] pallas child failed rc={proc.returncode}; "
+              "falling back to xla", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] pallas child exceeded {args.pallas_budget:.0f}s; "
+              "falling back to xla", file=sys.stderr)
+    except Exception as e:  # malformed output etc.
+        print(f"[bench] pallas child error: {e}; falling back to xla",
+              file=sys.stderr)
+
+    result = run_bench(False, args.steps, args.warmup, args.batch_size,
+                       args.full)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

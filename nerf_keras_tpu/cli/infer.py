@@ -47,7 +47,11 @@ def run_inference(argv: list[str] | None = None) -> str:
                    help="focal length in pixels (default 1.2*max(H,W))")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--depth-video", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. 'cpu') before init")
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     cfg = load_config(args.config)
     name = config_name(args.config)

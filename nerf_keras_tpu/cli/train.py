@@ -49,6 +49,9 @@ def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
                    help="override config EPOCHS")
     p.add_argument("--eval-every", type=int, default=None,
                    help="epochs between eval/checkpoint/panel")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. 'cpu'); overrides the "
+                        "environment's default backend before initialization")
     return p
 
 
@@ -76,6 +79,10 @@ def run_training(
 ) -> Trainer:
     """The full training program; returns the Trainer (for tests)."""
     args = build_arg_parser(default_config).parse_args(argv)
+    if args.platform:
+        # Must happen before any backend initialization; env alone is not
+        # enough when a sitecustomize registers a TPU plugin eagerly.
+        jax.config.update("jax_platforms", args.platform)
     cfg = load_config(args.config)
     if args.epochs is not None:
         import dataclasses

@@ -229,3 +229,47 @@ def apply_nerf_mlp(
 
 def param_count(params: Params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Legacy single-input variant (reference ``create_nerf_model``,
+# models.py:11-22): one encoded-position input, skip-concat hardcoded every
+# 4 layers, single Dense(4) [rgb, sigma] head, no view-direction branch.
+# The reference ships it unused; kept for inventory parity (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+
+def init_simple_nerf_params(
+    key: jax.Array,
+    num_layers: int = 8,
+    hidden_dim: int = 256,
+    l_xyz: int = 10,
+) -> Params:
+    """Initialize the legacy single-input MLP (skip period fixed at 4)."""
+    xyz_dim = 3 + 2 * 3 * l_xyz
+    dims = trunk_input_dims(num_layers, hidden_dim, 4, xyz_dim)
+    keys = jax.random.split(key, num_layers + 1)
+    trunk = [
+        _dense_init(keys[i], in_dim, hidden_dim) for i, in_dim in enumerate(dims)
+    ]
+    last = num_layers - 1
+    head_in = hidden_dim + xyz_dim if (last % 4 == 0 and last > 0) else hidden_dim
+    return {"trunk": trunk, "head": _dense_init(keys[num_layers], head_in, 4)}
+
+
+def apply_simple_nerf_mlp(
+    params: Params,
+    x_enc: jnp.ndarray,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Evaluate the legacy MLP: ``(..., xyz_dim) -> (..., 4)`` raw
+    [rgb_logits, sigma] (activations applied later in volume_render)."""
+    x = x_enc
+    for i, layer in enumerate(params["trunk"]):
+        h = jnp.maximum(_dense(x, layer, compute_dtype), 0.0)
+        if i % 4 == 0 and i > 0:
+            x = jnp.concatenate([h, x_enc.astype(h.dtype)], axis=-1)
+        else:
+            x = h
+    return _dense(x, params["head"], compute_dtype).astype(jnp.float32)

@@ -183,3 +183,51 @@ def test_bn_checkpoint_roundtrip(tmp_path):
         np.asarray(state.bn["fine"]["trunk"][1]["var"]),
         np.asarray(restored.bn["fine"]["trunk"][1]["var"]),
     )
+
+
+def test_prepare_fern_data_end_to_end(tmp_path):
+    """Full LLFF pipeline against a synthetic on-disk capture:
+    poses_bounds.npy parsing, axis reorder, bound rescale, recentering,
+    holdout split, ray flattening (reference fern_data_utils.py:369-520)."""
+    from PIL import Image
+
+    from nerf_keras_tpu.data.llff import load_llff_data, prepare_fern_data
+
+    rng = np.random.default_rng(11)
+    n, h, w = 4, 12, 16
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(n):
+        arr = (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i:02d}.png")
+
+    # LLFF convention: rows are [down, right, back] axes; hwf column.
+    poses = np.zeros((n, 3, 5), dtype=np.float64)
+    for i in range(n):
+        # cameras on a small arc looking at -z
+        poses[i, :, 0] = [0, -1, 0]   # down
+        poses[i, :, 1] = [1, 0, 0]    # right
+        poses[i, :, 2] = [0, 0, 1]    # back
+        poses[i, :, 3] = [0.1 * i, 0.05 * i, 4.0 + 0.1 * i]
+        poses[i, :, 4] = [h, w, 20.0]
+    bds = np.stack([np.full(n, 2.0), np.full(n, 6.0)], axis=1)
+    arr = np.concatenate([poses.reshape(n, -1), bds], axis=1)
+    np.save(tmp_path / "poses_bounds.npy", arr)
+
+    images, p, b, render_poses, i_hold = load_llff_data(
+        str(tmp_path), factor=1, recenter=True, bd_factor=0.75
+    )
+    assert images.shape == (n, h, w, 3)
+    assert p.shape == (n, 3, 5)
+    assert render_poses.shape[1:] == (3, 5)
+    assert 0 <= i_hold < n
+
+    train, val, (near, far), focal = prepare_fern_data(
+        h, w, basedir=str(tmp_path), factor=1
+    )
+    assert len(train) == (n - 1) * h * w
+    assert len(val) == 1 * h * w
+    assert near < far
+    assert focal > 0
+    # bounds follow the reference recipe: near=0.9*min, far=max (rescaled)
+    np.testing.assert_allclose(near / far, (2.0 * 0.9) / 6.0, rtol=1e-5)

@@ -127,3 +127,16 @@ def test_shared_sampling_mode_runs():
     batch = _fake_batch(jax.random.PRNGKey(1), n=8)
     _, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_step_timer_and_annotate():
+    """Profiling harness: StepTimer measures a jitted step; annotate works."""
+    import jax.numpy as jnp
+    from nerf_keras_tpu.utils.profiling import StepTimer, annotate
+
+    f = jax.jit(lambda x: jnp.sum(x * 2.0))
+    x = jnp.ones((128,))
+    with annotate("test-span"):
+        stats = StepTimer(warmup=1, steps=3).measure(lambda: f(x))
+    assert stats["step_ms"] > 0
+    assert stats["steps_per_sec"] > 0

@@ -107,3 +107,26 @@ def test_glorot_init_scale():
     assert np.abs(w).max() <= limit + 1e-6
     assert w.std() > 0.5 * limit / np.sqrt(3)  # uniform std = limit/sqrt(3)
     np.testing.assert_array_equal(np.asarray(params["trunk"][0]["b"]), 0.0)
+
+
+def test_simple_legacy_mlp_shapes_and_skip():
+    """Legacy single-input variant (reference models.py:11-22): output
+    (..., 4), skip concat at layer 4 reflected in parameter shapes."""
+    import jax.numpy as jnp
+    from nerf_keras_tpu.models.mlp import (
+        apply_simple_nerf_mlp,
+        init_simple_nerf_params,
+    )
+
+    params = init_simple_nerf_params(
+        jax.random.PRNGKey(0), num_layers=8, hidden_dim=64, l_xyz=4
+    )
+    xyz = 3 + 6 * 4
+    assert params["trunk"][0]["w"].shape == (xyz, 64)
+    assert params["trunk"][5]["w"].shape == (64 + xyz, 64)  # after skip at 4
+    assert params["head"]["w"].shape == (64, 4)
+
+    x = jnp.ones((10, 7, xyz))
+    out = apply_simple_nerf_mlp(params, x, compute_dtype=jnp.float32)
+    assert out.shape == (10, 7, 4)
+    assert jnp.all(jnp.isfinite(out))
