@@ -83,6 +83,16 @@ def run_training(
         # Must happen before any backend initialization; env alone is not
         # enough when a sitecustomize registers a TPU plugin eagerly.
         jax.config.update("jax_platforms", args.platform)
+
+    # Multi-host: one call per process, before any other JAX use; no-op on
+    # a single host (replaces TPUClusterResolver/TPUStrategy wiring,
+    # reference train_tpu_lego.py:72-82).
+    from nerf_keras_tpu.parallel.distributed import (
+        maybe_initialize,
+        shard_dataset_for_process,
+    )
+
+    maybe_initialize()
     cfg = load_config(args.config)
     if args.epochs is not None:
         import dataclasses
@@ -100,6 +110,7 @@ def run_training(
     train_ds, val_ds, (near, far), focal = prepare_data(
         cfg.height, cfg.width, data_dir=args.data_dir
     )
+    train_ds = shard_dataset_for_process(train_ds)
     print(f"[nerf-tpu] rays: train={len(train_ds)} val={len(val_ds)} "
           f"near={near:.3f} far={far:.3f} focal={focal:.2f}")
 

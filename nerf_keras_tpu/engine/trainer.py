@@ -139,7 +139,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def render_rays(
-        self, origins: np.ndarray, directions: np.ndarray, chunk: int = 16384
+        self,
+        origins: np.ndarray,
+        directions: np.ndarray,
+        chunk: int = 16384,
+        keys: tuple[str, ...] | None = None,
     ) -> dict:
         """Full-output render of a flat ray batch, chunked to bound memory.
 
@@ -147,6 +151,10 @@ class Trainer:
         models.py:178-225): a host loop over fixed-size chunks hitting one
         compiled render function (single compilation, no tf.data, last
         chunk padded to keep shapes static).
+
+        ``keys`` restricts which outputs are kept and fetched (e.g.
+        ``("rgb_fine", "depth_fine")``) — on tunneled backends the final
+        host fetch is a real cost, ~10 MB per million rays per map.
         """
         n = origins.shape[0]
         ds = self.mesh.shape["data"]
@@ -170,6 +178,8 @@ class Trainer:
             # Keep chunk outputs on device; one host fetch at the end
             # (a per-chunk fetch pays a full round-trip on tunneled PJRT).
             for k, v in res.items():
+                if keys is not None and k not in keys:
+                    continue
                 outs.setdefault(k, []).append(v[: chunk - pad] if pad else v)
         return {
             k: np.concatenate(jax.device_get(v), axis=0) for k, v in outs.items()
@@ -177,7 +187,7 @@ class Trainer:
 
     def render_image(
         self, pose: np.ndarray, height: int, width: int, focal: float,
-        chunk: int = 16384,
+        chunk: int = 16384, include_coarse: bool = False,
     ) -> dict:
         """Render one full frame from a camera pose; returns HxW maps."""
         from nerf_keras_tpu.ops.rays import get_rays
@@ -185,10 +195,13 @@ class Trainer:
         origins, dirs = get_rays(height, width, focal, pose)
         origins = np.asarray(origins).reshape(-1, 3)
         dirs = np.asarray(dirs).reshape(-1, 3)
-        out = self.render_rays(origins, dirs, chunk=chunk)
-        return {
+        keys = None if include_coarse else ("rgb_fine", "depth_fine")
+        out = self.render_rays(origins, dirs, chunk=chunk, keys=keys)
+        result = {
             "rgb": out["rgb_fine"].reshape(height, width, 3),
             "depth": out["depth_fine"].reshape(height, width),
-            "rgb_coarse": out["rgb_coarse"].reshape(height, width, 3),
-            "depth_coarse": out["depth_coarse"].reshape(height, width),
         }
+        if include_coarse:
+            result["rgb_coarse"] = out["rgb_coarse"].reshape(height, width, 3)
+            result["depth_coarse"] = out["depth_coarse"].reshape(height, width)
+        return result

@@ -15,6 +15,11 @@ from nerf_keras_tpu.parallel.mesh import (
     nerf_param_shardings,
     shard_batch,
 )
+from nerf_keras_tpu.parallel.distributed import (
+    maybe_initialize,
+    process_info,
+    shard_dataset_for_process,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +27,7 @@ __all__ = [
     "replicated_sharding",
     "nerf_param_shardings",
     "shard_batch",
+    "maybe_initialize",
+    "process_info",
+    "shard_dataset_for_process",
 ]

@@ -99,3 +99,24 @@ def test_batch_size_divisibility_check():
     cfg = NeRFConfig(batch_size=10, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16)
     with pytest.raises(ValueError, match="divisible"):
         Trainer(cfg, 2.0, 6.0, mesh=make_mesh(8, 1))
+
+
+def test_distributed_helpers_single_host():
+    """maybe_initialize is a no-op on one host; process shard is identity."""
+    from nerf_keras_tpu.data.pipeline import RayDataset
+    from nerf_keras_tpu.parallel.distributed import (
+        maybe_initialize,
+        process_info,
+        shard_dataset_for_process,
+    )
+
+    assert maybe_initialize() is False
+    assert process_info() == (0, 1)
+    n = 16
+    ds = RayDataset(
+        pixels=np.zeros((n, 3), np.float32),
+        origins=np.zeros((n, 3), np.float32),
+        directions=np.ones((n, 3), np.float32),
+        near=2.0, far=6.0, focal=10.0, height=4, width=4,
+    )
+    assert shard_dataset_for_process(ds) is ds
