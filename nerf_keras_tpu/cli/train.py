@@ -127,17 +127,48 @@ def run_training(
     losses_for_plot: list[float] = []
 
     test_bs = cfg.test_batch_size or cfg.batch_size
-    start_epoch = int(trainer.state.step) // max(1, len(train_ds) // cfg.batch_size)
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    start_epoch = int(trainer.state.step) // steps_per_epoch
+
+    # Prefer the native prefetching batcher (C++ background thread, 4-deep
+    # ring) so host batch assembly overlaps device compute; fall back to
+    # the numpy pipeline when no toolchain is available.
+    native_batcher = None
+    try:
+        from nerf_keras_tpu.data.native import NativeRayBatcher
+
+        native_batcher = NativeRayBatcher(
+            train_ds, cfg.batch_size, seed=cfg.seed
+        )
+    except Exception as e:
+        print(f"[nerf-tpu] native batcher unavailable ({e}); using numpy")
+
+    def epoch_batches(epoch: int):
+        if native_batcher is not None:
+            return (next(native_batcher) for _ in range(steps_per_epoch))
+        return iterate_batches(train_ds, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed, epoch=epoch)
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        metrics = trainer.train_epoch(
-            iterate_batches(train_ds, cfg.batch_size, shuffle=True,
-                            seed=cfg.seed, epoch=epoch)
-        )
+        metrics = trainer.train_epoch(epoch_batches(epoch))
         dt = time.perf_counter() - t0
         steps = len(train_ds) // cfg.batch_size
         rays_per_sec = steps * cfg.batch_size / dt if dt > 0 else 0.0
+
+        # Failure detection (SURVEY.md §5: the reference's only guard is a
+        # try/except around TPU init that then crashes anyway): a
+        # non-finite loss aborts with a diagnosable emergency checkpoint
+        # instead of silently poisoning every later epoch.
+        if not np.isfinite(metrics["loss"]):
+            io.makedirs(run_dir)
+            crash_path = io.join(run_dir, "emergency." + checkpoint_name(cfg))
+            save_checkpoint(crash_path, trainer.state, cfg)
+            raise FloatingPointError(
+                f"non-finite train loss {metrics['loss']} at epoch "
+                f"{epoch + 1} (step {int(trainer.state.step)}); state saved "
+                f"to {crash_path}"
+            )
         print(
             f"epoch {epoch + 1}/{cfg.epochs} "
             f"loss={metrics['loss']:.5f} loss_coarse={metrics['loss_coarse']:.5f} "

@@ -108,8 +108,15 @@ def _mlp_fn(cfg: NeRFConfig, mesh=None) -> Callable:
         from nerf_keras_tpu.parallel.mesh import DATA_AXIS
 
         def apply(params, x_enc, d_enc):
+            # Encodings are stored in the compute dtype: the kernel casts
+            # to it anyway, and (N, 63)-ish arrays are lane-padded to 128
+            # on TPU, so a bf16 store halves real HBM traffic for the
+            # kernel inputs AND the custom_vjp residuals.
             return apply_nerf_mlp_pallas(
-                params, x_enc, d_enc, compute_dtype=compute_dtype,
+                params,
+                x_enc.astype(compute_dtype),
+                d_enc.astype(compute_dtype),
+                compute_dtype=compute_dtype,
                 skip_layer=cfg.skip_layer,
             )
 

@@ -31,15 +31,18 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Params = dict[str, Any]
 
-# Ray-sample tile per grid step.  512 keeps fwd+bwd scratch well under the
-# ~16 MB VMEM budget at hidden_dim=256 (see _bwd_kernel scratch accounting).
-_TILE = 512
+# Ray-sample tiles per grid step (measured on v5e at hidden 256):
+# forward peaks at 2048 (9.25 ms vs 9.59 ms at 512 for 786k points); the
+# backward holds all per-layer activations plus f32 dW accumulators in
+# VMEM — 1024 fits when benchmarked standalone but overflows the 16 MB
+# scoped budget by ~0.45 MB inside the full train-step program, so 512.
+_TILE_FWD = 2048
+_TILE_BWD = 512
 
 
 def _is_skip(i: int, skip_layer: int) -> bool:
@@ -57,16 +60,6 @@ def _flatten_params(params: Params, num_layers: int) -> list[jnp.ndarray]:
     for head in ("sigma", "feature", "branch", "rgb"):
         flat += [params[head]["w"], params[head]["b"]]
     return flat
-
-
-def _unflatten_grads(flat: list, num_layers: int) -> Params:
-    out: Params = {"trunk": []}
-    for i in range(num_layers):
-        out["trunk"].append({"w": flat[2 * i], "b": flat[2 * i + 1]})
-    base = 2 * num_layers
-    for j, head in enumerate(("sigma", "feature", "branch", "rgb")):
-        out[head] = {"w": flat[base + 2 * j], "b": flat[base + 2 * j + 1]}
-    return out
 
 
 def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
@@ -187,7 +180,7 @@ def _bwd_kernel(
     dfd = matmul_nt(dh2, w_br)
 
     dfeat = dfd[:, :hidden]
-    dd_ref[:] = dfd[:, hidden:]
+    dd_ref[:] = dfd[:, hidden:].astype(dd_ref.dtype)
 
     # feature/sigma heads share x_last
     dw(base + 2)[:] += matmul_tn(x_last, dfeat)
@@ -214,7 +207,7 @@ def _bwd_kernel(
         dw(2 * i + 1)[:] += bsum(dpre)
         dx = matmul_nt(dpre, wr[2 * i])
 
-    dx_ref[:] = dx_enc_acc + dx
+    dx_ref[:] = (dx_enc_acc + dx).astype(dx_ref.dtype)
 
 
 def _pad_rows(a: jnp.ndarray, n_pad: int) -> jnp.ndarray:
@@ -234,7 +227,7 @@ def _fused_mlp(static, x_enc, d_enc, *flat_params):
 
 
 def _fused_mlp_fwd_impl(static, x_enc, d_enc, flat_params):
-    num_layers, skip_layer, compute_dtype_name, tile = static
+    num_layers, skip_layer, compute_dtype_name, tile, _ = static
     compute_dtype = jnp.dtype(compute_dtype_name)
     n = x_enc.shape[0]
     n_pad = ((n + tile - 1) // tile) * tile
@@ -271,7 +264,7 @@ def _fused_mlp_fwd(static, x_enc, d_enc, *flat_params):
 
 
 def _fused_mlp_bwd(static, residuals, g):
-    num_layers, skip_layer, compute_dtype_name, tile = static
+    num_layers, skip_layer, compute_dtype_name, _, tile = static
     compute_dtype = jnp.dtype(compute_dtype_name)
     x_enc, d_enc, flat_params = residuals
     n = x_enc.shape[0]
@@ -314,8 +307,9 @@ def _fused_mlp_bwd(static, residuals, g):
             *dw_specs,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, xyz_dim), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, d_enc.shape[1]), jnp.float32),
+            # dx/dd cotangents match the (possibly bf16) encoding primals.
+            jax.ShapeDtypeStruct((n_pad, xyz_dim), x_enc.dtype),
+            jax.ShapeDtypeStruct((n_pad, d_enc.shape[1]), d_enc.dtype),
             *dw_shapes,
         ],
         interpret=_should_interpret(),
@@ -345,7 +339,8 @@ def apply_nerf_mlp_pallas(
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     skip_layer: int = 4,
-    tile: int = _TILE,
+    tile: int = _TILE_FWD,
+    bwd_tile: int = _TILE_BWD,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for models/mlp.py:apply_nerf_mlp.
 
@@ -369,6 +364,8 @@ def apply_nerf_mlp_pallas(
         p.astype(cdt) if p.ndim == 2 else p.reshape(1, -1)
         for p in _flatten_params(params, num_layers)
     ]
-    static = (num_layers, skip_layer, jnp.dtype(compute_dtype).name, tile)
+    static = (
+        num_layers, skip_layer, jnp.dtype(compute_dtype).name, tile, bwd_tile
+    )
     out = _fused_mlp(static, x2, d2, *flat)
     return out.reshape(*lead, 4)

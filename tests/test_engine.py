@@ -140,3 +140,50 @@ def test_step_timer_and_annotate():
         stats = StepTimer(warmup=1, steps=3).measure(lambda: f(x))
     assert stats["step_ms"] > 0
     assert stats["steps_per_sec"] > 0
+
+
+def test_resume_is_exact(tmp_path):
+    """Checkpoint -> restore -> continue must reproduce the continuous
+    run exactly: randomness is derived from fold_in(key, state.step), and
+    the checkpoint carries params + optimizer moments + step."""
+    import numpy as np
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.step import init_train_state, make_train_step
+    from nerf_keras_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = NeRFConfig(
+        batch_size=32, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        compute_dtype="float32",
+    ).validate()
+    step = jax.jit(make_train_step(cfg, 2.0, 6.0))
+    key = jax.random.PRNGKey(7)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(6):
+        images = rng.uniform(0, 1, (32, 3)).astype(np.float32)
+        dirs = rng.normal(size=(32, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origins = np.tile(np.array([0, 0, 4.0], np.float32), (32, 1))
+        batches.append((jnp.asarray(images), jnp.asarray(origins), jnp.asarray(dirs)))
+
+    # continuous run: 6 steps
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    losses_cont = []
+    for b in batches:
+        state, m = step(state, b, key)
+        losses_cont.append(float(m["loss"]))
+
+    # interrupted run: 3 steps, checkpoint, restore, 3 more
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    for b in batches[:3]:
+        state, m = step(state, b, key)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, jax.device_get(state))
+    losses_resumed = []
+    for b in batches[3:]:
+        restored, m = step(restored, b, key)
+        losses_resumed.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses_resumed, losses_cont[3:], rtol=1e-6)

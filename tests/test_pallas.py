@@ -37,7 +37,7 @@ def test_forward_parity(params):
     )
     out = apply_nerf_mlp_pallas(
         params, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
-        tile=64,
+        tile=64, bwd_tile=64,
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
@@ -53,7 +53,7 @@ def test_forward_parity_batched_shape(params):
     )
     out = apply_nerf_mlp_pallas(
         params, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
-        tile=64,
+        tile=64, bwd_tile=64,
     )
     assert out.shape == (8, 16, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
@@ -74,7 +74,7 @@ def test_gradient_parity(params):
     def loss_pal(p, x, d):
         o = apply_nerf_mlp_pallas(
             p, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
-            tile=64,
+            tile=64, bwd_tile=64,
         )
         return jnp.sum(jnp.sin(o))
 
@@ -101,7 +101,7 @@ def test_gradient_parity_skip_heavy():
 
     def loss_pal(p):
         o = apply_nerf_mlp_pallas(
-            p, x, d, compute_dtype=jnp.float32, skip_layer=1, tile=32
+            p, x, d, compute_dtype=jnp.float32, skip_layer=1, tile=32, bwd_tile=32
         )
         return jnp.sum(o**2)
 
@@ -119,7 +119,7 @@ def test_bf16_forward_close(params):
     )
     out = apply_nerf_mlp_pallas(
         params, x, d, compute_dtype=jnp.bfloat16, skip_layer=ARCH["skip_layer"],
-        tile=64,
+        tile=64, bwd_tile=64,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.1, rtol=0.05)
 

@@ -120,3 +120,20 @@ def test_distributed_helpers_single_host():
         near=2.0, far=6.0, focal=10.0, height=4, width=4,
     )
     assert shard_dataset_for_process(ds) is ds
+
+
+def test_render_rays_keys_filter_and_render_image():
+    """Selective output fetch keeps only requested maps; render_image
+    returns fine maps by default and coarse maps on request."""
+    t = Trainer(CFG, 2.0, 6.0, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    _, origins, dirs = _batch(n=16, seed=2)
+    out = t.render_rays(origins, dirs, chunk=16, keys=("rgb_fine",))
+    assert set(out) == {"rgb_fine"}
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    img = t.render_image(pose, 4, 4, focal=4.0, chunk=16)
+    assert set(img) == {"rgb", "depth"}
+    assert img["rgb"].shape == (4, 4, 3)
+    img2 = t.render_image(pose, 4, 4, focal=4.0, chunk=16, include_coarse=True)
+    assert set(img2) == {"rgb", "depth", "rgb_coarse", "depth_coarse"}
