@@ -52,6 +52,15 @@ class NeRFConfig:
     #             (closest jit-able analogue of reference data_utils.py:131-137)
     #   'center': deterministic linspace (reference rand_sampling=False)
     use_pallas: bool = False  # fused Pallas ray-march kernel for the MLP
+    stop_pdf_gradient: bool = True
+    #   True: detach coarse weights before inverse-CDF importance sampling
+    #         (original-NeRF semantics; keeps the coarse head healthy — the
+    #         interp denominator clamp at 1e-5 otherwise amplifies
+    #         gradients into the coarse density head by up to 1e5x and the
+    #         coarse rgb collapses; measured on the synthetic scene)
+    #   False: reference-faithful — the reference never detaches
+    #         (data_utils.py:172-223), so t-value gradients flow into the
+    #         coarse MLP through the sampling CDF
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
@@ -110,6 +119,7 @@ _KEY_MAP = {
     "COMPUTE_DTYPE": "compute_dtype",
     "SAMPLING_MODE": "sampling_mode",
     "USE_PALLAS": "use_pallas",
+    "STOP_PDF_GRADIENT": "stop_pdf_gradient",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",
     "SEED": "seed",

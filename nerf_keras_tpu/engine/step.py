@@ -175,10 +175,19 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
         )
         rgb_coarse, depth_coarse, weights_coarse = volume_render(preds_coarse, t_vals)
 
-        # Hierarchical importance sampling (models.py:165-167).
+        # Hierarchical importance sampling (models.py:165-167).  The coarse
+        # weights are detached by default before the inverse-CDF draw (see
+        # NeRFConfig.stop_pdf_gradient): the interp denominator clamp can
+        # amplify gradients into the coarse density head by ~1e5 and was
+        # measured to collapse the coarse rgb output.
         t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        w_for_pdf = (
+            jax.lax.stop_gradient(weights_coarse)
+            if cfg.stop_pdf_gradient
+            else weights_coarse
+        )
         t_fine = sample_pdf(
-            key, t_mid, weights_coarse, cfg.ns_fine,
+            key, t_mid, w_for_pdf, cfg.ns_fine,
             deterministic=key is None,
         )
         t_all = jnp.sort(jnp.concatenate([t_vals, t_fine], axis=-1), axis=-1)

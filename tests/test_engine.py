@@ -187,3 +187,42 @@ def test_resume_is_exact(tmp_path):
         losses_resumed.append(float(m["loss"]))
 
     np.testing.assert_allclose(losses_resumed, losses_cont[3:], rtol=1e-6)
+
+
+def test_stop_pdf_gradient_isolates_coarse():
+    """With stop_pdf_gradient (default) the coarse params' gradient comes
+    only from the coarse MSE — gradients must NOT flow through the fine
+    pass's importance sampling; with the reference-faithful mode they do."""
+    import numpy as np
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.step import init_train_state, make_forward_pass
+
+    kwargs = dict(batch_size=16, ns_coarse=4, ns_fine=8, num_layers=2,
+                  hidden_dim=16, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(16, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.tile(np.array([0, 0, 4.0], np.float32), (16, 1))
+    t_vals = np.broadcast_to(
+        np.linspace(2.0, 6.0, 4, dtype=np.float32), (16, 4)
+    ).copy()
+    key = jax.random.PRNGKey(0)
+
+    def fine_loss_grad_on_coarse(stop):
+        cfg = NeRFConfig(stop_pdf_gradient=stop, **kwargs).validate()
+        forward = make_forward_pass(cfg)
+        state = init_train_state(jax.random.PRNGKey(1), cfg)
+
+        def fine_only_loss(params):
+            outputs, _ = forward(params, None, key, origins, dirs, t_vals, True)
+            (_, rgb_fine) = outputs[0]
+            return jnp.sum(rgb_fine**2)
+
+        g = jax.grad(fine_only_loss)(state.params)
+        return max(
+            float(jnp.max(jnp.abs(leaf)))
+            for leaf in jax.tree_util.tree_leaves(g["coarse"])
+        )
+
+    assert fine_loss_grad_on_coarse(True) == 0.0
+    assert fine_loss_grad_on_coarse(False) > 0.0
