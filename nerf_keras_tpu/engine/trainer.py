@@ -8,7 +8,7 @@ path: a 1-chip mesh degenerates to no collectives.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable
+from typing import Any, Iterable
 
 import jax
 import jax.numpy as jnp
