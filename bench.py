@@ -71,10 +71,16 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
     # StepTimer syncs via value fetch, not block_until_ready: on tunneled
     # PJRT backends (axon) block_until_ready returns before execution
     # finishes.  The measured fetch RTT is subtracted from the window.
-    stats = StepTimer(warmup=warmup, steps=steps).measure(
-        lambda: trainer.train_step(batch)
-    )
-    loss = float(trainer.eval_step(batch)["loss"])
+    metrics = {}
+
+    def one_step():
+        metrics.update(trainer.train_step(batch))
+        return metrics
+
+    stats = StepTimer(warmup=warmup, steps=steps).measure(one_step)
+    # Finiteness check on the train metrics themselves — compiling the
+    # separate eval program would cost minutes through the remote helper.
+    loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss in bench: {loss}"
 
     step_time = stats["step_ms"] / 1e3

@@ -118,6 +118,10 @@ def _mlp_fn(cfg: NeRFConfig, mesh=None) -> Callable:
                 d_enc.astype(compute_dtype),
                 compute_dtype=compute_dtype,
                 skip_layer=cfg.skip_layer,
+                # With stop_pdf_gradient (default) nothing differentiable
+                # feeds the encodings, so the backward kernel skips the
+                # input-gradient matmuls and HBM writes entirely.
+                need_input_grads=not cfg.stop_pdf_gradient,
             )
 
         if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:

@@ -109,19 +109,26 @@ def _fwd_kernel(num_layers, skip_layer, compute_dtype, x_ref, d_ref, *refs):
 
 
 def _bwd_kernel(
-    num_layers, skip_layer, compute_dtype, hidden, xyz_dim,
+    num_layers, skip_layer, compute_dtype, hidden, xyz_dim, need_input_grads,
     x_ref, d_ref, g_ref, *refs,
 ):
     """Recompute-forward + reverse walk for one tile.
 
-    Outputs (after the weight refs): dx, dd (per-tile), then dW/db per
-    parameter with constant index maps — those blocks live in VMEM across
-    the whole sequential grid and accumulate in f32.
+    Outputs (after the weight refs): dx, dd (per-tile, only when
+    ``need_input_grads`` — with the default stop_pdf_gradient training
+    config nothing consumes input gradients, so their matmuls and HBM
+    writes are skipped entirely), then dW/db per parameter with constant
+    index maps — those blocks live in VMEM across the whole sequential
+    grid and accumulate in f32.
     """
     n_w = 2 * num_layers + 8
     wr = refs[:n_w]
-    dx_ref, dd_ref = refs[n_w], refs[n_w + 1]
-    dw_refs = refs[n_w + 2:]
+    if need_input_grads:
+        dx_ref, dd_ref = refs[n_w], refs[n_w + 1]
+        dw_refs = refs[n_w + 2:]
+    else:
+        dx_ref = dd_ref = None
+        dw_refs = refs[n_w:]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -180,20 +187,31 @@ def _bwd_kernel(
     dfd = matmul_nt(dh2, w_br)
 
     dfeat = dfd[:, :hidden]
-    dd_ref[:] = dfd[:, hidden:].astype(dd_ref.dtype)
+    if need_input_grads:
+        dd_ref[:] = dfd[:, hidden:].astype(dd_ref.dtype)
 
-    # feature/sigma heads share x_last
-    dw(base + 2)[:] += matmul_tn(x_last, dfeat)
+    # Fused feature+sigma head backward: both dW columns and both dx
+    # contributions ride one MXU pass each through the concatenated
+    # (in, hidden+1) weight.
+    dfs = jnp.concatenate([dfeat, dsigma], axis=-1)
+    w_fs = jnp.concatenate([w_feat[:], w_sig[:]], axis=-1)
+    dw_fs = matmul_tn(x_last, dfs)
+    dw(base + 2)[:] += dw_fs[:, :hidden]
     dw(base + 3)[:] += bsum(dfeat)
-    dw(base)[:] += matmul_tn(x_last, dsigma)
+    dw(base)[:] += dw_fs[:, hidden:]
     dw(base + 1)[:] += bsum(dsigma)
-    dx = matmul_nt(dfeat, w_feat) + matmul_nt(dsigma, w_sig)
+    dx = jax.lax.dot_general(
+        dfs.astype(compute_dtype), w_fs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     dx_enc_acc = jnp.zeros((x_enc.shape[0], xyz_dim), jnp.float32)
     for i in reversed(range(num_layers)):
         if _is_skip(i, skip_layer):
             dh = dx[:, :hidden]
-            dx_enc_acc = dx_enc_acc + dx[:, hidden:]
+            if need_input_grads:
+                dx_enc_acc = dx_enc_acc + dx[:, hidden:]
         else:
             dh = dx
         # h_i = relu(acts[i] @ w_i + b_i); recompute the relu mask from the
@@ -205,9 +223,11 @@ def _bwd_kernel(
         dpre = dh * relu_mask(h_i)
         dw(2 * i)[:] += matmul_tn(acts[i], dpre)
         dw(2 * i + 1)[:] += bsum(dpre)
-        dx = matmul_nt(dpre, wr[2 * i])
+        if i > 0 or need_input_grads:
+            dx = matmul_nt(dpre, wr[2 * i])
 
-    dx_ref[:] = (dx_enc_acc + dx).astype(dx_ref.dtype)
+    if need_input_grads:
+        dx_ref[:] = (dx_enc_acc + dx).astype(dx_ref.dtype)
 
 
 def _pad_rows(a: jnp.ndarray, n_pad: int) -> jnp.ndarray:
@@ -227,7 +247,7 @@ def _fused_mlp(static, x_enc, d_enc, *flat_params):
 
 
 def _fused_mlp_fwd_impl(static, x_enc, d_enc, flat_params):
-    num_layers, skip_layer, compute_dtype_name, tile, _ = static
+    num_layers, skip_layer, compute_dtype_name, tile, _, _ = static
     compute_dtype = jnp.dtype(compute_dtype_name)
     n = x_enc.shape[0]
     n_pad = ((n + tile - 1) // tile) * tile
@@ -264,7 +284,7 @@ def _fused_mlp_fwd(static, x_enc, d_enc, *flat_params):
 
 
 def _fused_mlp_bwd(static, residuals, g):
-    num_layers, skip_layer, compute_dtype_name, _, tile = static
+    num_layers, skip_layer, compute_dtype_name, _, tile, need_input_grads = static
     compute_dtype = jnp.dtype(compute_dtype_name)
     x_enc, d_enc, flat_params = residuals
     n = x_enc.shape[0]
@@ -285,8 +305,24 @@ def _fused_mlp_bwd(static, residuals, g):
     ]
 
     kernel = functools.partial(
-        _bwd_kernel, num_layers, skip_layer, compute_dtype, hidden, xyz_dim
+        _bwd_kernel, num_layers, skip_layer, compute_dtype, hidden, xyz_dim,
+        need_input_grads,
     )
+    if need_input_grads:
+        # dx/dd cotangents match the (possibly bf16) encoding primals.
+        grad_specs = [
+            pl.BlockSpec((tile, xyz_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d_enc.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        grad_shapes = [
+            jax.ShapeDtypeStruct((n_pad, xyz_dim), x_enc.dtype),
+            jax.ShapeDtypeStruct((n_pad, d_enc.shape[1]), d_enc.dtype),
+        ]
+    else:
+        grad_specs, grad_shapes = [], []
+
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -299,19 +335,8 @@ def _fused_mlp_bwd(static, residuals, g):
                          memory_space=pltpu.VMEM),
             *wspecs,
         ],
-        out_specs=[
-            pl.BlockSpec((tile, xyz_dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d_enc.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            *dw_specs,
-        ],
-        out_shape=[
-            # dx/dd cotangents match the (possibly bf16) encoding primals.
-            jax.ShapeDtypeStruct((n_pad, xyz_dim), x_enc.dtype),
-            jax.ShapeDtypeStruct((n_pad, d_enc.shape[1]), d_enc.dtype),
-            *dw_shapes,
-        ],
+        out_specs=[*grad_specs, *dw_specs],
+        out_shape=[*grad_shapes, *dw_shapes],
         interpret=_should_interpret(),
     )(
         _pad_rows(x_enc, n_pad),
@@ -319,13 +344,16 @@ def _fused_mlp_bwd(static, residuals, g):
         _pad_rows(g, n_pad),
         *flat_params,
     )
-    dx, dd = outs[0][:n], outs[1][:n]
+    if need_input_grads:
+        dx, dd = outs[0][:n], outs[1][:n]
+        dw_outs = outs[2:]
+    else:
+        dx, dd = jnp.zeros_like(x_enc), jnp.zeros_like(d_enc)
+        dw_outs = outs
     # Cotangent dtypes must match the primals: dW accumulates in f32 inside
     # the kernel, the weight primals may be bf16 (cast upstream converts
     # these back to f32 for the optimizer).
-    dws = [
-        dv.astype(w.dtype) for w, dv in zip(flat_params, outs[2:])
-    ]
+    dws = [dv.astype(w.dtype) for w, dv in zip(flat_params, dw_outs)]
     return (dx, dd, *dws)
 
 
@@ -341,12 +369,18 @@ def apply_nerf_mlp_pallas(
     skip_layer: int = 4,
     tile: int = _TILE_FWD,
     bwd_tile: int = _TILE_BWD,
+    need_input_grads: bool = True,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for models/mlp.py:apply_nerf_mlp.
 
     Flattens any leading batch shape to (N, feat), pads N to the tile size,
     runs the fused kernel, and restores the shape.  Returns raw f32
     ``(..., 4)`` ``[rgb_logits, sigma]`` like the jnp path.
+
+    ``need_input_grads=False`` makes the backward return zeros for the
+    encoding cotangents and skip their computation in-kernel — correct
+    whenever nothing differentiable feeds the encodings (the default
+    ``stop_pdf_gradient`` training config).
     """
     num_layers = len(params["trunk"])
     lead = x_enc.shape[:-1]
@@ -365,7 +399,8 @@ def apply_nerf_mlp_pallas(
         for p in _flatten_params(params, num_layers)
     ]
     static = (
-        num_layers, skip_layer, jnp.dtype(compute_dtype).name, tile, bwd_tile
+        num_layers, skip_layer, jnp.dtype(compute_dtype).name, tile,
+        bwd_tile, bool(need_input_grads),
     )
     out = _fused_mlp(static, x2, d2, *flat)
     return out.reshape(*lead, 4)

@@ -165,3 +165,25 @@ def test_pallas_rejects_tensor_parallel():
     ).validate()
     with pytest.raises(ValueError, match="tensor parallelism"):
         Trainer(cfg, 2.0, 6.0, mesh=make_mesh(4, 2))
+
+
+def test_need_input_grads_false_skips_encoding_cotangents(params):
+    """Weight grads stay exact; encoding cotangents come back as zeros."""
+    x, d = _inputs(96, seed=5)
+
+    def loss(p, x, d, need):
+        o = apply_nerf_mlp_pallas(
+            p, x, d, compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
+            tile=64, bwd_tile=64, need_input_grads=need,
+        )
+        return jnp.sum(o**2)
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2))(params, x, d, True)
+    g_skip = jax.grad(loss, argnums=(0, 1, 2))(params, x, d, False)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_full[0]), jax.tree_util.tree_leaves(g_skip[0])
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)
+    assert float(jnp.max(jnp.abs(g_skip[1]))) == 0.0
+    assert float(jnp.max(jnp.abs(g_skip[2]))) == 0.0
+    assert float(jnp.max(jnp.abs(g_full[1]))) > 0.0
