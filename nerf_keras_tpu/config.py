@@ -51,7 +51,10 @@ class NeRFConfig:
     #   'shared': one jitter vector shared across the batch, drawn per step
     #             (closest jit-able analogue of reference data_utils.py:131-137)
     #   'center': deterministic linspace (reference rand_sampling=False)
-    use_pallas: bool = False  # fused Pallas ray-march kernel for the MLP
+    use_pallas: bool | None = None  # fused Pallas kernel for the MLP train path
+    #   None (default): auto — enabled on TPU backends when compatible
+    #   (no BatchNorm, no tensor parallelism); resolved at Trainer build.
+    #   True/False: force.
     stop_pdf_gradient: bool = True
     #   True: detach coarse weights before inverse-CDF importance sampling
     #         (original-NeRF semantics; keeps the coarse head healthy — the

@@ -43,6 +43,15 @@ class Trainer:
         mesh=None,
         seed: int | None = None,
     ):
+        if cfg.use_pallas is None:
+            # Auto: the fused kernel wins training on TPU; it has no
+            # BatchNorm variant and shards rays over 'data' only.
+            auto = (
+                jax.default_backend() == "tpu"
+                and not cfg.batch_norm
+                and cfg.mesh_model == 1
+            )
+            cfg = dataclasses.replace(cfg, use_pallas=auto)
         if cfg.use_pallas and cfg.batch_norm:
             raise ValueError("use_pallas does not support the BatchNorm variant")
         if cfg.use_pallas and cfg.mesh_model > 1:

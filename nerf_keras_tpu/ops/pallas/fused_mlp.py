@@ -39,10 +39,12 @@ Params = dict[str, Any]
 # Ray-sample tiles per grid step (measured on v5e at hidden 256):
 # forward peaks at 2048 (9.25 ms vs 9.59 ms at 512 for 786k points); the
 # backward holds all per-layer activations plus f32 dW accumulators in
-# VMEM — 1024 fits when benchmarked standalone but overflows the 16 MB
-# scoped budget by ~0.45 MB inside the full train-step program, so 512.
+# VMEM — with input-gradient outputs it overflows the 16 MB scoped budget
+# beyond 512, without them (the default training config) 1024 fits and is
+# ~3% faster (26.5 vs 27.2 ms for the fine-pass grad).
 _TILE_FWD = 2048
 _TILE_BWD = 512
+_TILE_BWD_NO_INPUT_GRADS = 1024
 
 
 def _is_skip(i: int, skip_layer: int) -> bool:
@@ -368,7 +370,7 @@ def apply_nerf_mlp_pallas(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     skip_layer: int = 4,
     tile: int = _TILE_FWD,
-    bwd_tile: int = _TILE_BWD,
+    bwd_tile: int | None = None,
     need_input_grads: bool = True,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for models/mlp.py:apply_nerf_mlp.
@@ -398,6 +400,8 @@ def apply_nerf_mlp_pallas(
         p.astype(cdt) if p.ndim == 2 else p.reshape(1, -1)
         for p in _flatten_params(params, num_layers)
     ]
+    if bwd_tile is None:
+        bwd_tile = _TILE_BWD if need_input_grads else _TILE_BWD_NO_INPUT_GRADS
     static = (
         num_layers, skip_layer, jnp.dtype(compute_dtype).name, tile,
         bwd_tile, bool(need_input_grads),

@@ -54,3 +54,24 @@ def test_overrides(tmp_path):
     p.write_text(json.dumps({"BATCH_SIZE": 64, "NS_COARSE": 8}))
     cfg = load_config(str(p), epochs=3)
     assert cfg.batch_size == 64 and cfg.epochs == 3
+
+
+def test_use_pallas_auto_resolution():
+    """Default USE_PALLAS=None auto-resolves at Trainer build: off on CPU
+    backends, forced values respected."""
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+    import jax
+
+    base = dict(batch_size=16, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16)
+    cfg = NeRFConfig(**base).validate()
+    assert cfg.use_pallas is None
+    t = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    # test platform is CPU -> auto resolves to False
+    assert t.cfg.use_pallas is False
+    t2 = Trainer(
+        NeRFConfig(use_pallas=True, **base).validate(), 2.0, 6.0,
+        mesh=make_mesh(1, 1, devices=jax.devices()[:1]),
+    )
+    assert t2.cfg.use_pallas is True
