@@ -14,11 +14,16 @@ write-4, turning the op MXU-compute-bound.
 Training uses a hand-written backward kernel (``jax.custom_vjp``): it
 recomputes the per-tile activations in VMEM (checkpoint-free — recompute is
 cheaper than storing (B*S, hidden) residuals in HBM), then walks the layer
-stack in reverse, accumulating dW/db across the sequential grid in f32 and
-emitting per-tile input gradients.  Gradients w.r.t. the encoded inputs are
-required because the fine pass's t-values depend on the coarse pass's weights
-through ``sample_pdf`` (reference keeps that path differentiable —
-data_utils.py:172-223 has no stop_gradient).
+stack in reverse, accumulating dW/db across the sequential grid in f32.
+Gradients w.r.t. the encoded inputs exist for the reference-faithful mode
+where the fine pass's t-values stay differentiable through ``sample_pdf``
+(the reference has no stop_gradient there, data_utils.py:172-223); with the
+default detached sampling (NeRFConfig.stop_pdf_gradient) nothing consumes
+them, and ``need_input_grads=False`` skips their matmuls and HBM writes.
+
+This kernel wins TRAINING only: for forward-only work XLA's automatic
+fusion is as fast or faster (see docs/PERF.md), so eval/render use the jnp
+path (engine/trainer.py).
 
 Parity: tests/test_pallas.py checks fwd+grad against the jnp path
 (models/mlp.py) in interpret mode on CPU and compiled on TPU.
