@@ -231,3 +231,18 @@ def test_prepare_fern_data_end_to_end(tmp_path):
     assert focal > 0
     # bounds follow the reference recipe: near=0.9*min, far=max (rescaled)
     np.testing.assert_allclose(near / far, (2.0 * 0.9) / 6.0, rtol=1e-5)
+
+
+def test_synthetic_non_square_images():
+    """H != W must work end to end (the reference's Lego loader builds val
+    rays with get_rays(H, H, ...) and breaks for non-square images,
+    lego_data_utils.py:34 — fixed here by construction)."""
+    from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
+
+    train, val, (near, far), focal = prepare_synthetic_data(12, 20, num_views=4)
+    assert train.height == 12 and train.width == 20
+    assert len(train) % (12 * 20) == 0
+    o, d = val.image_rays(0)
+    assert o.shape == (12 * 20, 3) and d.shape == (12 * 20, 3)
+    img = val.image(0)
+    assert img.shape == (12, 20, 3)

@@ -226,3 +226,24 @@ def test_stop_pdf_gradient_isolates_coarse():
 
     assert fine_loss_grad_on_coarse(True) == 0.0
     assert fine_loss_grad_on_coarse(False) > 0.0
+
+
+def test_ns_fine_zero_coarse_only_training():
+    """ns_fine=0 degrades to coarse-only NeRF (no importance sampling)."""
+    import numpy as np
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.step import init_train_state, make_train_step
+
+    cfg = NeRFConfig(
+        batch_size=8, ns_coarse=4, ns_fine=0, num_layers=2, hidden_dim=16,
+        compute_dtype="float32",
+    ).validate()
+    step = jax.jit(make_train_step(cfg, 2.0, 6.0))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (8, 3)).astype(np.float32)
+    d = rng.normal(size=(8, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile(np.array([0, 0, 4.0], np.float32), (8, 1))
+    _, m = step(state, (img, o, d), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
