@@ -149,7 +149,27 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    # auto: guarded pallas attempt, xla fallback
+    # auto: guarded pallas attempt, xla fallback.  Probe the backend in a
+    # subprocess first (importing jax here would initialize the device in
+    # the parent): on non-TPU backends the pallas kernel only has an
+    # interpret-mode fallback, which would burn the whole budget.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            timeout=120, capture_output=True,
+        )
+        backend = probe.stdout.decode().strip().splitlines()[-1]
+    except Exception:
+        backend = "unknown"
+    if backend != "tpu":
+        print(f"[bench] backend={backend}: skipping pallas attempt",
+              file=sys.stderr)
+        result = run_bench(False, args.steps, args.warmup, args.batch_size,
+                           args.full)
+        print(json.dumps(result))
+        return
+
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--_child", "pallas",

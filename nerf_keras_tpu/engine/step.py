@@ -21,7 +21,6 @@ Everything below is shape-static and jit-compiled once per config.
 
 from __future__ import annotations
 
-
 from typing import Any, Callable, NamedTuple
 
 import jax
