@@ -1,0 +1,176 @@
+"""Minimal production render server (beyond-reference capability).
+
+The reference ships no serving layer (its requirements list gradio/fastapi
+but never imports them — SURVEY.md §2.7).  This module provides a
+dependency-free HTTP render endpoint over a trained checkpoint, suitable
+for smoke-serving a model from a TPU VM:
+
+    python -m nerf_keras_tpu.serving --config config/lego_batch_h256.json \
+        --checkpoint models/<run> --port 8042
+
+    GET /render?theta=30&phi=-30&radius=4&width=200&height=200  -> PNG
+    GET /healthz                                                -> 200 ok
+    GET /stats                                                  -> JSON
+
+Design: stdlib ``http.server`` with a threading mixin for concurrent
+connections; render requests serialize through a lock onto the single
+jitted chunked renderer (one compiled program per (H, W-chunk) shape —
+repeated sizes hit the jit cache).  For real fleets put this behind a
+batching frontend; the per-request path here is the same
+``Trainer.render_image`` the CLI uses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class RenderService:
+    """Owns the Trainer + checkpoint; thread-safe render calls."""
+
+    def __init__(self, cfg, checkpoint: str, near: float, far: float):
+        import jax
+
+        from nerf_keras_tpu.engine.trainer import Trainer
+        from nerf_keras_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        if not checkpoint.endswith(".npz"):
+            found = latest_checkpoint(checkpoint)
+            if found is None:
+                raise FileNotFoundError(f"no .ckpt.npz under {checkpoint}")
+            checkpoint = found
+        self.trainer = Trainer(cfg, near, far)
+        self.trainer.state = jax.device_put(
+            load_checkpoint(checkpoint, jax.device_get(self.trainer.state)),
+            self.trainer._state_shardings,
+        )
+        self.checkpoint = checkpoint
+        self.cfg = cfg
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.total_render_s = 0.0
+
+    def render_png(
+        self, theta: float, phi: float, radius: float,
+        height: int, width: int, chunk: int = 16384,
+    ) -> bytes:
+        from PIL import Image
+
+        from nerf_keras_tpu.ops.rays import pose_spherical
+        from nerf_keras_tpu.utils.image import to_uint8
+
+        pose = pose_spherical(theta, phi, radius)
+        focal = 1.2 * max(height, width)
+        t0 = time.perf_counter()
+        with self._lock:  # single accelerator; serialize device work
+            out = self.trainer.render_image(
+                pose, height, width, focal, chunk=chunk
+            )
+        self.total_render_s += time.perf_counter() - t0
+        self.requests += 1
+        buf = io.BytesIO()
+        Image.fromarray(to_uint8(out["rgb"])).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def stats(self) -> dict:
+        return {
+            "checkpoint": self.checkpoint,
+            "requests": self.requests,
+            "mean_render_s": (
+                self.total_render_s / self.requests if self.requests else 0.0
+            ),
+        }
+
+
+def _make_handler(service: RenderService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+                return
+            if url.path == "/stats":
+                self._send(
+                    200, json.dumps(service.stats()).encode(),
+                    "application/json",
+                )
+                return
+            if url.path == "/render":
+                q = parse_qs(url.query)
+
+                def f(name, default):
+                    return float(q.get(name, [default])[0])
+
+                try:
+                    png = service.render_png(
+                        theta=f("theta", 0.0),
+                        phi=f("phi", -30.0),
+                        radius=f("radius", 4.0),
+                        height=int(f("height", service.cfg.height)),
+                        width=int(f("width", service.cfg.width)),
+                        chunk=int(f("chunk", 16384)),
+                    )
+                except Exception as e:  # surface render errors as 500s
+                    self._send(500, str(e).encode(), "text/plain")
+                    return
+                self._send(200, png, "image/png")
+                return
+            self._send(404, b"not found", "text/plain")
+
+    return Handler
+
+
+def serve(service: RenderService, port: int, host: str = "127.0.0.1"):
+    """Build the HTTP server (caller runs serve_forever / shutdown)."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def main(argv=None) -> None:
+    import jax
+
+    from nerf_keras_tpu.config import load_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--near", type=float, default=2.0)
+    p.add_argument("--far", type=float, default=6.0)
+    p.add_argument("--port", type=int, default=8042)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--platform", type=str, default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    service = RenderService(
+        load_config(args.config), args.checkpoint, args.near, args.far
+    )
+    server = serve(service, args.port, args.host)
+    print(f"[nerf-tpu] serving {service.checkpoint} on "
+          f"http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

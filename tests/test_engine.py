@@ -247,3 +247,17 @@ def test_ns_fine_zero_coarse_only_training():
     o = np.tile(np.array([0, 0, 4.0], np.float32), (8, 1))
     _, m = step(state, (img, o, d), jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    """utils.profiling.trace captures a TensorBoard-loadable trace dir."""
+    import os
+    from nerf_keras_tpu.utils.profiling import trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        jax.jit(lambda x: x * 2.0)(jnp.ones((64,))).block_until_ready()
+    found = []
+    for root, _, files in os.walk(d):
+        found += files
+    assert found, "no trace files written"

@@ -1,0 +1,55 @@
+"""Render server: endpoints over a real (tiny) trained checkpoint."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from nerf_keras_tpu.config import NeRFConfig
+from nerf_keras_tpu.engine.trainer import Trainer
+from nerf_keras_tpu.serving import RenderService, serve
+from nerf_keras_tpu.utils.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    cfg = NeRFConfig(
+        batch_size=64, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        height=8, width=8, compute_dtype="float32",
+    ).validate()
+    tmp = tmp_path_factory.mktemp("srv")
+    t = Trainer(cfg, 2.0, 6.0)
+    ckpt = str(tmp / "model.ckpt.npz")
+    save_checkpoint(ckpt, t.state, cfg)
+    return RenderService(cfg, ckpt, 2.0, 6.0)
+
+
+def test_render_service_direct(service):
+    png = service.render_png(theta=30.0, phi=-30.0, radius=4.0,
+                             height=8, width=8, chunk=64)
+    assert png[:4] == b"\x89PNG"
+    assert service.stats()["requests"] == 1
+
+
+def test_http_endpoints(service):
+    server = serve(service, port=0)  # ephemeral port
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+        png = urllib.request.urlopen(
+            f"{base}/render?theta=10&height=8&width=8&chunk=64"
+        ).read()
+        assert png[:4] == b"\x89PNG"
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["requests"] >= 1
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/nope")
+        assert e.value.code == 404
+    finally:
+        server.shutdown()
