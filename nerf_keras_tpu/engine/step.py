@@ -217,6 +217,59 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
     return forward
 
 
+def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
+    """Training forward for the fully fused Pallas path: MLP + alpha
+    compositing run in one kernel per pass (ops/pallas/fused_render.py),
+    so the lane-padded ``(B*S, 4)`` predictions and their cotangents never
+    touch HBM.  Valid only with detached importance sampling
+    (``stop_pdf_gradient``); returns ``(rgb_coarse, rgb_fine)``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_keras_tpu.ops.pallas.fused_render import apply_nerf_render_pallas
+    from nerf_keras_tpu.parallel.mesh import DATA_AXIS
+
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def render(params, x_enc, d_enc, t_vals):
+        return apply_nerf_render_pallas(
+            params, x_enc, d_enc, t_vals,
+            compute_dtype=compute_dtype, skip_layer=cfg.skip_layer,
+        )
+
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        render = jax.shard_map(
+            render,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+
+    def forward(params, key, ray_origins, ray_directions, t_vals):
+        points, dirs = sample_rays(ray_origins, ray_directions, t_vals)
+        x_enc = encode_position(points, cfg.l_xyz).astype(compute_dtype)
+        d_enc = encode_position(dirs, cfg.l_dir).astype(compute_dtype)
+        rgb_coarse, weights_coarse = render(
+            params["coarse"], x_enc, d_enc, t_vals
+        )
+
+        t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        t_fine = sample_pdf(
+            key, t_mid, jax.lax.stop_gradient(weights_coarse), cfg.ns_fine,
+            deterministic=key is None,
+        )
+        t_all = jnp.sort(jnp.concatenate([t_vals, t_fine], axis=-1), axis=-1)
+
+        points_f, dirs_f = sample_rays(ray_origins, ray_directions, t_all)
+        xf_enc = encode_position(points_f, cfg.l_xyz).astype(compute_dtype)
+        df_enc = encode_position(dirs_f, cfg.l_dir).astype(compute_dtype)
+        rgb_fine, _ = render(params["fine"], xf_enc, df_enc, t_all)
+        return rgb_coarse, rgb_fine
+
+    return forward
+
+
 def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Callable:
     """Build the jitted train step.
 
@@ -226,16 +279,31 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
     reference pipeline which ships frozen t-values with every batch
     (data_utils.py:156-157).
     """
-    forward = make_forward_pass(cfg, mesh)
     optimizer = make_optimizer(cfg)
+    fused_render = bool(cfg.use_pallas) and cfg.stop_pdf_gradient
 
-    def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
-        outputs, new_bn = forward(params, bn, key_pdf, origins, dirs, t_vals, True)
-        (rgb_coarse, rgb_fine) = outputs[0]
-        loss_coarse = mse(images, rgb_coarse)
-        loss_fine = mse(images, rgb_fine)
-        loss = loss_coarse + loss_fine
-        return loss, (loss_coarse, loss_fine, rgb_fine, new_bn)
+    if fused_render:
+        fwd_fused = _make_fused_train_forward(cfg, mesh)
+
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
+            rgb_coarse, rgb_fine = fwd_fused(
+                params, key_pdf, origins, dirs, t_vals
+            )
+            loss_coarse = mse(images, rgb_coarse)
+            loss_fine = mse(images, rgb_fine)
+            return loss_coarse + loss_fine, (loss_coarse, loss_fine, rgb_fine, bn)
+    else:
+        forward = make_forward_pass(cfg, mesh)
+
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
+            outputs, new_bn = forward(
+                params, bn, key_pdf, origins, dirs, t_vals, True
+            )
+            (rgb_coarse, rgb_fine) = outputs[0]
+            loss_coarse = mse(images, rgb_coarse)
+            loss_fine = mse(images, rgb_fine)
+            loss = loss_coarse + loss_fine
+            return loss, (loss_coarse, loss_fine, rgb_fine, new_bn)
 
     def train_step(state: TrainState, batch, key: jax.Array):
         images, origins, dirs = batch

@@ -115,6 +115,111 @@ def _fwd_kernel(num_layers, skip_layer, compute_dtype, x_ref, d_ref, *refs):
     out_ref[:] = preds
 
 
+def _relu_mask(h):
+    """1.0 where h > 0.  Compare in f32 — the v5e VPU has no bf16
+    vector compare (Mosaic: 'Target does not support this comparison')."""
+    return (h.astype(jnp.float32) > 0.0).astype(jnp.float32)
+
+
+def _mlp_bwd_tile(
+    wr, dw_refs, res, g, num_layers, skip_layer, compute_dtype, hidden,
+    need_input_grads,
+):
+    """Reverse walk of the MLP for one tile given upstream grads ``g``
+    (T, 4) and the forward intermediates ``res`` from :func:`_forward_tile`.
+
+    Accumulates dW/db into ``dw_refs`` (VMEM-resident f32 blocks, same
+    order as :func:`_flatten_params`); returns ``(dx_enc, dd_enc)`` f32 or
+    ``(None, None)`` when ``need_input_grads`` is False (their matmuls are
+    skipped entirely).  Shared by the plain MLP backward kernel and the
+    fused MLP+volume-render backward kernel.
+    """
+    (acts, x_last, fd, h2) = res
+    drgb = g[:, :3]
+    dsigma = g[:, 3:4]
+
+    base = 2 * num_layers
+    w_sig = wr[base]
+    w_feat = wr[base + 2]
+    w_br = wr[base + 4]
+    w_rgb = wr[base + 6]
+
+    def matmul_nt(a, b):
+        """a @ b.T with f32 accumulation: (T, n) x (m, n) -> (T, m)."""
+        return jax.lax.dot_general(
+            a.astype(compute_dtype), b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def matmul_tn(a, b):
+        """a.T @ b with f32 accumulation: (T, m) x (T, n) -> (m, n)."""
+        return jax.lax.dot_general(
+            a, b.astype(compute_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bsum(v):
+        return jnp.sum(v, axis=0, keepdims=True)
+
+    # Map flat param index -> dw ref (same ordering as _flatten_params).
+    def dw(i):
+        return dw_refs[i]
+
+    dw(base + 6)[:] += matmul_tn(h2, drgb)
+    dw(base + 7)[:] += bsum(drgb)
+    dh2 = matmul_nt(drgb, w_rgb[:]) * _relu_mask(h2)
+
+    # branch: h2 = relu(fd @ w_br + b_br)
+    dw(base + 4)[:] += matmul_tn(fd, dh2)
+    dw(base + 5)[:] += bsum(dh2)
+    dfd = matmul_nt(dh2, w_br[:])
+
+    dfeat = dfd[:, :hidden]
+    dd_enc = dfd[:, hidden:] if need_input_grads else None
+
+    # Fused feature+sigma head backward: both dW columns and both dx
+    # contributions ride one MXU pass each through the concatenated
+    # (in, hidden+1) weight.
+    dfs = jnp.concatenate([dfeat, dsigma], axis=-1)
+    w_fs = jnp.concatenate([w_feat[:], w_sig[:]], axis=-1)
+    dw_fs = matmul_tn(x_last, dfs)
+    dw(base + 2)[:] += dw_fs[:, :hidden]
+    dw(base + 3)[:] += bsum(dfeat)
+    dw(base)[:] += dw_fs[:, hidden:]
+    dw(base + 1)[:] += bsum(dsigma)
+    dx = matmul_nt(dfs, w_fs)
+
+    dx_enc_acc = None
+    for i in reversed(range(num_layers)):
+        if _is_skip(i, skip_layer):
+            dh = dx[:, :hidden]
+            if need_input_grads:
+                skip_part = dx[:, hidden:]
+                dx_enc_acc = (
+                    skip_part if dx_enc_acc is None else dx_enc_acc + skip_part
+                )
+        else:
+            dh = dx
+        # h_i = relu(acts[i] @ w_i + b_i); recover the relu output from the
+        # *next* layer's stored input (h is its prefix for skip layers).
+        if i + 1 < num_layers:
+            h_i = acts[i + 1][:, :hidden]
+        else:
+            h_i = x_last[:, :hidden]
+        dpre = dh * _relu_mask(h_i)
+        dw(2 * i)[:] += matmul_tn(acts[i], dpre)
+        dw(2 * i + 1)[:] += bsum(dpre)
+        if i > 0 or need_input_grads:
+            dx = matmul_nt(dpre, wr[2 * i][:])
+
+    if not need_input_grads:
+        return None, None
+    dx_enc = dx if dx_enc_acc is None else dx_enc_acc + dx
+    return dx_enc, dd_enc
+
+
 def _bwd_kernel(
     num_layers, skip_layer, compute_dtype, hidden, xyz_dim, need_input_grads,
     x_ref, d_ref, g_ref, *refs,
@@ -142,99 +247,17 @@ def _bwd_kernel(
         for r in dw_refs:
             r[:] = jnp.zeros(r.shape, r.dtype)
 
-    x_enc = x_ref[:]
-    _, (acts, x_last, fd, h2) = _forward_tile(
-        wr, x_enc, d_ref[:], num_layers, skip_layer, compute_dtype
+    _, res = _forward_tile(
+        wr, x_ref[:], d_ref[:], num_layers, skip_layer, compute_dtype
     )
     g = g_ref[:].astype(jnp.float32)
-    drgb = g[:, :3]
-    dsigma = g[:, 3:4]
-
-    base = 2 * num_layers
-    w_sig = wr[base]
-    w_feat = wr[base + 2]
-    w_br = wr[base + 4]
-    w_rgb = wr[base + 6]
-
-    def matmul_nt(a, b):
-        """a @ b.T with f32 accumulation: (T, n) x (m, n) -> (T, m)."""
-        return jax.lax.dot_general(
-            a.astype(compute_dtype), b[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def matmul_tn(a, b):
-        """a.T @ b with f32 accumulation: (T, m) x (T, n) -> (m, n)."""
-        return jax.lax.dot_general(
-            a, b.astype(compute_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def bsum(v):
-        return jnp.sum(v, axis=0, keepdims=True)
-
-    def relu_mask(h):
-        """1.0 where h > 0.  Compare in f32 — the v5e VPU has no bf16
-        vector compare (Mosaic: 'Target does not support this comparison')."""
-        return (h.astype(jnp.float32) > 0.0).astype(jnp.float32)
-
-    # Map flat param index -> dw ref (same ordering as _flatten_params).
-    def dw(i):
-        return dw_refs[i]
-
-    dw(base + 6)[:] += matmul_tn(h2, drgb)
-    dw(base + 7)[:] += bsum(drgb)
-    dh2 = matmul_nt(drgb, w_rgb) * relu_mask(h2)
-
-    # branch: h2 = relu(fd @ w_br + b_br)
-    dw(base + 4)[:] += matmul_tn(fd, dh2)
-    dw(base + 5)[:] += bsum(dh2)
-    dfd = matmul_nt(dh2, w_br)
-
-    dfeat = dfd[:, :hidden]
-    if need_input_grads:
-        dd_ref[:] = dfd[:, hidden:].astype(dd_ref.dtype)
-
-    # Fused feature+sigma head backward: both dW columns and both dx
-    # contributions ride one MXU pass each through the concatenated
-    # (in, hidden+1) weight.
-    dfs = jnp.concatenate([dfeat, dsigma], axis=-1)
-    w_fs = jnp.concatenate([w_feat[:], w_sig[:]], axis=-1)
-    dw_fs = matmul_tn(x_last, dfs)
-    dw(base + 2)[:] += dw_fs[:, :hidden]
-    dw(base + 3)[:] += bsum(dfeat)
-    dw(base)[:] += dw_fs[:, hidden:]
-    dw(base + 1)[:] += bsum(dsigma)
-    dx = jax.lax.dot_general(
-        dfs.astype(compute_dtype), w_fs,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    dx_enc, dd_enc = _mlp_bwd_tile(
+        wr, dw_refs, res, g, num_layers, skip_layer, compute_dtype, hidden,
+        need_input_grads,
     )
-
-    dx_enc_acc = jnp.zeros((x_enc.shape[0], xyz_dim), jnp.float32)
-    for i in reversed(range(num_layers)):
-        if _is_skip(i, skip_layer):
-            dh = dx[:, :hidden]
-            if need_input_grads:
-                dx_enc_acc = dx_enc_acc + dx[:, hidden:]
-        else:
-            dh = dx
-        # h_i = relu(acts[i] @ w_i + b_i); recompute the relu mask from the
-        # *next* layer's stored input (h is its prefix for skip layers).
-        if i + 1 < num_layers:
-            h_i = acts[i + 1][:, :hidden]
-        else:
-            h_i = x_last[:, :hidden]
-        dpre = dh * relu_mask(h_i)
-        dw(2 * i)[:] += matmul_tn(acts[i], dpre)
-        dw(2 * i + 1)[:] += bsum(dpre)
-        if i > 0 or need_input_grads:
-            dx = matmul_nt(dpre, wr[2 * i])
-
     if need_input_grads:
-        dx_ref[:] = (dx_enc_acc + dx).astype(dx_ref.dtype)
+        dx_ref[:] = dx_enc.astype(dx_ref.dtype)
+        dd_ref[:] = dd_enc.astype(dd_ref.dtype)
 
 
 def _pad_rows(a: jnp.ndarray, n_pad: int) -> jnp.ndarray:

@@ -1,0 +1,403 @@
+"""Fused MLP + volume-render training kernel: composite in VMEM.
+
+Completes the SURVEY.md §7 ray-march fusion for the TRAINING path: tiles
+are ray-aligned (R whole rays x S samples per grid step), and the alpha
+compositing of ops/volume.py runs in-kernel right after the MLP, so the
+``(B*S, 4)`` raw predictions — which the TPU stores lane-padded to 128,
+i.e. 32x their logical bytes — never round-trip HBM in either direction.
+Per fine pass at the flagship batch that removes ~1.6 GB of padded
+traffic (preds out + volume-render in, cotangent out + backward in).
+
+Scope (enforced by the caller, engine/step.py):
+
+* training only — eval/render use the jnp path (XLA wins forward-only);
+* detached importance sampling (``stop_pdf_gradient``, the default):
+  the backward consumes ONLY the rgb cotangent.  Cotangents w.r.t. the
+  per-ray weights, t-values and encodings are structurally zero in that
+  regime and are returned as zeros without being computed.
+
+Forward per tile: MLP (shared `_forward_tile`) → reshape the sigma/rgb
+columns to (R, S) → delta/alpha/exclusive-transmittance/weights exactly as
+ops/volume.py (1e10 terminal delta, eps inside the cumulative product) →
+composite rgb.  Backward recomputes the tile and applies the analytic
+volume-render VJP (suffix-sum form) to build the (T, 4) prediction
+cotangent, then reuses the shared MLP reverse walk to accumulate dW/db.
+
+Parity: tests/test_pallas.py pins fwd (rgb + weights) and weight grads
+against encode→apply_nerf_mlp→volume_render in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_keras_tpu.ops.pallas.fused_mlp import (
+    Params,
+    _flatten_params,
+    _forward_tile,
+    _mlp_bwd_tile,
+    _should_interpret,
+)
+
+_EPS = 1e-10
+_TERMINAL_DELTA = 1e10
+
+# Rays per grid step.  S samples/ray make the point tile R*S; the backward
+# additionally holds all per-layer activations + f32 dW accumulators in
+# VMEM, so it uses fewer rays.
+_RAYS_FWD = 2048  # point tiles of R*S capped below
+_MAX_TILE_FWD = 4096
+_MAX_TILE_BWD = 1024
+
+
+def _rays_per_tile(num_samples: int, max_points: int) -> int:
+    """Largest multiple-of-8 ray count with R*S <= max_points (min 8 —
+    Mosaic requires the sublane block dimension divisible by 8)."""
+    r = max_points // max(num_samples, 1)
+    return max(8, (r // 8) * 8)
+
+
+def _segment_selectors(r: int, s: int):
+    """One-hot selector constants for exact (R*S, 1) <-> (R, S) movement.
+
+    Mosaic cannot reshape across the sublane/lane boundary
+    ("infer-vector-layout: unsupported shape cast" for
+    vector<RxS> -> vector<RSx1>), so per-sample columns are moved between
+    the flat point layout and the per-ray tile layout with f32 selector
+    matmuls, which are exact (one product per output element):
+
+        to_rs(v)   = A @ (v * B)              (R*S,1) -> (R,S)
+        from_rs(W) = rowsum((A^T @ W) * B)    (R,S)   -> (R*S,1)
+
+    where A[r, k] = [k // S == r] and B[k, j] = [k % S == j].
+    """
+    a = np.zeros((r, r * s), dtype=np.float32)
+    b = np.zeros((r * s, s), dtype=np.float32)
+    for k in range(r * s):
+        a[k // s, k] = 1.0
+        b[k, k % s] = 1.0
+    return a, b
+
+
+def _to_rs(v, a_ref, b_ref):
+    """(R*S, 1) column -> (R, S) tile (exact)."""
+    return jax.lax.dot_general(
+        a_ref[:], v * b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _from_rs(w, a_ref, b_ref):
+    """(R, S) tile -> (R*S, 1) column (exact)."""
+    rows = jax.lax.dot_general(
+        a_ref[:], w,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R*S, S): row k = w[k // S, :]
+    return jnp.sum(rows * b_ref[:], axis=-1, keepdims=True)
+
+
+def _cumsum_lanes(x, s: int):
+    """Inclusive prefix sum along the lane (last) axis.
+
+    Mosaic has no lowering for the cumsum/cumprod primitives; this is the
+    standard log2(S)-step shifted-add scan built from concat/slice/add,
+    which all lower.  ~log2(S) passes over an (R, S) tile — microseconds.
+    """
+    shift = 1
+    while shift < s:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[..., :shift]), x[..., :-shift]], axis=-1
+        )
+        x = x + shifted
+        shift *= 2
+    return x
+
+
+def _one_minus_alpha(alpha):
+    """``1 - alpha + eps`` written so XLA cannot reassociate it into
+    ``(1 + eps) - alpha`` — which folds to ``1 - alpha`` in f32 and turns
+    the backward's division into 0/0 at opaque samples (measured: the
+    naive expression produced denom == 0.0 where alpha == 1.0)."""
+    return jnp.maximum(1.0 - alpha, 0.0) + _EPS
+
+
+def _volume_render_tile(preds, t, a_ref, b_ref, r, s):
+    """ops/volume.py:volume_render on one (R*S, 4) tile -> per-ray
+    composites; returns (rgb (R,3), weights (R,S)) plus the intermediates
+    the backward reuses.  Row<->tile movement goes through the selector
+    matmuls (no cross-boundary reshapes)."""
+    sigma = _to_rs(jnp.maximum(preds[:, 3:4], 0.0), a_ref, b_ref)
+    delta = jnp.diff(t, axis=-1)
+    delta = jnp.concatenate(
+        [delta, jnp.full_like(delta[..., :1], _TERMINAL_DELTA)], axis=-1
+    )
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    # Exclusive cumulative transmittance.  Mosaic has no cumprod lowering;
+    # exp(exclusive-cumsum(log)) is equivalent (the factors are >= eps > 0)
+    # and numerically kinder for long products of small factors.
+    log_f = jnp.log(_one_minus_alpha(alpha))
+    cs = _cumsum_lanes(log_f, s)
+    cs_excl = jnp.concatenate(
+        [jnp.zeros_like(cs[..., :1]), cs[..., :-1]], axis=-1
+    )
+    trans = jnp.exp(cs_excl)
+    weights = alpha * trans
+
+    rgb = jax.nn.sigmoid(preds[:, :3])
+    rgb_rs = [_to_rs(rgb[:, c:c + 1], a_ref, b_ref) for c in range(3)]
+    comp = [
+        jnp.sum(weights * rc, axis=-1, keepdims=True) for rc in rgb_rs
+    ]
+    rgb_out = jnp.concatenate(comp, axis=-1)
+    return rgb_out, weights, (sigma, delta, alpha, trans, rgb_rs)
+
+
+def _fwd_kernel(num_layers, skip_layer, compute_dtype, r, s,
+                x_ref, d_ref, t_ref, a_ref, b_ref, *refs):
+    rgb_ref, w_ref = refs[-2], refs[-1]
+    wr = refs[:-2]
+    preds, _ = _forward_tile(
+        wr, x_ref[:], d_ref[:], num_layers, skip_layer, compute_dtype
+    )
+    rgb_out, weights, _ = _volume_render_tile(
+        preds, t_ref[:], a_ref, b_ref, r, s
+    )
+    rgb_ref[:] = rgb_out
+    w_ref[:] = weights
+
+
+def _bwd_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
+                x_ref, d_ref, t_ref, g_ref, a_ref, b_ref, *refs):
+    """Recompute MLP + volume render, apply the compositing VJP to the
+    per-ray rgb cotangent, then the shared MLP reverse walk (dW/db only)."""
+    n_w = 2 * num_layers + 8
+    wr = refs[:n_w]
+    dw_refs = refs[n_w:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dw_refs:
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    preds, res = _forward_tile(
+        wr, x_ref[:], d_ref[:], num_layers, skip_layer, compute_dtype
+    )
+    _, _, (sigma, delta, alpha, trans, rgb_rs) = _volume_render_tile(
+        preds, t_ref[:], a_ref, b_ref, r, s
+    )
+    drgb_out = g_ref[:].astype(jnp.float32)  # (R, 3)
+
+    # d(rgb_out)/d(rgb_s) and /d(weights_s):
+    #   rgb_out[c] = sum_s w_s * rgb_s[c]
+    dlogits = []
+    dw_sum = jnp.zeros((r, s), jnp.float32)
+    for c in range(3):
+        rgb_c = rgb_rs[c]
+        dc = drgb_out[:, c:c + 1]  # (R, 1) broadcasts over S
+        dw_sum = dw_sum + dc * rgb_c
+        # sigmoid VJP back to the raw logits
+        dlogits.append(
+            _from_rs(dc * alpha * trans * rgb_c * (1.0 - rgb_c),
+                     a_ref, b_ref)
+        )
+
+    # dalpha_s = T_s * dw_s - (sum_{t>s} w_t * dw_t) / (1 - alpha_s + eps).
+    # Exclusive suffix sum as total - inclusive prefix (no lane reversals).
+    p = alpha * trans * dw_sum
+    suffix_excl = jnp.sum(p, axis=-1, keepdims=True) - _cumsum_lanes(p, s)
+    dalpha = trans * dw_sum - suffix_excl / _one_minus_alpha(alpha)
+    # alpha = 1 - exp(-sigma * delta); sigma = relu(preds[:, 3]).
+    # Multiply (delta * exp(-sigma*delta)) FIRST: with the 1e10 terminal
+    # delta, (dalpha * delta) can overflow to inf before the exp()->0
+    # factor cancels it, yielding NaN where autodiff's ordering gives 0.
+    dsigma = dalpha * (delta * jnp.exp(-sigma * delta))
+    dsigma = dsigma * (sigma > 0.0).astype(jnp.float32)
+    dpreds = jnp.concatenate(
+        dlogits + [_from_rs(dsigma, a_ref, b_ref)], axis=-1
+    )
+
+    _mlp_bwd_tile(
+        wr, dw_refs, res, dpreds, num_layers, skip_layer, compute_dtype,
+        hidden, need_input_grads=False,
+    )
+
+
+def _const_spec(w) -> pl.BlockSpec:
+    return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_render(static, x_enc, d_enc, t_vals, *flat_params):
+    return _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params)
+
+
+def _pad_rays(a, b_pad):
+    if a.shape[0] == b_pad:
+        return a
+    pad = [(0, b_pad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad)
+
+
+def _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params):
+    num_layers, skip_layer, compute_dtype_name, r_fwd, _ = static
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    b, s = t_vals.shape
+    b_pad = ((b + r_fwd - 1) // r_fwd) * r_fwd
+    grid = b_pad // r_fwd
+    tile = r_fwd * s
+
+    kernel = functools.partial(
+        _fwd_kernel, num_layers, skip_layer, compute_dtype, r_fwd, s
+    )
+    x2 = _pad_rays(x_enc.reshape(b, s, -1), b_pad).reshape(b_pad * s, -1)
+    d2 = _pad_rays(d_enc.reshape(b, s, -1), b_pad).reshape(b_pad * s, -1)
+    # Padded rays get strictly increasing t so delta/cumprod stay finite.
+    t_pad = jnp.broadcast_to(
+        jnp.arange(1, s + 1, dtype=t_vals.dtype), (b_pad - b, s)
+    )
+    t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
+    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_fwd, s))
+
+    rgb, weights = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, x2.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d2.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_fwd, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(sel_a),
+            _const_spec(sel_b),
+            *[_const_spec(w) for w in flat_params],
+        ],
+        out_specs=[
+            pl.BlockSpec((r_fwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_fwd, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, s), jnp.float32),
+        ],
+        interpret=_should_interpret(),
+    )(x2, d2, t2, sel_a, sel_b, *flat_params)
+    return rgb[:b], weights[:b]
+
+
+def _fused_render_fwd(static, x_enc, d_enc, t_vals, *flat_params):
+    out = _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params)
+    return out, (x_enc, d_enc, t_vals, flat_params)
+
+
+def _fused_render_bwd(static, residuals, g):
+    num_layers, skip_layer, compute_dtype_name, _, r_bwd = static
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    x_enc, d_enc, t_vals, flat_params = residuals
+    g_rgb, _g_weights = g  # weights cotangent structurally zero (detached)
+    b, s = t_vals.shape
+    b_pad = ((b + r_bwd - 1) // r_bwd) * r_bwd
+    grid = b_pad // r_bwd
+    tile = r_bwd * s
+    hidden = flat_params[2 * num_layers + 2].shape[1]
+
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_params]
+    kernel = functools.partial(
+        _bwd_kernel, num_layers, skip_layer, compute_dtype, hidden, r_bwd, s
+    )
+    x2 = _pad_rays(x_enc.reshape(b, s, -1), b_pad).reshape(b_pad * s, -1)
+    d2 = _pad_rays(d_enc.reshape(b, s, -1), b_pad).reshape(b_pad * s, -1)
+    t_pad = jnp.broadcast_to(
+        jnp.arange(1, s + 1, dtype=t_vals.dtype), (b_pad - b, s)
+    )
+    t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
+    g2 = _pad_rays(g_rgb, b_pad)  # zero cotangent on padded rays
+    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_bwd, s))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, x2.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d2.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_bwd, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(sel_a),
+            _const_spec(sel_b),
+            *[_const_spec(w) for w in flat_params],
+        ],
+        out_specs=[_const_spec(sh) for sh in dw_shapes],
+        out_shape=dw_shapes,
+        # The backward holds per-layer activations for a full R*S-point
+        # tile plus the f32 dW accumulators; at the minimum ray tile for
+        # S=192 that is ~18 MB — above the DEFAULT 16 MB scoped-vmem cap
+        # but well inside the chip's physical VMEM.  Raise the cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=_should_interpret(),
+    )(x2, d2, t2, g2, sel_a, sel_b, *flat_params)
+    dws = [dv.astype(w.dtype) for w, dv in zip(flat_params, outs)]
+    return (
+        jnp.zeros_like(x_enc),
+        jnp.zeros_like(d_enc),
+        jnp.zeros_like(t_vals),
+        *dws,
+    )
+
+
+_fused_render.defvjp(_fused_render_fwd, _fused_render_bwd)
+
+
+def apply_nerf_render_pallas(
+    params: Params,
+    x_enc: jnp.ndarray,
+    d_enc: jnp.ndarray,
+    t_vals: jnp.ndarray,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    skip_layer: int = 4,
+    max_tile_fwd: int = _MAX_TILE_FWD,
+    max_tile_bwd: int = _MAX_TILE_BWD,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused MLP + alpha compositing over a ray batch.
+
+    Args:
+        params: MLP pytree (models/mlp.py layout).
+        x_enc: ``(B, S, xyz_dim)`` encoded sample positions.
+        d_enc: ``(B, S, dir_dim)`` encoded view directions.
+        t_vals: ``(B, S)`` ascending sample distances.
+
+    Returns:
+        ``(rgb, weights)``: ``(B, 3)`` composited color (differentiable
+        w.r.t. the MLP parameters) and ``(B, S)`` compositing weights
+        (forward value only — their cotangent is treated as zero, which is
+        correct solely under detached importance sampling).
+    """
+    num_layers = len(params["trunk"])
+    b, s = t_vals.shape
+    cdt = jnp.dtype(compute_dtype)
+    flat = [
+        p.astype(cdt) if p.ndim == 2 else p.reshape(1, -1)
+        for p in _flatten_params(params, num_layers)
+    ]
+    r_fwd = _rays_per_tile(s, max_tile_fwd)
+    r_bwd = _rays_per_tile(s, max_tile_bwd)
+    static = (num_layers, skip_layer, cdt.name, r_fwd, r_bwd)
+    x2 = x_enc.reshape(b * s, -1)
+    d2 = d_enc.reshape(b * s, -1)
+    return _fused_render(static, x2, d2, t_vals, *flat)
