@@ -16,12 +16,15 @@ Scope (enforced by the caller, engine/step.py):
   per-ray weights, t-values and encodings are structurally zero in that
   regime and are returned as zeros without being computed.
 
-Forward per tile: MLP (shared `_forward_tile`) → reshape the sigma/rgb
-columns to (R, S) → delta/alpha/exclusive-transmittance/weights exactly as
-ops/volume.py (1e10 terminal delta, eps inside the cumulative product) →
-composite rgb.  Backward recomputes the tile and applies the analytic
-volume-render VJP (suffix-sum form) to build the (T, 4) prediction
-cotangent, then reuses the shared MLP reverse walk to accumulate dW/db.
+Forward per tile: MLP (shared `_forward_tile`) → move the sigma/rgb
+columns into (R, S) tiles via exact selector matmuls (Mosaic cannot
+reshape across the sublane/lane boundary) → delta/alpha/exclusive
+transmittance (exp of a shifted log-scan; Mosaic has no cumprod/cumsum
+lowering)/weights exactly as ops/volume.py (1e10 terminal delta, eps
+inside the cumulative product) → composite rgb.  Backward recomputes the
+tile and applies the analytic volume-render VJP (suffix-sum form) to
+build the (T, 4) prediction cotangent, then reuses the shared MLP reverse
+walk to accumulate dW/db.
 
 Parity: tests/test_pallas.py pins fwd (rgb + weights) and weight grads
 against encode→apply_nerf_mlp→volume_render in interpret mode.
@@ -50,10 +53,12 @@ _TERMINAL_DELTA = 1e10
 
 # Rays per grid step.  S samples/ray make the point tile R*S; the backward
 # additionally holds all per-layer activations + f32 dW accumulators in
-# VMEM, so it uses fewer rays.
-_RAYS_FWD = 2048  # point tiles of R*S capped below
+# VMEM, so it uses fewer rays (and raises the scoped-vmem cap — see the
+# backward pallas_call).
 _MAX_TILE_FWD = 4096
 _MAX_TILE_BWD = 1024
+# (8192/3072 measured WORSE — 53.2 vs 47.1 ms: the f32 selector
+# constants scale with the tile and crowd out pipelining headroom)
 
 
 def _rays_per_tile(num_samples: int, max_points: int) -> int:
@@ -290,6 +295,9 @@ def _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params):
             jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, s), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=_should_interpret(),
     )(x2, d2, t2, sel_a, sel_b, *flat_params)
     return rgb[:b], weights[:b]
