@@ -408,4 +408,9 @@ def apply_nerf_render_pallas(
     static = (num_layers, skip_layer, cdt.name, r_fwd, r_bwd)
     x2 = x_enc.reshape(b * s, -1)
     d2 = d_enc.reshape(b * s, -1)
-    return _fused_render(static, x2, d2, t_vals, *flat)
+    rgb, weights = _fused_render(static, x2, d2, t_vals, *flat)
+    # The backward computes no weights cotangent (detached importance
+    # sampling); make that explicit in the graph so differentiating
+    # through `weights` yields stop-gradient semantics rather than
+    # silently-wrong values.
+    return rgb, jax.lax.stop_gradient(weights)

@@ -255,3 +255,23 @@ def test_fused_render_weight_grad_parity(params):
     for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_fused_render_weights_are_stop_gradient(params):
+    """The fused path's weights output carries stop-gradient semantics —
+    differentiating through it must give exact zeros (not wrong values)."""
+    from nerf_keras_tpu.ops.pallas.fused_render import apply_nerf_render_pallas
+
+    x, d, t = _render_inputs(b=8, s=16, seed=9)
+
+    def loss(p):
+        _, w = apply_nerf_render_pallas(
+            p, x, d, t, compute_dtype=jnp.float32,
+            skip_layer=ARCH["skip_layer"],
+            max_tile_fwd=4 * 16, max_tile_bwd=4 * 16,
+        )
+        return jnp.sum(w**2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0
