@@ -49,12 +49,28 @@ def run_inference(argv: list[str] | None = None) -> str:
     p.add_argument("--depth-video", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu') before init")
+    p.add_argument("--ns-coarse", type=int, default=None,
+                   help="override coarse samples/ray for rendering "
+                        "(speed/quality knob; training checkpoint unchanged)")
+    p.add_argument("--ns-fine", type=int, default=None,
+                   help="override fine samples/ray for rendering")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
     cfg = load_config(args.config)
     name = config_name(args.config)
+    if args.ns_coarse or args.ns_fine:
+        # Sample counts are an inference-time speed/quality knob: the MLP
+        # weights are sample-count agnostic, so a checkpoint trained at
+        # 64+128 renders fine at e.g. 32+64 in ~40% of the time.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            ns_coarse=args.ns_coarse or cfg.ns_coarse,
+            ns_fine=args.ns_fine if args.ns_fine is not None else cfg.ns_fine,
+        ).validate()
 
     ckpt = args.checkpoint
     if not ckpt.endswith(".npz"):
