@@ -275,3 +275,29 @@ def test_fused_render_weights_are_stop_gradient(params):
     g = jax.grad(loss)(params)
     for leaf in jax.tree_util.tree_leaves(g):
         assert float(jnp.max(jnp.abs(leaf))) == 0.0
+
+
+def test_fused_render_grad_with_ray_padding(params):
+    """Ray counts that don't divide the backward ray tile: padded rays get
+    zero cotangents and must contribute nothing (grads still match)."""
+    from nerf_keras_tpu.ops.pallas.fused_render import apply_nerf_render_pallas
+
+    x, d, t = _render_inputs(b=12, s=16, seed=10)  # bwd tile = 8 rays
+
+    def loss_ref(p):
+        rgb, _ = _ref_render(p, x, d, t)
+        return jnp.sum(rgb**2)
+
+    def loss_fused(p):
+        rgb, _ = apply_nerf_render_pallas(
+            p, x, d, t, compute_dtype=jnp.float32,
+            skip_layer=ARCH["skip_layer"],
+            max_tile_fwd=8 * 16, max_tile_bwd=8 * 16,
+        )
+        return jnp.sum(rgb**2)
+
+    gr = jax.grad(loss_ref)(params)
+    gf = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
