@@ -170,34 +170,43 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    cmd = [
-        sys.executable, os.path.abspath(__file__),
-        "--_child", "pallas",
-        "--steps", str(args.steps), "--warmup", str(args.warmup),
-        "--batch-size", str(args.batch_size),
-    ] + (["--full"] if args.full else [])
-    try:
-        proc = subprocess.run(
-            cmd, timeout=args.pallas_budget,
-            stdout=subprocess.PIPE, stderr=sys.stderr,
-        )
-        if proc.returncode == 0:
-            line = proc.stdout.decode().strip().splitlines()[-1]
-            json.loads(line)  # validate contract
-            print(line)
-            return
-        print(f"[bench] pallas child failed rc={proc.returncode}; "
-              "falling back to xla", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print(f"[bench] pallas child exceeded {args.pallas_budget:.0f}s; "
-              "falling back to xla", file=sys.stderr)
-    except Exception as e:  # malformed output etc.
-        print(f"[bench] pallas child error: {e}; falling back to xla",
-              file=sys.stderr)
+    def run_child(mode: str, budget: float) -> str | None:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--_child", mode,
+            "--steps", str(args.steps), "--warmup", str(args.warmup),
+            "--batch-size", str(args.batch_size),
+        ] + (["--full"] if args.full else [])
+        try:
+            proc = subprocess.run(
+                cmd, timeout=budget,
+                stdout=subprocess.PIPE, stderr=sys.stderr,
+            )
+            if proc.returncode == 0:
+                line = proc.stdout.decode().strip().splitlines()[-1]
+                json.loads(line)  # validate contract
+                return line
+            print(f"[bench] {mode} child failed rc={proc.returncode}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {mode} child exceeded {budget:.0f}s",
+                  file=sys.stderr)
+        except Exception as e:  # malformed output etc.
+            print(f"[bench] {mode} child error: {e}", file=sys.stderr)
+        return None
 
-    result = run_bench(False, args.steps, args.warmup, args.batch_size,
-                       args.full)
-    print(json.dumps(result))
+    # Both attempts run as guarded subprocesses: a wedged device (observed
+    # once after an HBM-pressure crash) hangs execution uninterruptibly
+    # in-process, and the bench must terminate either way.
+    line = run_child("pallas", args.pallas_budget)
+    if line is None:
+        print("[bench] falling back to xla", file=sys.stderr)
+        line = run_child("xla", 900.0)
+    if line is None:
+        print("[bench] no kernel path produced a result (device wedged?)",
+              file=sys.stderr)
+        sys.exit(1)
+    print(line)
 
 
 if __name__ == "__main__":
