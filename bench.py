@@ -32,7 +32,11 @@ import time
 
 
 def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
-              full: bool) -> dict:
+              full: bool, platform: str | None = None) -> dict:
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     import jax
     import numpy as np
 
@@ -135,6 +139,8 @@ def main() -> None:
                    help="alias for --kernel pallas")
     p.add_argument("--pallas-budget", type=float, default=1500.0,
                    help="seconds allowed for the guarded pallas run")
+    p.add_argument("--platform", type=str, default=None,
+                   help="pin a JAX platform (e.g. 'cpu') before backend init")
     p.add_argument("--_child", choices=["pallas", "xla"], default=None,
                    help=argparse.SUPPRESS)
     args = p.parse_args()
@@ -145,38 +151,27 @@ def main() -> None:
     if args._child or args.kernel in ("pallas", "xla"):
         mode = args._child or args.kernel
         result = run_bench(mode == "pallas", args.steps, args.warmup,
-                           args.batch_size, args.full)
+                           args.batch_size, args.full, platform=args.platform)
         print(json.dumps(result))
         return
 
-    # auto: guarded pallas attempt, xla fallback.  Probe the backend in a
-    # subprocess first (importing jax here would initialize the device in
-    # the parent): on non-TPU backends the pallas kernel only has an
-    # interpret-mode fallback, which would burn the whole budget.
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend())"],
-            timeout=120, capture_output=True,
-        )
-        backend = probe.stdout.decode().strip().splitlines()[-1]
-    except Exception:
-        backend = "unknown"
-    if backend != "tpu":
-        print(f"[bench] backend={backend}: skipping pallas attempt",
-              file=sys.stderr)
-        result = run_bench(False, args.steps, args.warmup, args.batch_size,
-                           args.full)
-        print(json.dumps(result))
-        return
-
-    def run_child(mode: str, budget: float) -> str | None:
+    # auto mode.  EVERY measurement runs in a guarded subprocess — a wedged
+    # device (observed after an HBM-pressure crash) hangs execution
+    # uninterruptibly in-process, and the bench must always terminate and
+    # emit its JSON contract line, falling back to a CPU-pinned run if no
+    # accelerator responds (round-1 failure mode: rc=1, no record).
+    def run_child(mode: str, budget: float, platform: str | None = None,
+                  steps: int | None = None, warmup: int | None = None,
+                  batch_size: int | None = None) -> str | None:
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--_child", mode,
-            "--steps", str(args.steps), "--warmup", str(args.warmup),
-            "--batch-size", str(args.batch_size),
-        ] + (["--full"] if args.full else [])
+            "--steps", str(steps if steps is not None else args.steps),
+            "--warmup", str(warmup if warmup is not None else args.warmup),
+            "--batch-size",
+            str(batch_size if batch_size is not None else args.batch_size),
+        ] + (["--full"] if args.full else []) \
+          + (["--platform", platform] if platform else [])
         try:
             proc = subprocess.run(
                 cmd, timeout=budget,
@@ -195,16 +190,49 @@ def main() -> None:
             print(f"[bench] {mode} child error: {e}", file=sys.stderr)
         return None
 
-    # Both attempts run as guarded subprocesses: a wedged device (observed
-    # once after an HBM-pressure crash) hangs execution uninterruptibly
-    # in-process, and the bench must terminate either way.
-    line = run_child("pallas", args.pallas_budget)
-    if line is None:
-        print("[bench] falling back to xla", file=sys.stderr)
+    def cpu_fallback() -> str | None:
+        # Honest-but-flagged record: flagship shapes are far too slow on
+        # CPU, so shrink the workload; the stderr flag tells the reader
+        # this is a degraded-environment number, not the TPU result.
+        print("[bench] FALLBACK: accelerator unavailable — CPU-pinned run "
+              "(reduced workload; NOT a TPU number)", file=sys.stderr)
+        return run_child("xla", 1200.0, platform="cpu",
+                         steps=2, warmup=1, batch_size=512)
+
+    # Preflight: probe backend identity AND that a trivial computation
+    # completes — a wedged TPU answers neither within the timeout.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "v = float(jnp.ones((8, 8)).sum());"
+             "print(jax.default_backend(), jax.device_count(), v)"],
+            timeout=180, capture_output=True,
+        )
+        if probe.returncode != 0:
+            raise RuntimeError(probe.stderr.decode()[-500:])
+        backend = probe.stdout.decode().strip().splitlines()[-1].split()[0]
+    except Exception as e:
+        print(f"[bench] accelerator preflight failed (wedged device?): "
+              f"{type(e).__name__}", file=sys.stderr)
+        backend = None
+
+    line = None
+    if backend == "tpu":
+        line = run_child("pallas", args.pallas_budget)
+        if line is None:
+            print("[bench] falling back to xla", file=sys.stderr)
+            line = run_child("xla", 900.0)
+    elif backend is not None:
+        # healthy non-TPU backend: pallas only has an interpret-mode
+        # fallback there, which would burn the whole budget — go XLA.
+        print(f"[bench] backend={backend}: skipping pallas attempt",
+              file=sys.stderr)
         line = run_child("xla", 900.0)
     if line is None:
-        print("[bench] no kernel path produced a result (device wedged?)",
-              file=sys.stderr)
+        line = cpu_fallback()
+    if line is None:
+        print("[bench] no path produced a result", file=sys.stderr)
         sys.exit(1)
     print(line)
 

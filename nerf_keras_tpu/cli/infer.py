@@ -19,7 +19,11 @@ import numpy as np
 from nerf_keras_tpu.config import config_name, load_config
 from nerf_keras_tpu.engine.trainer import Trainer
 from nerf_keras_tpu.ops.rays import pose_spherical
-from nerf_keras_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+from nerf_keras_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_checkpoint_scene,
+)
 from nerf_keras_tpu.utils.image import normalize_depth, to_uint8
 from nerf_keras_tpu.utils.viz import write_video
 
@@ -41,10 +45,13 @@ def run_inference(argv: list[str] | None = None) -> str:
                    help="checkpoint file or run directory")
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--chunk", type=int, default=16384)
-    p.add_argument("--near", type=float, default=2.0)
-    p.add_argument("--far", type=float, default=6.0)
+    p.add_argument("--near", type=float, default=None,
+                   help="near bound (default: checkpoint sidecar, else 2.0)")
+    p.add_argument("--far", type=float, default=None,
+                   help="far bound (default: checkpoint sidecar, else 6.0)")
     p.add_argument("--focal", type=float, default=None,
-                   help="focal length in pixels (default 1.2*max(H,W))")
+                   help="focal length in pixels (default: checkpoint "
+                        "sidecar, else 1.2*max(H,W))")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--depth-video", action="store_true")
     p.add_argument("--platform", type=str, default=None,
@@ -60,15 +67,19 @@ def run_inference(argv: list[str] | None = None) -> str:
 
     cfg = load_config(args.config)
     name = config_name(args.config)
-    if args.ns_coarse or args.ns_fine:
+    if args.ns_coarse is not None or args.ns_fine is not None:
         # Sample counts are an inference-time speed/quality knob: the MLP
         # weights are sample-count agnostic, so a checkpoint trained at
         # 64+128 renders fine at e.g. 32+64 in ~40% of the time.
+        # is-not-None guards: --ns-fine 0 (coarse-only rendering) is a
+        # supported value and must not be dropped as falsy.
         import dataclasses
 
         cfg = dataclasses.replace(
             cfg,
-            ns_coarse=args.ns_coarse or cfg.ns_coarse,
+            ns_coarse=(
+                args.ns_coarse if args.ns_coarse is not None else cfg.ns_coarse
+            ),
             ns_fine=args.ns_fine if args.ns_fine is not None else cfg.ns_fine,
         ).validate()
 
@@ -79,14 +90,27 @@ def run_inference(argv: list[str] | None = None) -> str:
             raise FileNotFoundError(f"no .ckpt.npz under {ckpt}")
         ckpt = found
 
-    trainer = Trainer(cfg, args.near, args.far)
+    # Scene geometry precedence: CLI flag > checkpoint sidecar > Lego-scene
+    # defaults (near=2, far=6 — reference lego_data_utils.py:48-49).  The
+    # sidecar means a Fern checkpoint renders with Fern bounds untold.
+    scene = load_checkpoint_scene(ckpt) or {}
+    near = args.near if args.near is not None else scene.get("near", 2.0)
+    far = args.far if args.far is not None else scene.get("far", 6.0)
+    focal = (
+        args.focal if args.focal is not None
+        else scene.get("focal", 1.2 * max(cfg.height, cfg.width))
+    )
+    print(f"[nerf-tpu] scene: near={near:.3f} far={far:.3f} "
+          f"focal={focal:.2f}"
+          + ("" if scene else " (no sidecar; Lego-scene defaults)"))
+
+    trainer = Trainer(cfg, near, far)
     trainer.state = jax.device_put(
         load_checkpoint(ckpt, jax.device_get(trainer.state)),
         trainer._state_shardings,
     )
     print(f"[nerf-tpu] loaded {ckpt}")
 
-    focal = args.focal or 1.2 * max(cfg.height, cfg.width)
     frames, depth_frames = [], []
     for i, pose in enumerate(spherical_poses(args.frames)):
         out = trainer.render_image(pose, cfg.height, cfg.width, focal, chunk=args.chunk)

@@ -55,6 +55,19 @@ def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
     return p
 
 
+def resolve_eval_every(
+    cli_value: int | None, cfg: NeRFConfig, default: int
+) -> int:
+    """Eval cadence precedence: CLI flag > explicit EVAL_EVERY in the config
+    (including an explicit 1) > the entry point's reference-matching default
+    (1 for train_lego/train_fern, 50/10 for the TPU scripts)."""
+    if cli_value is not None:
+        return cli_value
+    if cfg.eval_every is not None:
+        return cfg.eval_every
+    return default
+
+
 def resolve_run_dirs(cfg: NeRFConfig, name: str, run_dir: str | None):
     """Run/viz directories, local or GCS (reference train_lego.py:63-69)."""
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
@@ -98,9 +111,7 @@ def run_training(
         import dataclasses
 
         cfg = dataclasses.replace(cfg, epochs=args.epochs)
-    eval_every = args.eval_every or (
-        cfg.eval_every if cfg.eval_every != 1 else default_eval_every
-    )
+    eval_every = resolve_eval_every(args.eval_every, cfg, default_eval_every)
     name = config_name(args.config)
 
     print(f"[nerf-tpu] config={name} devices={jax.device_count()} "
@@ -123,6 +134,7 @@ def run_training(
         print(f"[nerf-tpu] resumed from {args.resume} at step {int(trainer.state.step)}")
 
     run_dir, viz_dir = resolve_run_dirs(cfg, name, args.run_dir)
+    scene = {"near": near, "far": far, "focal": focal}
     history = History()
     losses_for_plot: list[float] = []
 
@@ -138,7 +150,7 @@ def run_training(
         from nerf_keras_tpu.data.native import NativeRayBatcher
 
         native_batcher = NativeRayBatcher(
-            train_ds, cfg.batch_size, seed=cfg.seed
+            train_ds, cfg.batch_size, seed=cfg.seed, start_epoch=start_epoch
         )
     except Exception as e:
         print(f"[nerf-tpu] native batcher unavailable ({e}); using numpy")
@@ -163,7 +175,7 @@ def run_training(
         if not np.isfinite(metrics["loss"]):
             io.makedirs(run_dir)
             crash_path = io.join(run_dir, "emergency." + checkpoint_name(cfg))
-            save_checkpoint(crash_path, trainer.state, cfg)
+            save_checkpoint(crash_path, trainer.state, cfg, scene=scene)
             raise FloatingPointError(
                 f"non-finite train loss {metrics['loss']} at epoch "
                 f"{epoch + 1} (step {int(trainer.state.step)}); state saved "
@@ -186,20 +198,29 @@ def run_training(
             )
             history.append(metrics, val_metrics)
 
-            # Render the first val view for the panel (the reference renders
-            # the first 2 val images each epoch, train_lego.py:184-197).
-            o, d = val_ds.image_rays(0)
-            out = trainer.render_rays(o, d, chunk=max(test_bs, 4096))
-            rgb = out["rgb_fine"].reshape(val_ds.height, val_ds.width, 3)
-            depth = out["depth_fine"].reshape(val_ds.height, val_ds.width)
+            # Render the first 2 val views for the panel, as the reference
+            # does each eval (train_lego.py:184-197).
+            rgbs, depths = [], []
+            for view in range(min(2, val_ds.num_images)):
+                o, d = val_ds.image_rays(view)
+                out = trainer.render_rays(o, d, chunk=max(test_bs, 4096))
+                rgbs.append(
+                    out["rgb_fine"].reshape(val_ds.height, val_ds.width, 3)
+                )
+                depths.append(
+                    out["depth_fine"].reshape(val_ds.height, val_ds.width)
+                )
 
             io.makedirs(run_dir)
             io.makedirs(viz_dir)
             save_panel(
                 io.join(viz_dir, f"{epoch:03d}.png"),
-                rgb, depth, losses_for_plot, epoch, cfg.epochs,
+                rgbs, depths, losses_for_plot, epoch, cfg.epochs,
             )
-            save_checkpoint(io.join(run_dir, checkpoint_name(cfg)), trainer.state, cfg)
+            save_checkpoint(
+                io.join(run_dir, checkpoint_name(cfg)), trainer.state, cfg,
+                scene=scene,
+            )
             history.save(io.join(
                 run_dir,
                 f"history_l{cfg.num_layers}_d{cfg.hidden_dim}"

@@ -67,7 +67,10 @@ class NeRFConfig:
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
-    eval_every: int = 1  # epochs between eval/checkpoint (reference: 1/10/50)
+    eval_every: int | None = None  # epochs between eval/checkpoint; None =
+    #   use the entry point's default (reference cadence: 1 for single-
+    #   device scripts, 50/10 for the TPU ones).  An explicit EVAL_EVERY in
+    #   the JSON always wins — including EVAL_EVERY=1.
     log_every: int = 0  # steps between per-step metric prints (0 = off)
 
     @property
@@ -98,6 +101,8 @@ class NeRFConfig:
             raise ValueError(f"unknown sampling_mode: {self.sampling_mode!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype: {self.compute_dtype!r}")
+        if self.eval_every is not None and self.eval_every < 1:
+            raise ValueError(f"eval_every must be >= 1, got {self.eval_every}")
         return self
 
 
@@ -173,7 +178,7 @@ def to_reference_json(cfg: NeRFConfig) -> dict:
     out = {}
     for field in dataclasses.fields(cfg):
         value = getattr(cfg, field.name)
-        if field.name == "test_batch_size" and value is None:
+        if field.name in ("test_batch_size", "eval_every") and value is None:
             continue
         out[inv[field.name]] = value
     return out

@@ -27,6 +27,14 @@ _LIB = os.path.join(os.path.dirname(__file__), "native", "libray_batcher.so")
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 
+# void (*)(uint64_t epoch, int64_t* order, int64_t n) — the worker thread
+# calls back into Python for each epoch's permutation so the native and
+# numpy pipelines share one RNG (default_rng((seed, epoch))).  ctypes
+# acquires the GIL for callbacks from foreign threads.
+RESHUFFLE_FN = ctypes.CFUNCTYPE(
+    None, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64
+)
+
 
 def _build() -> str:
     subprocess.run(
@@ -54,6 +62,7 @@ def load_library() -> ctypes.CDLL | None:
         lib.batcher_create.argtypes = [
             ctypes.POINTER(ctypes.c_float)] * 3 + [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_uint64, RESHUFFLE_FN,
         ]
         lib.batcher_next.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_float)]
@@ -71,7 +80,15 @@ class NativeRayBatcher:
     ``(batch_size, 3)`` each; reshuffles automatically at epoch boundaries.
     """
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0):
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 start_epoch: int = 0):
+        if int(batch_size) <= 0 or int(batch_size) > len(dataset):
+            # The C++ worker would read the permutation out of bounds — a
+            # SIGSEGV in a background thread no try/except can catch.
+            raise ValueError(
+                f"batch_size={batch_size} must be in [1, len(dataset)="
+                f"{len(dataset)}]"
+            )
         lib = load_library()
         if lib is None:
             raise RuntimeError("native batcher unavailable (no g++)")
@@ -82,13 +99,30 @@ class NativeRayBatcher:
         self._px = np.ascontiguousarray(dataset.pixels, dtype=np.float32)
         self._og = np.ascontiguousarray(dataset.origins, dtype=np.float32)
         self._dr = np.ascontiguousarray(dataset.directions, dtype=np.float32)
+
+        def _reshuffle(epoch: int, order_ptr, n: int) -> None:
+            # Same keying as pipeline.iterate_batches: the two input paths
+            # yield identical batch orders for a given (seed, epoch), and a
+            # resumed run (start_epoch > 0) continues the original order.
+            perm = np.ascontiguousarray(
+                np.random.default_rng((seed, int(epoch))).permutation(n),
+                dtype=np.int64,
+            )
+            # perm must stay bound to a local through the memmove: taking
+            # .ctypes.data of a temporary frees the buffer before the copy.
+            ctypes.memmove(order_ptr, perm.ctypes.data, n * 8)
+
+        self._reshuffle_cb = RESHUFFLE_FN(_reshuffle)  # keep alive
         fp = ctypes.POINTER(ctypes.c_float)
         self._handle = lib.batcher_create(
             self._px.ctypes.data_as(fp),
             self._og.ctypes.data_as(fp),
             self._dr.ctypes.data_as(fp),
             self._px.shape[0], self.batch_size, seed,
+            start_epoch, self._reshuffle_cb,
         )
+        if not self._handle:
+            raise RuntimeError("batcher_create rejected the arguments")
         self._out = np.empty((3, self.batch_size, 3), dtype=np.float32)
 
     @property
@@ -99,6 +133,8 @@ class NativeRayBatcher:
         return self
 
     def __next__(self):
+        if self._handle is None:
+            raise RuntimeError("NativeRayBatcher is closed")
         self._lib.batcher_next(
             self._handle,
             self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -28,6 +28,13 @@ namespace {
 
 constexpr int kRing = 4;  // prefetched batches in flight
 
+// Optional permutation provider supplied by the caller: fills `order` with
+// a permutation of [0, n) for the given epoch.  The Python binding passes a
+// numpy default_rng((seed, epoch)) permutation so the native and numpy
+// pipelines yield byte-identical batch orders for a given (seed, epoch) —
+// resumed runs reproduce the continuous run's order on either path.
+typedef void (*reshuffle_fn)(uint64_t epoch, int64_t* order, int64_t n);
+
 struct Batcher {
   // Source arrays (borrowed pointers; caller keeps them alive).
   const float* pixels = nullptr;
@@ -36,6 +43,7 @@ struct Batcher {
   int64_t n_rays = 0;
   int64_t batch_size = 0;
   uint64_t seed = 0;
+  reshuffle_fn shuffle_cb = nullptr;
 
   // Epoch state.
   std::vector<int64_t> order;
@@ -59,9 +67,15 @@ struct Batcher {
   void reshuffle() {
     // Fresh permutation derived from (seed, epoch): every process in a
     // multi-host job shuffles its own shard identically to the Python
-    // pipeline's (seed, epoch)-keyed rng.
-    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + epoch);
+    // pipeline's (seed, epoch)-keyed rng.  The callback (when set) IS that
+    // rng; the builtin mt19937 Fisher-Yates is the no-binding fallback.
     order.resize(n_rays);
+    if (shuffle_cb != nullptr) {
+      shuffle_cb(epoch, order.data(), n_rays);
+      cursor = 0;
+      return;
+    }
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + epoch);
     for (int64_t i = 0; i < n_rays; ++i) order[i] = i;
     for (int64_t i = n_rays - 1; i > 0; --i) {
       std::uniform_int_distribution<int64_t> dist(0, i);
@@ -109,7 +123,12 @@ extern "C" {
 
 void* batcher_create(const float* pixels, const float* origins,
                      const float* directions, int64_t n_rays,
-                     int64_t batch_size, uint64_t seed) {
+                     int64_t batch_size, uint64_t seed,
+                     uint64_t start_epoch, reshuffle_fn shuffle_cb) {
+  // Defensive: a batch larger than the dataset would read order[] out of
+  // bounds in assemble() and segfault in the worker thread, where no
+  // Python-side try/except can catch it.
+  if (batch_size <= 0 || n_rays < batch_size) return nullptr;
   auto* b = new Batcher();
   b->pixels = pixels;
   b->origins = origins;
@@ -117,6 +136,8 @@ void* batcher_create(const float* pixels, const float* origins,
   b->n_rays = n_rays;
   b->batch_size = batch_size;
   b->seed = seed;
+  b->epoch = start_epoch;
+  b->shuffle_cb = shuffle_cb;
   b->reshuffle();
   b->ring.assign(kRing, std::vector<float>(3 * batch_size * 3));
   b->worker = std::thread([b] { b->run(); });

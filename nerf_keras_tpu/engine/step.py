@@ -351,14 +351,20 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
     return eval_step
 
 
-def make_render_fn(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Callable:
-    """Build the full-output render function for a flat ray batch.
+def make_render_fn(
+    cfg: NeRFConfig, near: float, far: float, mesh=None, full: bool = False
+) -> Callable:
+    """Build the render function for a flat ray batch.
 
     Used by the chunked renderer (the reference's
     ``forward_pass_with_minibatch``, models.py:178-225, re-done as a jitted
     chunk function driven by a host loop).
     Returns ``render(state, origins, dirs) -> dict`` with rgb/depth for
-    coarse and fine.
+    coarse and fine; with ``full=True`` the dict also carries the
+    compositing weights and raw MLP predictions (the reference's
+    8-tensor return, models.py:216-223).  ``full`` is a separate
+    compilation: the extra maps are (B, S)/(B, S, 4) HBM writes + host
+    fetches the common rgb/depth path shouldn't pay.
     """
     forward = make_forward_pass(cfg, mesh)
 
@@ -369,11 +375,21 @@ def make_render_fn(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
         outputs, _ = forward(state.params, state.bn, None, origins, dirs, t_vals, False)
         (rgb_coarse, rgb_fine) = outputs[0]
         (depth_coarse, depth_fine) = outputs[1]
-        return {
+        result = {
             "rgb_coarse": rgb_coarse,
             "rgb_fine": rgb_fine,
             "depth_coarse": depth_coarse,
             "depth_fine": depth_fine,
         }
+        if full:
+            (weights_coarse, weights_fine) = outputs[2]
+            (preds_coarse, preds_fine) = outputs[3]
+            result.update(
+                weights_coarse=weights_coarse,
+                weights_fine=weights_fine,
+                preds_coarse=preds_coarse,
+                preds_fine=preds_fine,
+            )
+        return result
 
     return render

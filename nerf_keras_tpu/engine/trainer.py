@@ -115,6 +115,8 @@ class Trainer:
             in_shardings=(self._state_shardings, self._batch_sharding, self._batch_sharding),
             out_shardings=repl,
         )
+        self._fwd_cfg = fwd_cfg
+        self._render_full_cache = None
 
     # ------------------------------------------------------------------
     def put_batch(self, batch) -> tuple:
@@ -155,14 +157,35 @@ class Trainer:
         return {k: float(v) / count for k, v in totals.items()}
 
     # ------------------------------------------------------------------
+    def _render_full(self):
+        """Lazily compile the full-output render (adds compositing weights
+        and raw MLP predictions — the reference's 8-tensor return,
+        models.py:216-223).  Separate compilation so the common rgb/depth
+        path never materializes the (B, S[, 4]) extras."""
+        if self._render_full_cache is None:
+            self._render_full_cache = jax.jit(
+                make_render_fn(
+                    self._fwd_cfg, self.near, self.far, mesh=self.mesh,
+                    full=True,
+                ),
+                in_shardings=(
+                    self._state_shardings,
+                    self._batch_sharding,
+                    self._batch_sharding,
+                ),
+                out_shardings=self._repl,
+            )
+        return self._render_full_cache
+
     def render_rays(
         self,
         origins: np.ndarray,
         directions: np.ndarray,
         chunk: int = 16384,
         keys: tuple[str, ...] | None = None,
+        full: bool = False,
     ) -> dict:
-        """Full-output render of a flat ray batch, chunked to bound memory.
+        """Render a flat ray batch, chunked to bound memory.
 
         TPU-native redo of ``forward_pass_with_minibatch`` (reference
         models.py:178-225): a host loop over fixed-size chunks hitting one
@@ -172,7 +195,14 @@ class Trainer:
         ``keys`` restricts which outputs are kept and fetched (e.g.
         ``("rgb_fine", "depth_fine")``) — on tunneled backends the final
         host fetch is a real cost, ~10 MB per million rays per map.
+        ``full=True`` (or requesting a ``weights_*``/``preds_*`` key) also
+        returns compositing weights and raw MLP predictions per ray.
         """
+        if keys is not None and any(
+            k.startswith(("weights_", "preds_")) for k in keys
+        ):
+            full = True
+        render_fn = self._render_full() if full else self._render
         n = origins.shape[0]
         ds = self.mesh.shape["data"]
         chunk = min(chunk, max(n, 1))
@@ -187,7 +217,7 @@ class Trainer:
                 d = np.concatenate([d, np.concatenate(
                     [np.zeros((pad, 2), d.dtype), -np.ones((pad, 1), d.dtype)], axis=1
                 )], axis=0)
-            res = self._render(
+            res = render_fn(
                 self.state,
                 jax.device_put(o, self._batch_sharding),
                 jax.device_put(d, self._batch_sharding),

@@ -39,17 +39,32 @@ def _flatten(state) -> dict[str, np.ndarray]:
     return out
 
 
-def save_checkpoint(path: str, state, cfg: NeRFConfig | None = None) -> None:
-    """Write TrainState (params + bn + optimizer + step) to ``path``."""
+def save_checkpoint(
+    path: str,
+    state,
+    cfg: NeRFConfig | None = None,
+    scene: dict | None = None,
+) -> None:
+    """Write TrainState (params + bn + optimizer + step) to ``path``.
+
+    ``scene`` carries dataset geometry the config alone can't recover —
+    ``{"near": ..., "far": ..., "focal": ...}`` — stored in the sidecar so
+    inference doesn't fall back to Lego-biased bounds for other scenes
+    (the reference rebuilds the whole dataset just to recover these,
+    inference.py:74-103).
+    """
     arrays = _flatten(jax.device_get(state))
     buf = _io.BytesIO()
     np.savez(buf, **arrays)
     with io.open_file(path, "wb") as f:
         f.write(buf.getvalue())
     if cfg is not None:
+        sidecar = to_reference_json(cfg)
+        if scene is not None:
+            sidecar["SCENE"] = {k.upper(): float(v) for k, v in scene.items()}
         cfg_path = path + ".config.json"
         with io.open_file(cfg_path, "w") as f:
-            json.dump(to_reference_json(cfg), f, indent=2)
+            json.dump(sidecar, f, indent=2)
 
 
 def load_checkpoint(path: str, template_state):
@@ -75,7 +90,22 @@ def load_checkpoint(path: str, template_state):
 
 def load_checkpoint_config(path: str) -> NeRFConfig:
     with io.open_file(path + ".config.json", "r") as f:
-        return config_from_dict(json.load(f))
+        raw = json.load(f)
+    raw.pop("SCENE", None)
+    return config_from_dict(raw)
+
+
+def load_checkpoint_scene(path: str) -> dict | None:
+    """Recover ``{"near", "far", "focal"}`` from the sidecar, or None for
+    checkpoints written before the sidecar carried scene geometry."""
+    sidecar = path + ".config.json"
+    if not io.exists(sidecar):
+        return None
+    with io.open_file(sidecar, "r") as f:
+        scene = json.load(f).get("SCENE")
+    if scene is None:
+        return None
+    return {k.lower(): float(v) for k, v in scene.items()}
 
 
 def latest_checkpoint(run_dir: str) -> str | None:

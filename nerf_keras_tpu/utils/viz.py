@@ -18,25 +18,38 @@ from nerf_keras_tpu.utils.image import normalize_depth, to_uint8
 
 def save_panel(
     path: str,
-    rgb: np.ndarray,
-    depth: np.ndarray,
+    rgb: np.ndarray | list[np.ndarray],
+    depth: np.ndarray | list[np.ndarray],
     losses: list[float],
     epoch: int,
     total_epochs: int,
 ) -> None:
-    """Write the pred/depth/loss 3-panel figure (train_lego.py:216-225)."""
+    """Write the pred/depth/loss 3-panel figure (train_lego.py:216-225).
+
+    Accepts one view or a list of views — the reference renders the first
+    2 val images per eval (train_lego.py:188); multiple views stack as
+    rows sharing the loss plot.
+    """
+    rgbs = rgb if isinstance(rgb, list) else [rgb]
+    depths = depth if isinstance(depth, list) else [depth]
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(nrows=1, ncols=3, figsize=(20, 5))
-    ax[0].imshow(np.clip(rgb, 0.0, 1.0))
-    ax[0].set_title(f"Predicted Image: {epoch:03d}")
-    ax[1].imshow(normalize_depth(depth), cmap="gray")
-    ax[1].set_title(f"Depth Map: {epoch:03d}")
-    ax[2].plot(losses)
-    ax[2].set_title(f"Loss Plot: {epoch:03d}")
+    rows = len(rgbs)
+    fig, ax = plt.subplots(nrows=rows, ncols=3, figsize=(20, 5 * rows),
+                           squeeze=False)
+    for r, (im, dp) in enumerate(zip(rgbs, depths)):
+        ax[r][0].imshow(np.clip(im, 0.0, 1.0))
+        ax[r][0].set_title(f"Predicted Image {r}: {epoch:03d}")
+        ax[r][1].imshow(normalize_depth(dp), cmap="gray")
+        ax[r][1].set_title(f"Depth Map {r}: {epoch:03d}")
+        if r == 0:
+            ax[r][2].plot(losses)
+            ax[r][2].set_title(f"Loss Plot: {epoch:03d}")
+        else:
+            ax[r][2].axis("off")
     buf = _io.BytesIO()
     fig.savefig(buf, format="png")
     plt.close(fig)

@@ -56,6 +56,30 @@ def test_overrides(tmp_path):
     assert cfg.batch_size == 64 and cfg.epochs == 3
 
 
+def test_eval_every_precedence():
+    """Explicit EVAL_EVERY in the config must win over the entry point's
+    default cadence — including EVAL_EVERY=1 (the round-1 wart: 1 was
+    indistinguishable from unset and silently replaced by 50 on the TPU
+    entry points)."""
+    from nerf_keras_tpu.cli.train import resolve_eval_every
+
+    unset = config_from_dict({"BATCH_SIZE": 64})
+    assert unset.eval_every is None
+    assert resolve_eval_every(None, unset, 50) == 50
+
+    explicit_one = config_from_dict({"BATCH_SIZE": 64, "EVAL_EVERY": 1})
+    assert resolve_eval_every(None, explicit_one, 50) == 1
+
+    explicit = config_from_dict({"BATCH_SIZE": 64, "EVAL_EVERY": 7})
+    assert resolve_eval_every(None, explicit, 50) == 7
+
+    # CLI flag beats everything
+    assert resolve_eval_every(3, explicit, 50) == 3
+
+    with pytest.raises(ValueError, match="eval_every"):
+        config_from_dict({"BATCH_SIZE": 64, "EVAL_EVERY": 0})
+
+
 def test_use_pallas_auto_resolution():
     """Default USE_PALLAS=None auto-resolves at Trainer build: off on CPU
     backends, forced values respected."""

@@ -261,3 +261,69 @@ def test_profiler_trace_writes_artifacts(tmp_path):
     for root, _, files in os.walk(d):
         found += files
     assert found, "no trace files written"
+
+
+def test_render_rays_full_outputs():
+    """render_rays exposes compositing weights and raw MLP predictions —
+    the reference's 8-tensor minibatched return (models.py:216-223)."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        compute_dtype="float32", use_pallas=False,
+    ).validate()
+    t = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    rng = np.random.default_rng(0)
+    n = 24
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.tile(np.array([0, 0, 4.0], np.float32), (n, 1))
+
+    out = t.render_rays(origins, dirs, chunk=16, full=True)
+    ns_total = cfg.ns_coarse + cfg.ns_fine
+    assert out["weights_coarse"].shape == (n, cfg.ns_coarse)
+    assert out["weights_fine"].shape == (n, ns_total)
+    assert out["preds_coarse"].shape == (n, cfg.ns_coarse, 4)
+    assert out["preds_fine"].shape == (n, ns_total, 4)
+    # weights are a partial transmittance budget: nonneg, sum <= 1 + eps
+    assert (out["weights_fine"] >= 0).all()
+    assert (out["weights_fine"].sum(-1) <= 1.0 + 1e-4).all()
+
+    # requesting a weights_* key implies the full render path
+    out2 = t.render_rays(origins, dirs, chunk=16, keys=("weights_fine",))
+    np.testing.assert_allclose(out2["weights_fine"], out["weights_fine"],
+                               rtol=1e-5, atol=1e-6)
+    assert set(out2) == {"weights_fine"}
+
+    # slim path (default) stays slim
+    out3 = t.render_rays(origins, dirs, chunk=16)
+    assert set(out3) == {"rgb_coarse", "rgb_fine", "depth_coarse", "depth_fine"}
+
+
+def test_checkpoint_scene_sidecar(tmp_path):
+    """Sidecar round-trips scene geometry so inference recovers near/far/
+    focal without flags (non-Lego checkpoints render correctly untold)."""
+    from nerf_keras_tpu.utils.checkpoint import (
+        load_checkpoint_config,
+        load_checkpoint_scene,
+        save_checkpoint,
+    )
+
+    cfg = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        compute_dtype="float32",
+    ).validate()
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "c.ckpt.npz")
+    save_checkpoint(path, state, cfg,
+                    scene={"near": 0.9, "far": 5.5, "focal": 321.5})
+    scene = load_checkpoint_scene(path)
+    assert scene == {"near": 0.9, "far": 5.5, "focal": 321.5}
+    # config load ignores the SCENE block
+    assert load_checkpoint_config(path).batch_size == 16
+
+    # checkpoints without a scene block (round-1 format) return None
+    path2 = str(tmp_path / "old.ckpt.npz")
+    save_checkpoint(path2, state, cfg)
+    assert load_checkpoint_scene(path2) is None

@@ -64,3 +64,51 @@ def test_prefetch_keeps_producing():
         px, _, _ = next(b)
         assert px.shape == (16, 3)
     b.close()
+
+
+def test_batch_larger_than_dataset_rejected():
+    ds = _dataset(n=64)
+    with pytest.raises(ValueError, match="batch_size"):
+        NativeRayBatcher(ds, batch_size=256, seed=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        NativeRayBatcher(ds, batch_size=0, seed=0)
+
+
+def test_next_after_close_raises():
+    ds = _dataset(n=64)
+    b = NativeRayBatcher(ds, batch_size=16, seed=0)
+    next(b)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        next(b)
+
+
+def test_matches_numpy_pipeline_order():
+    """Native and numpy paths share one RNG: identical batches per epoch."""
+    from nerf_keras_tpu.data.pipeline import iterate_batches
+
+    ds = _dataset(n=128)
+    b = NativeRayBatcher(ds, batch_size=32, seed=7)
+    for epoch in range(3):
+        for ref in iterate_batches(ds, 32, shuffle=True, seed=7, epoch=epoch):
+            got = next(b)
+            for g, r in zip(got, ref):
+                np.testing.assert_array_equal(g, r)
+    b.close()
+
+
+def test_start_epoch_resumes_order():
+    """A batcher created at start_epoch=k reproduces the continuous run's
+    batches from epoch k (resume-order determinism)."""
+    ds = _dataset(n=96)
+    cont = NativeRayBatcher(ds, batch_size=32, seed=5)
+    spe = cont.steps_per_epoch
+    for _ in range(2 * spe):  # consume epochs 0-1
+        next(cont)
+    resumed = NativeRayBatcher(ds, batch_size=32, seed=5, start_epoch=2)
+    for _ in range(spe + 1):  # epoch 2 plus one step into epoch 3
+        a, c = next(cont), next(resumed)
+        for x, y in zip(a, c):
+            np.testing.assert_array_equal(x, y)
+    cont.close()
+    resumed.close()
