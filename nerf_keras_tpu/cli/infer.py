@@ -41,8 +41,12 @@ def spherical_poses(n_frames: int = 30) -> list[np.ndarray]:
 def run_inference(argv: list[str] | None = None) -> str:
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default="config/fern_batch_h256.json")
-    p.add_argument("--checkpoint", type=str, required=True,
+    p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint file or run directory")
+    p.add_argument("--reference-weights", type=str, default=None,
+                   help="a Keras .weights.h5 saved by the TF reference "
+                        "(train_lego.py:213); imported into the params "
+                        "pytree for parity rendering")
     p.add_argument("--frames", type=int, default=30)
     p.add_argument("--chunk", type=int, default=16384)
     p.add_argument("--near", type=float, default=None,
@@ -83,8 +87,12 @@ def run_inference(argv: list[str] | None = None) -> str:
             ns_fine=args.ns_fine if args.ns_fine is not None else cfg.ns_fine,
         ).validate()
 
+    if (args.checkpoint is None) == (args.reference_weights is None):
+        raise SystemExit(
+            "exactly one of --checkpoint / --reference-weights is required"
+        )
     ckpt = args.checkpoint
-    if not ckpt.endswith(".npz"):
+    if ckpt is not None and not ckpt.endswith(".npz"):
         found = latest_checkpoint(ckpt)
         if found is None:
             raise FileNotFoundError(f"no .ckpt.npz under {ckpt}")
@@ -93,7 +101,7 @@ def run_inference(argv: list[str] | None = None) -> str:
     # Scene geometry precedence: CLI flag > checkpoint sidecar > Lego-scene
     # defaults (near=2, far=6 — reference lego_data_utils.py:48-49).  The
     # sidecar means a Fern checkpoint renders with Fern bounds untold.
-    scene = load_checkpoint_scene(ckpt) or {}
+    scene = (load_checkpoint_scene(ckpt) if ckpt else None) or {}
     near = args.near if args.near is not None else scene.get("near", 2.0)
     far = args.far if args.far is not None else scene.get("far", 6.0)
     focal = (
@@ -105,11 +113,21 @@ def run_inference(argv: list[str] | None = None) -> str:
           + ("" if scene else " (no sidecar; Lego-scene defaults)"))
 
     trainer = Trainer(cfg, near, far)
-    trainer.state = jax.device_put(
-        load_checkpoint(ckpt, jax.device_get(trainer.state)),
-        trainer._state_shardings,
-    )
-    print(f"[nerf-tpu] loaded {ckpt}")
+    if ckpt is not None:
+        trainer.state = jax.device_put(
+            load_checkpoint(ckpt, jax.device_get(trainer.state)),
+            trainer._state_shardings,
+        )
+        print(f"[nerf-tpu] loaded {ckpt}")
+    else:
+        from nerf_keras_tpu.utils.keras_import import import_reference_weights
+
+        params, bn = import_reference_weights(args.reference_weights, cfg)
+        trainer.state = jax.device_put(
+            trainer.state._replace(params=params, bn=bn),
+            trainer._state_shardings,
+        )
+        print(f"[nerf-tpu] imported reference weights {args.reference_weights}")
 
     frames, depth_frames = [], []
     for i, pose in enumerate(spherical_poses(args.frames)):

@@ -102,6 +102,7 @@ def run_training(
     # reference train_tpu_lego.py:72-82).
     from nerf_keras_tpu.parallel.distributed import (
         maybe_initialize,
+        process_info,
         shard_dataset_for_process,
     )
 
@@ -139,7 +140,18 @@ def run_training(
     losses_for_plot: list[float] = []
 
     test_bs = cfg.test_batch_size or cfg.batch_size
-    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    # Multi-host accounting: each host assembles only its 1/P slice of the
+    # global batch (put_batch assembles the global array across hosts), so
+    # the per-host pipeline batch is batch_size // P and steps_per_epoch
+    # covers the GLOBAL ray count once per epoch.
+    _, proc_count = process_info()
+    if cfg.batch_size % proc_count != 0:
+        raise ValueError(
+            f"BATCH_SIZE={cfg.batch_size} must be divisible by the process "
+            f"count ({proc_count})"
+        )
+    local_bs = cfg.batch_size // proc_count
+    steps_per_epoch = max(1, len(train_ds) // local_bs)
     start_epoch = int(trainer.state.step) // steps_per_epoch
 
     # Prefer the native prefetching batcher (C++ background thread, 4-deep
@@ -150,7 +162,7 @@ def run_training(
         from nerf_keras_tpu.data.native import NativeRayBatcher
 
         native_batcher = NativeRayBatcher(
-            train_ds, cfg.batch_size, seed=cfg.seed, start_epoch=start_epoch
+            train_ds, local_bs, seed=cfg.seed, start_epoch=start_epoch
         )
     except Exception as e:
         print(f"[nerf-tpu] native batcher unavailable ({e}); using numpy")
@@ -158,15 +170,16 @@ def run_training(
     def epoch_batches(epoch: int):
         if native_batcher is not None:
             return (next(native_batcher) for _ in range(steps_per_epoch))
-        return iterate_batches(train_ds, cfg.batch_size, shuffle=True,
+        return iterate_batches(train_ds, local_bs, shuffle=True,
                                seed=cfg.seed, epoch=epoch)
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         metrics = trainer.train_epoch(epoch_batches(epoch))
         dt = time.perf_counter() - t0
-        steps = len(train_ds) // cfg.batch_size
-        rays_per_sec = steps * cfg.batch_size / dt if dt > 0 else 0.0
+        # global rays this epoch: every step consumes cfg.batch_size rays
+        # across all hosts (each host contributed local_bs of them)
+        rays_per_sec = steps_per_epoch * cfg.batch_size / dt if dt > 0 else 0.0
 
         # Failure detection (SURVEY.md §5: the reference's only guard is a
         # try/except around TPU init that then crashes anyway): a

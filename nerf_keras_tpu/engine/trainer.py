@@ -120,10 +120,53 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def put_batch(self, batch) -> tuple:
-        """Place (images, origins, dirs) onto the mesh's data axis."""
+        """Place (images, origins, dirs) onto the mesh's data axis.
+
+        Multi-host: each process passes its OWN per-host slice of the
+        global batch (``global_batch_size // process_count`` rows — the
+        input pipeline is sharded per host), and
+        ``jax.make_array_from_process_local_data`` assembles the global
+        array across hosts.  This is the jax-native replacement for
+        TPUStrategy's automatic per-replica batch splitting
+        (reference train_tpu_lego.py:72-82).
+        """
+        if jax.process_count() > 1:
+            return tuple(
+                jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.asarray(x)
+                )
+                for x in batch
+            )
         return tuple(
             jax.device_put(np.asarray(x), self._batch_sharding) for x in batch
         )
+
+    def put_global_batch(self, batch) -> tuple:
+        """Place arrays whose FULL content every process holds (val
+        batches, render chunks): each process contributes its contiguous
+        row range.  Relies on ``make_mesh`` laying devices out process-
+        major, so global row order equals input row order."""
+        if jax.process_count() <= 1:
+            return tuple(
+                jax.device_put(np.asarray(x), self._batch_sharding)
+                for x in batch
+            )
+        p, pc = jax.process_index(), jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            n = x.shape[0]
+            if n % pc != 0:
+                raise ValueError(
+                    f"global batch of {n} rows not divisible by "
+                    f"process_count={pc}"
+                )
+            local = x[p * (n // pc) : (p + 1) * (n // pc)]
+            return jax.make_array_from_process_local_data(
+                self._batch_sharding, local
+            )
+
+        return tuple(put(x) for x in batch)
 
     def train_step(self, batch, key: jax.Array | None = None):
         """One optimization step; returns metrics dict of scalars (device)."""
@@ -147,10 +190,12 @@ class Trainer:
         return {k: float(v) / count for k, v in totals.items()}
 
     def evaluate(self, batches: Iterable) -> dict:
+        """Mean metrics over val batches.  Batches carry full (unsharded)
+        content — the val pipeline is identical on every host."""
         totals: dict[str, Any] = {}
         count = 0
         for batch in batches:
-            metrics = self.eval_step(self.put_batch(batch))
+            metrics = self.eval_step(self.put_global_batch(batch))
             for k, v in metrics.items():
                 totals[k] = v if k not in totals else totals[k] + v
             count += 1
@@ -217,11 +262,8 @@ class Trainer:
                 d = np.concatenate([d, np.concatenate(
                     [np.zeros((pad, 2), d.dtype), -np.ones((pad, 1), d.dtype)], axis=1
                 )], axis=0)
-            res = render_fn(
-                self.state,
-                jax.device_put(o, self._batch_sharding),
-                jax.device_put(d, self._batch_sharding),
-            )
+            o_dev, d_dev = self.put_global_batch((o, d))
+            res = render_fn(self.state, o_dev, d_dev)
             # Keep chunk outputs on device; one host fetch at the end
             # (a per-chunk fetch pays a full round-trip on tunneled PJRT).
             for k, v in res.items():

@@ -43,6 +43,16 @@ def maybe_initialize() -> bool:
     proc_id = os.environ.get("NERF_PROCESS_ID")
 
     if coordinator and num_procs and proc_id:
+        # Multi-process CPU runs (tests, local sims) need a cross-host CPU
+        # collectives backend; gloo ships with jaxlib.  Must be set before
+        # backend init — harmless for TPU meshes, which ignore it.
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            try:
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo"
+                )
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=int(num_procs),
