@@ -34,6 +34,7 @@ from nerf_keras_tpu.ops import (
     generate_t_vals,
     sample_pdf,
     sample_rays,
+    sorted_union,
     volume_render,
 )
 
@@ -193,7 +194,7 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
             key, t_mid, w_for_pdf, cfg.ns_fine,
             deterministic=key is None,
         )
-        t_all = jnp.sort(jnp.concatenate([t_vals, t_fine], axis=-1), axis=-1)
+        t_all = sorted_union(t_vals, t_fine)
 
         points_f, dirs_f = sample_rays(ray_origins, ray_directions, t_all)
         xf_enc = encode_position(points_f, cfg.l_xyz)
@@ -259,7 +260,7 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
             key, t_mid, jax.lax.stop_gradient(weights_coarse), cfg.ns_fine,
             deterministic=key is None,
         )
-        t_all = jnp.sort(jnp.concatenate([t_vals, t_fine], axis=-1), axis=-1)
+        t_all = sorted_union(t_vals, t_fine)
 
         points_f, dirs_f = sample_rays(ray_origins, ray_directions, t_all)
         xf_enc = encode_position(points_f, cfg.l_xyz).astype(compute_dtype)

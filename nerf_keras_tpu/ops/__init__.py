@@ -15,7 +15,7 @@ from nerf_keras_tpu.ops.rays import (
     get_rotation_theta,
 )
 from nerf_keras_tpu.ops.volume import volume_render
-from nerf_keras_tpu.ops.sampling import generate_t_vals, sample_pdf
+from nerf_keras_tpu.ops.sampling import generate_t_vals, sample_pdf, sorted_union
 
 __all__ = [
     "encode_position",
@@ -28,4 +28,5 @@ __all__ = [
     "volume_render",
     "generate_t_vals",
     "sample_pdf",
+    "sorted_union",
 ]

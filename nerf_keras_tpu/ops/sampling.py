@@ -65,6 +65,21 @@ def generate_t_vals(
     raise ValueError(f"unknown sampling mode: {mode!r}")
 
 
+def sorted_union(t_vals: jnp.ndarray, t_fine: jnp.ndarray) -> jnp.ndarray:
+    """Ascending union of coarse + fine sample distances (reference
+    models.py:167 ``sort(concat(...))``).
+
+    Uses an unstable ``lax.sort``: keys are floats and downstream only
+    consumes values, so the stable bitonic network ``jnp.sort`` builds is
+    pure overhead on TPU.
+    """
+    return jax.lax.sort(
+        jnp.concatenate([t_vals, t_fine], axis=-1),
+        dimension=-1,
+        is_stable=False,
+    )
+
+
 def sample_pdf(
     key: jax.Array,
     t_vals_mid: jnp.ndarray,
@@ -102,44 +117,51 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, u_shape, dtype=jnp.float32)
 
-    # searchsorted(side='right') == count of cdf entries <= u.  Because the
-    # cdf is sorted, the mask over the (static, small) cdf axis is a prefix;
-    # its transition row IS the one-hot of the 'below' index.  Selecting
-    # through one-hots instead of take_along_axis matters on TPU: the four
-    # gathers cost ~27 ms/step at the flagship batch, the masked selects
-    # ~3 ms, and every select is exact (single nonzero per row).
-    mask = cdf[..., :, None] <= u[..., None, :]  # (..., S+1, F), prefix in k
-    mask_next = jnp.concatenate(
-        [mask[..., 1:, :], jnp.zeros_like(mask[..., :1, :])], axis=-2
+    # searchsorted(side='right') == count of cdf entries <= u, so the
+    # 'below' index is the unique k with cdf[k] <= u < cdf[k+1] (with
+    # cdf[K] := +inf; plateau bins give empty half-open intervals and the
+    # last plateau entry wins, exactly like searchsorted-right - 1).  That
+    # makes ONE one-hot over the (static, small) cdf axis, and all four
+    # lookups (cdf/t at below/above) become a single (..., F, K) x
+    # (..., K, 4) matmul against a stack of value vectors — the 'above'
+    # (= min(K-1, below+1)) lookups are expressed by shifting the VALUE
+    # vectors rather than the one-hot, which also realizes the index clamp.
+    # TPU-first rationale: take_along_axis gathers cost ~27 ms/step at the
+    # flagship batch; a one-hot einsum rides the MXU, its only large
+    # intermediate is the bf16 one-hot (~34 MB vs ~540 MB for four f32
+    # masked-select trees), and every output is exact — each column has a
+    # single nonzero, multiplying 1.0 (exact in bf16) by an f32 value.
+    cdf_next = jnp.concatenate(
+        [cdf[..., 1:], jnp.full_like(cdf[..., :1], jnp.inf)], axis=-1
     )
-    # below = indices - 1 (cdf[0] = 0 <= u always, so indices >= 1)
-    oh_below = jnp.logical_and(mask, jnp.logical_not(mask_next))
-    # above = min(S, indices): shift the below one-hot up by one, clamping
-    # the overflow back onto the last cdf entry.
-    oh_above = jnp.concatenate(
-        [jnp.zeros_like(oh_below[..., :1, :]), oh_below[..., :-1, :]], axis=-2
-    )
-    oh_above = oh_above.at[..., -1, :].set(
-        jnp.logical_or(oh_above[..., -1, :], oh_below[..., -1, :])
-    )
+    onehot = jnp.logical_and(
+        cdf[..., :, None] <= u[..., None, :],
+        u[..., None, :] < cdf_next[..., :, None],
+    ).astype(jnp.bfloat16)  # (..., K, F), one-hot along k
 
-    def select(values: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
-        """Sum-select values (..., K) through a (..., K, F) one-hot."""
-        return jnp.sum(
-            jnp.where(onehot, values[..., :, None], 0.0), axis=-2
-        )
-
-    cdf_below = select(cdf, oh_below)
-    cdf_above = select(cdf, oh_above)
-
-    # t-midpoint selects clamp to the last midpoint (data_utils.py:211):
-    # extend t_mid to cdf length by repeating its final entry.
+    # t-midpoint lookups clamp to the last midpoint (data_utils.py:211):
+    # extend t_mid to cdf length K by repeating its final entry.
     pad = cdf.shape[-1] - t_vals_mid.shape[-1]
     t_mid_ext = jnp.concatenate(
         [t_vals_mid] + [t_vals_mid[..., -1:]] * pad, axis=-1
     )
-    t_below = select(t_mid_ext, oh_below)
-    t_above = select(t_mid_ext, oh_above)
+
+    def shift_up(v: jnp.ndarray) -> jnp.ndarray:
+        """v[min(k+1, K-1)] — the 'above' value vector."""
+        return jnp.concatenate([v[..., 1:], v[..., -1:]], axis=-1)
+
+    values = jnp.stack(
+        [cdf, shift_up(cdf), t_mid_ext, shift_up(t_mid_ext)], axis=-1
+    )  # (..., K, 4)
+    sel = jnp.einsum(
+        "...kf,...kv->...fv",
+        onehot,
+        values,
+        preferred_element_type=jnp.float32,
+    )
+    cdf_below, cdf_above, t_below, t_above = (
+        sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
+    )
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

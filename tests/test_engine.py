@@ -327,3 +327,34 @@ def test_checkpoint_scene_sidecar(tmp_path):
     path2 = str(tmp_path / "old.ckpt.npz")
     save_checkpoint(path2, state, cfg)
     assert load_checkpoint_scene(path2) is None
+
+
+def test_sorted_union_matches_sort():
+    from nerf_keras_tpu.ops import sorted_union
+
+    rng = np.random.default_rng(0)
+    a = np.sort(rng.uniform(2, 6, (5, 8)).astype(np.float32), axis=-1)
+    b = rng.uniform(2, 6, (5, 16)).astype(np.float32)
+    got = np.asarray(sorted_union(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_render_image_single_dispatch_matches_chunked():
+    """The lax.map whole-frame renderer must agree with the host-loop
+    chunked path (render_rays) exactly."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        compute_dtype="float32", use_pallas=False,
+    ).validate()
+    t = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    h, w = 12, 10  # 120 rays, chunk 32 -> padding exercised
+    fast = t.render_image(pose, h, w, focal=12.0, chunk=32)
+    slow = t.render_image(pose, h, w, focal=12.0, chunk=32, include_coarse=True)
+    np.testing.assert_allclose(fast["rgb"], slow["rgb"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fast["depth"], slow["depth"], rtol=1e-5, atol=1e-6)

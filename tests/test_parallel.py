@@ -137,3 +137,29 @@ def test_render_rays_keys_filter_and_render_image():
     assert img["rgb"].shape == (4, 4, 3)
     img2 = t.render_image(pose, 4, 4, focal=4.0, chunk=16, include_coarse=True)
     assert set(img2) == {"rgb", "depth", "rgb_coarse", "depth_coarse"}
+
+
+def test_render_image_fused_on_8dev_mesh():
+    """Whole-frame lax.map renderer under an 8-way data mesh: the
+    with_sharding_constraint split must reproduce single-device output."""
+    import numpy as np
+
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = NeRFConfig(
+        batch_size=32, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        compute_dtype="float32", use_pallas=False,
+    ).validate()
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    h, w = 8, 8
+
+    t1 = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    t8 = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(8, 1))
+    # identical params via identical seed
+    out1 = t1.render_image(pose, h, w, focal=10.0, chunk=16)
+    out8 = t8.render_image(pose, h, w, focal=10.0, chunk=16)
+    np.testing.assert_allclose(out8["rgb"], out1["rgb"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out8["depth"], out1["depth"], rtol=1e-5, atol=1e-6)
