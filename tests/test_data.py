@@ -246,3 +246,61 @@ def test_synthetic_non_square_images():
     assert o.shape == (12 * 20, 3) and d.shape == (12 * 20, 3)
     img = val.image(0)
     assert img.shape == (12, 20, 3)
+
+
+def test_prepare_lego_data_end_to_end(tmp_path):
+    """Full prepare_lego_data run against an on-disk npz with the real
+    tiny_nerf_data.npz key layout (images/poses/focal) — including a
+    NON-square target, which crashes the reference (its val rays are
+    built with get_rays(H, H, ...), lego_data_utils.py:34)."""
+    import numpy as np
+
+    from nerf_keras_tpu.data.lego import prepare_lego_data
+
+    rng = np.random.default_rng(0)
+    n, h0, w0 = 10, 20, 20
+    images = rng.uniform(0, 1, (n, h0, w0, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 2, 3] = np.linspace(3.5, 4.5, n)  # distinct camera distances
+    path = str(tmp_path / "tiny_nerf_data.npz")
+    np.savez(path, images=images, poses=poses, focal=np.float64(25.3))
+
+    th, tw = 12, 10  # non-square
+    train, val, (near, far), focal = prepare_lego_data(th, tw, path=path)
+
+    assert (near, far) == (2.0, 6.0)
+    assert focal == 25.3
+    # 80/20 split by index: 8 train / 2 val images, flattened per-pixel
+    assert len(train) == 8 * th * tw
+    assert len(val) == 2 * th * tw
+    assert train.height == val.height == th
+    assert train.width == val.width == tw
+    # ray origins come from the pose translation column
+    np.testing.assert_allclose(
+        train.origins[0], [0, 0, poses[0, 2, 3]], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        val.origins[0], [0, 0, poses[8, 2, 3]], atol=1e-6
+    )
+    # directions are unit-ish rays through the pixel grid, one per pixel
+    assert np.abs(train.directions[:, 2] + 1.0).max() < 1e-6
+    # resize happened: pixel rows in [0, 1]
+    assert train.pixels.min() >= 0.0 and train.pixels.max() <= 1.0
+
+
+def test_find_lego_npz_resolution_order(tmp_path, monkeypatch):
+    from nerf_keras_tpu.data.lego import find_lego_npz
+
+    import numpy as np
+
+    env_dir = tmp_path / "env"
+    env_dir.mkdir()
+    env_file = env_dir / "tiny_nerf_data.npz"
+    np.savez(str(env_file), images=np.zeros((1, 2, 2, 3)))
+    monkeypatch.setenv("NERF_DATA_DIR", str(env_dir))
+    assert find_lego_npz() == str(env_file)
+
+    # explicit path wins over NERF_DATA_DIR
+    direct = tmp_path / "direct.npz"
+    np.savez(str(direct), images=np.zeros((1, 2, 2, 3)))
+    assert find_lego_npz(str(direct)) == str(direct)
