@@ -30,11 +30,17 @@ from nerf_keras_tpu.utils.viz import write_video
 import jax
 
 
-def spherical_poses(n_frames: int = 30) -> list[np.ndarray]:
-    """The reference's render path: theta in [-45, 45) (inference.py:229)."""
+def spherical_poses(
+    n_frames: int = 30, full_orbit: bool = False,
+    phi: float = -30.0, radius: float = 4.0,
+) -> list[np.ndarray]:
+    """The reference's render path: theta in [-45, 45) (inference.py:229);
+    ``full_orbit`` is its commented-out 360 degree variant
+    (inference.py:271-310)."""
+    lo, hi = (0.0, 360.0) if full_orbit else (-45.0, 45.0)
     return [
-        pose_spherical(float(theta), -30.0, 4.0)
-        for theta in np.linspace(-45.0, 45.0, n_frames, endpoint=False)
+        pose_spherical(float(theta), phi, radius)
+        for theta in np.linspace(lo, hi, n_frames, endpoint=False)
     ]
 
 
@@ -48,6 +54,13 @@ def run_inference(argv: list[str] | None = None) -> str:
                         "(train_lego.py:213); imported into the params "
                         "pytree for parity rendering")
     p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--full-orbit", action="store_true",
+                   help="render a 360 degree orbit instead of the default "
+                        "[-45, 45) sweep (reference inference.py:271-310)")
+    p.add_argument("--phi", type=float, default=-30.0,
+                   help="orbit elevation in degrees (reference: -30)")
+    p.add_argument("--radius", type=float, default=4.0,
+                   help="orbit camera radius (reference: 4)")
     p.add_argument("--chunk", type=int, default=16384)
     p.add_argument("--near", type=float, default=None,
                    help="near bound (default: checkpoint sidecar, else 2.0)")
@@ -130,7 +143,11 @@ def run_inference(argv: list[str] | None = None) -> str:
         print(f"[nerf-tpu] imported reference weights {args.reference_weights}")
 
     frames, depth_frames = [], []
-    for i, pose in enumerate(spherical_poses(args.frames)):
+    poses = spherical_poses(
+        args.frames, full_orbit=args.full_orbit, phi=args.phi,
+        radius=args.radius,
+    )
+    for i, pose in enumerate(poses):
         out = trainer.render_image(pose, cfg.height, cfg.width, focal, chunk=args.chunk)
         frames.append(to_uint8(out["rgb"]))
         if args.depth_video:

@@ -36,13 +36,17 @@ import numpy as np
 class RenderService:
     """Owns the Trainer + checkpoint; thread-safe render calls."""
 
-    def __init__(self, cfg, checkpoint: str, near: float, far: float):
+    def __init__(
+        self, cfg, checkpoint: str,
+        near: float | None = None, far: float | None = None,
+    ):
         import jax
 
         from nerf_keras_tpu.engine.trainer import Trainer
         from nerf_keras_tpu.utils.checkpoint import (
             latest_checkpoint,
             load_checkpoint,
+            load_checkpoint_scene,
         )
 
         if not checkpoint.endswith(".npz"):
@@ -50,6 +54,11 @@ class RenderService:
             if found is None:
                 raise FileNotFoundError(f"no .ckpt.npz under {checkpoint}")
             checkpoint = found
+        # scene bounds: explicit args > checkpoint sidecar > Lego defaults
+        scene = load_checkpoint_scene(checkpoint) or {}
+        near = near if near is not None else scene.get("near", 2.0)
+        far = far if far is not None else scene.get("far", 6.0)
+        self.default_focal = scene.get("focal")
         self.trainer = Trainer(cfg, near, far)
         self.trainer.state = jax.device_put(
             load_checkpoint(checkpoint, jax.device_get(self.trainer.state)),
@@ -154,8 +163,10 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--checkpoint", type=str, required=True)
-    p.add_argument("--near", type=float, default=2.0)
-    p.add_argument("--far", type=float, default=6.0)
+    p.add_argument("--near", type=float, default=None,
+                   help="near bound (default: checkpoint sidecar, else 2.0)")
+    p.add_argument("--far", type=float, default=None,
+                   help="far bound (default: checkpoint sidecar, else 6.0)")
     p.add_argument("--port", type=int, default=8042)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--platform", type=str, default=None)
