@@ -165,14 +165,20 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
              new_bn
     """
     mlp = _mlp_fn(cfg, mesh)
+    # Encodings are stored in the compute dtype on BOTH paths: the MLP
+    # casts them to it anyway (so results are bit-identical), they sit at
+    # fusion boundaries (the skip concat reuses x_enc, so XLA materializes
+    # it), and (N, 63)/(N, 27) arrays are lane-padded to 128 on TPU — a
+    # bf16 store halves the real HBM traffic.
+    enc_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def forward(params, bn, key, ray_origins, ray_directions, t_vals, train):
         bn = bn or {"coarse": None, "fine": None}
         new_bn = dict(bn)
 
         points, dirs = sample_rays(ray_origins, ray_directions, t_vals)
-        x_enc = encode_position(points, cfg.l_xyz)
-        d_enc = encode_position(dirs, cfg.l_dir)
+        x_enc = encode_position(points, cfg.l_xyz).astype(enc_dtype)
+        d_enc = encode_position(dirs, cfg.l_dir).astype(enc_dtype)
 
         preds_coarse, new_bn["coarse"] = mlp(
             params["coarse"], x_enc, d_enc, bn["coarse"], train
@@ -197,8 +203,8 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
         t_all = sorted_union(t_vals, t_fine)
 
         points_f, dirs_f = sample_rays(ray_origins, ray_directions, t_all)
-        xf_enc = encode_position(points_f, cfg.l_xyz)
-        df_enc = encode_position(dirs_f, cfg.l_dir)
+        xf_enc = encode_position(points_f, cfg.l_xyz).astype(enc_dtype)
+        df_enc = encode_position(dirs_f, cfg.l_dir).astype(enc_dtype)
 
         preds_fine, new_bn["fine"] = mlp(
             params["fine"], xf_enc, df_enc, bn["fine"], train

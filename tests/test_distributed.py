@@ -162,3 +162,11 @@ def test_two_process_training_matches_single_process(tmp_path):
             ref_losses.append(float(m["loss"]))
 
     np.testing.assert_allclose(results[0]["losses"], ref_losses, rtol=1e-5)
+
+    # put_global_batch content correctness: the distributed eval over the
+    # full-content val batch must equal the single-process eval
+    val = (pixels[:32], origins[:32], dirs[:32])
+    ev = trainer.eval_step(trainer.put_batch(val))
+    np.testing.assert_allclose(
+        results[0]["val_loss"], float(ev["loss"]), rtol=1e-5
+    )
