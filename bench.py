@@ -32,7 +32,8 @@ import time
 
 
 def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
-              full: bool, platform: str | None = None) -> dict:
+              full: bool, platform: str | None = None,
+              degraded: bool = False) -> dict:
     if platform:
         import jax
 
@@ -116,12 +117,19 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
             file=sys.stderr,
         )
 
-    return {
+    result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec_per_chip, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec_per_chip / 1e6, 4),
+        "backend": jax.default_backend(),
     }
+    if degraded:
+        # machine-detectable marker: this is a reduced-workload fallback
+        # number from a degraded environment, NOT the flagship TPU series
+        result["degraded"] = True
+        result["batch_size"] = b
+    return result
 
 
 def main() -> None:
@@ -143,6 +151,7 @@ def main() -> None:
                    help="pin a JAX platform (e.g. 'cpu') before backend init")
     p.add_argument("--_child", choices=["pallas", "xla"], default=None,
                    help=argparse.SUPPRESS)
+    p.add_argument("--_degraded", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
 
     if args.use_pallas:
@@ -151,7 +160,8 @@ def main() -> None:
     if args._child or args.kernel in ("pallas", "xla"):
         mode = args._child or args.kernel
         result = run_bench(mode == "pallas", args.steps, args.warmup,
-                           args.batch_size, args.full, platform=args.platform)
+                           args.batch_size, args.full, platform=args.platform,
+                           degraded=args._degraded)
         print(json.dumps(result))
         return
 
@@ -162,7 +172,10 @@ def main() -> None:
     # accelerator responds (round-1 failure mode: rc=1, no record).
     def run_child(mode: str, budget: float, platform: str | None = None,
                   steps: int | None = None, warmup: int | None = None,
-                  batch_size: int | None = None) -> str | None:
+                  batch_size: int | None = None, full: bool | None = None,
+                  degraded: bool = False) -> str | None:
+        platform = platform or args.platform
+        full = args.full if full is None else full
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--_child", mode,
@@ -170,8 +183,9 @@ def main() -> None:
             "--warmup", str(warmup if warmup is not None else args.warmup),
             "--batch-size",
             str(batch_size if batch_size is not None else args.batch_size),
-        ] + (["--full"] if args.full else []) \
-          + (["--platform", platform] if platform else [])
+        ] + (["--full"] if full else []) \
+          + (["--platform", platform] if platform else []) \
+          + (["--_degraded"] if degraded else [])
         try:
             proc = subprocess.run(
                 cmd, timeout=budget,
@@ -196,15 +210,24 @@ def main() -> None:
         # this is a degraded-environment number, not the TPU result.
         print("[bench] FALLBACK: accelerator unavailable — CPU-pinned run "
               "(reduced workload; NOT a TPU number)", file=sys.stderr)
+        # full=False: two 800x800 flagship frames on CPU would blow any
+        # budget and kill the contract line this fallback exists to save
         return run_child("xla", 1200.0, platform="cpu",
-                         steps=2, warmup=1, batch_size=512)
+                         steps=2, warmup=1, batch_size=512, full=False,
+                         degraded=True)
 
     # Preflight: probe backend identity AND that a trivial computation
-    # completes — a wedged TPU answers neither within the timeout.
+    # completes — a wedged TPU answers neither within the timeout.  A
+    # --platform pin applies to the probe too (env alone does not stick
+    # against the sitecustomize TPU plugin).
+    pin = (
+        f"jax.config.update('jax_platforms', '{args.platform}');"
+        if args.platform else ""
+    )
     try:
         probe = subprocess.run(
             [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
+             f"import jax; {pin}import jax.numpy as jnp;"
              "v = float(jnp.ones((8, 8)).sum());"
              "print(jax.default_backend(), jax.device_count(), v)"],
             timeout=180, capture_output=True,

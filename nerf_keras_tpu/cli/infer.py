@@ -158,6 +158,9 @@ def run_inference(argv: list[str] | None = None) -> str:
     written = write_video(out_path, frames, fps=30)
     print(f"[nerf-tpu] video saved to {written}")
     if depth_frames:
-        dpath = write_video(out_path.replace(".mp4", "_depth.mp4"), depth_frames, fps=30)
+        import os
+
+        base, ext = os.path.splitext(out_path)
+        dpath = write_video(f"{base}_depth{ext or '.mp4'}", depth_frames, fps=30)
         print(f"[nerf-tpu] depth video saved to {dpath}")
     return written

@@ -153,6 +153,11 @@ def run_training(
     local_bs = cfg.batch_size // proc_count
     steps_per_epoch = max(1, len(train_ds) // local_bs)
     start_epoch = int(trainer.state.step) // steps_per_epoch
+    # Artifacts (checkpoints, panels, history) are written by process 0
+    # only: every host computes the same replicated state/metrics, and
+    # concurrent writes of the same object race (plus per-host run-dir
+    # timestamps would scatter artifacts across prefixes).
+    is_main = jax.process_index() == 0
 
     # Prefer the native prefetching batcher (C++ background thread, 4-deep
     # ring) so host batch assembly overlaps device compute; fall back to
@@ -186,9 +191,10 @@ def run_training(
         # non-finite loss aborts with a diagnosable emergency checkpoint
         # instead of silently poisoning every later epoch.
         if not np.isfinite(metrics["loss"]):
-            io.makedirs(run_dir)
             crash_path = io.join(run_dir, "emergency." + checkpoint_name(cfg))
-            save_checkpoint(crash_path, trainer.state, cfg, scene=scene)
+            if is_main:
+                io.makedirs(run_dir)
+                save_checkpoint(crash_path, trainer.state, cfg, scene=scene)
             raise FloatingPointError(
                 f"non-finite train loss {metrics['loss']} at epoch "
                 f"{epoch + 1} (step {int(trainer.state.step)}); state saved "
@@ -224,21 +230,22 @@ def run_training(
                     out["depth_fine"].reshape(val_ds.height, val_ds.width)
                 )
 
-            io.makedirs(run_dir)
-            io.makedirs(viz_dir)
-            save_panel(
-                io.join(viz_dir, f"{epoch:03d}.png"),
-                rgbs, depths, losses_for_plot, epoch, cfg.epochs,
-            )
-            save_checkpoint(
-                io.join(run_dir, checkpoint_name(cfg)), trainer.state, cfg,
-                scene=scene,
-            )
-            history.save(io.join(
-                run_dir,
-                f"history_l{cfg.num_layers}_d{cfg.hidden_dim}"
-                f"_n{cfg.ns_coarse + cfg.ns_fine}_ep{cfg.epochs}.json",
-            ))
+            if is_main:
+                io.makedirs(run_dir)
+                io.makedirs(viz_dir)
+                save_panel(
+                    io.join(viz_dir, f"{epoch:03d}.png"),
+                    rgbs, depths, losses_for_plot, epoch, cfg.epochs,
+                )
+                save_checkpoint(
+                    io.join(run_dir, checkpoint_name(cfg)), trainer.state, cfg,
+                    scene=scene,
+                )
+                history.save(io.join(
+                    run_dir,
+                    f"history_l{cfg.num_layers}_d{cfg.hidden_dim}"
+                    f"_n{cfg.ns_coarse + cfg.ns_fine}_ep{cfg.epochs}.json",
+                ))
         else:
             history.append(metrics)
 

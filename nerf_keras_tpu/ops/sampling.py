@@ -105,6 +105,10 @@ def sample_pdf(
     Returns:
         ``(..., ns_fine)`` new sample distances (unsorted, as reference).
     """
+    if ns_fine == 0:
+        # coarse-only rendering/training: nothing to draw (and the
+        # deterministic branch's 0.5 / ns_fine must not divide by zero)
+        return jnp.zeros((*weights.shape[:-1], 0), jnp.float32)
     weights = weights.astype(jnp.float32) + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)

@@ -73,6 +73,7 @@ class RenderService:
     def render_png(
         self, theta: float, phi: float, radius: float,
         height: int, width: int, chunk: int = 16384,
+        focal: float | None = None,
     ) -> bytes:
         from PIL import Image
 
@@ -80,7 +81,15 @@ class RenderService:
         from nerf_keras_tpu.utils.image import to_uint8
 
         pose = pose_spherical(theta, phi, radius)
-        focal = 1.2 * max(height, width)
+        if focal is None:
+            # sidecar focal was recorded at the TRAINING resolution; scale
+            # it to the requested frame so the FOV matches training
+            if self.default_focal is not None:
+                focal = self.default_focal * max(height, width) / max(
+                    self.cfg.height, self.cfg.width
+                )
+            else:
+                focal = 1.2 * max(height, width)
         t0 = time.perf_counter()
         with self._lock:  # single accelerator; serialize device work
             out = self.trainer.render_image(
@@ -139,6 +148,7 @@ def _make_handler(service: RenderService):
                         height=int(f("height", service.cfg.height)),
                         width=int(f("width", service.cfg.width)),
                         chunk=int(f("chunk", 16384)),
+                        focal=float(q["focal"][0]) if "focal" in q else None,
                     )
                 except Exception as e:  # surface render errors as 500s
                     self._send(500, str(e).encode(), "text/plain")

@@ -164,6 +164,16 @@ def import_reference_weights(
                     "not a reference NeRFTrainer weights file?"
                 )
             out_p[ours], out_bn[ours] = _import_one_model(f[theirs], cfg)
+            has_bn = out_bn[ours] is not None
+            if has_bn != cfg.batch_norm:
+                # Fail here with a diagnosis instead of a cryptic pytree
+                # structure mismatch at device_put time.
+                raise ValueError(
+                    f"{path}: checkpoint "
+                    f"{'has' if has_bn else 'has no'} BatchNorm layers but "
+                    f"the config sets BATCH_NORM="
+                    f"{'true' if cfg.batch_norm else 'false'}"
+                )
     if all(v is None for v in out_bn.values()):
         return out_p, None
     return out_p, out_bn

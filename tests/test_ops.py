@@ -231,3 +231,16 @@ def test_sample_pdf_matches_numpy_reference(rng):
     denom = np.where(denom < 1e-5, 1.0, denom)
     expected = tm_b + (u - cdf_b) / denom * (tm_a - tm_b)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_sample_pdf_zero_fine_samples():
+    """--ns-fine 0 (coarse-only rendering) must not divide by zero in the
+    deterministic branch; it returns an empty draw."""
+    t_mid = np.linspace(0.0, 1.0, 7, dtype=np.float32)[None]
+    weights = np.ones((1, 8), np.float32)
+    for det in (False, True):
+        out = sample_pdf(
+            jax.random.PRNGKey(0), jnp.asarray(t_mid), jnp.asarray(weights),
+            0, deterministic=det,
+        )
+        assert out.shape == (1, 0)
