@@ -180,7 +180,9 @@ def run_training(
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        metrics = trainer.train_epoch(epoch_batches(epoch))
+        metrics = trainer.train_epoch(
+            epoch_batches(epoch), log_every=cfg.log_every
+        )
         dt = time.perf_counter() - t0
         # global rays this epoch: every step consumes cfg.batch_size rays
         # across all hosts (each host contributed local_bs of them)

@@ -178,9 +178,18 @@ class Trainer:
     def eval_step(self, batch):
         return self._eval_step(self.state, batch)
 
-    def train_epoch(self, batches: Iterable, key: jax.Array | None = None) -> dict:
+    def train_epoch(
+        self,
+        batches: Iterable,
+        key: jax.Array | None = None,
+        log_every: int = 0,
+    ) -> dict:
         """Run all batches; returns epoch-mean metrics as python floats
-        (the reference's keras.metrics.Mean trackers, models.py:84-86)."""
+        (the reference's keras.metrics.Mean trackers, models.py:84-86).
+
+        ``log_every > 0`` prints per-step metrics every N steps — opt-in
+        because each print forces a device sync (LOG_EVERY config key).
+        """
         totals: dict[str, Any] = {}
         count = 0
         for batch in batches:
@@ -188,6 +197,13 @@ class Trainer:
             for k, v in metrics.items():
                 totals[k] = v if k not in totals else totals[k] + v
             count += 1
+            if log_every and count % log_every == 0:
+                print(
+                    f"  step {int(self.state.step)}: "
+                    f"loss={float(metrics['loss']):.5f} "
+                    f"loss_coarse={float(metrics['loss_coarse']):.5f} "
+                    f"psnr={float(metrics['psnr']):.2f}"
+                )
         return {k: float(v) / count for k, v in totals.items()}
 
     def evaluate(self, batches: Iterable) -> dict:

@@ -358,3 +358,23 @@ def test_render_image_single_dispatch_matches_chunked():
     slow = t.render_image(pose, h, w, focal=12.0, chunk=32, include_coarse=True)
     np.testing.assert_allclose(fast["rgb"], slow["rgb"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(fast["depth"], slow["depth"], rtol=1e-5, atol=1e-6)
+
+
+def test_train_epoch_log_every(capsys):
+    """LOG_EVERY prints per-step metrics (the config knob is consumed)."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        compute_dtype="float32", use_pallas=False,
+    ).validate()
+    t = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    batches = [
+        tuple(np.asarray(x) for x in _fake_batch(jax.random.PRNGKey(i), 16))
+        for i in range(4)
+    ]
+    t.train_epoch(iter(batches), log_every=2)
+    out = capsys.readouterr().out
+    assert out.count("step ") == 2  # steps 2 and 4
+    assert "loss=" in out and "psnr=" in out
