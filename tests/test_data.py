@@ -1,5 +1,6 @@
 """Pipeline, synthetic dataset, LLFF pose math, checkpoint roundtrip."""
 
+import json
 import numpy as np
 import jax
 import pytest
@@ -304,3 +305,56 @@ def test_find_lego_npz_resolution_order(tmp_path, monkeypatch):
     direct = tmp_path / "direct.npz"
     np.savez(str(direct), images=np.zeros((1, 2, 2, 3)))
     assert find_lego_npz(str(direct)) == str(direct)
+
+
+@pytest.mark.slow
+def test_train_fern_cli_end_to_end(tmp_path, capsys):
+    """The fern entry point trains end-to-end (BatchNorm variant) against a
+    synthetic on-disk LLFF capture — loader, config, trainer, checkpoint,
+    panel and history all through the real CLI path."""
+    from PIL import Image
+
+    from nerf_keras_tpu.cli.train import run_training
+    from nerf_keras_tpu.data.llff import prepare_fern_data
+
+    rng = np.random.default_rng(11)
+    n, h, w = 5, 24, 32
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(n):
+        arr = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i:02d}.png")
+    poses = np.zeros((n, 3, 5))
+    for i in range(n):
+        poses[i, :, 0] = [0, -1, 0]
+        poses[i, :, 1] = [1, 0, 0]
+        poses[i, :, 2] = [0, 0, 1]
+        poses[i, :, 3] = [0.1 * i, 0.05 * i, 4.0 + 0.1 * i]
+        poses[i, :, 4] = [h, w, 20.0]
+    bds = np.stack([np.full(n, 2.0), np.full(n, 6.0)], axis=1)
+    np.save(tmp_path / "poses_bounds.npy",
+            np.concatenate([poses.reshape(n, -1), bds], axis=1))
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "BATCH_SIZE": 128, "TEST_BATCH_SIZE": 64, "NS_COARSE": 4,
+        "NS_FINE": 8, "HEIGHT": 12, "WIDTH": 16, "L_XYZ": 10, "L_DIR": 4,
+        "NUM_LAYERS": 2, "HIDDEN_DIM": 16, "SKIP_LAYER": 4, "EPOCHS": 2,
+        "LEARNING_RATE": 0.001, "BATCH_NORM": True, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 2,
+    }))
+    run_dir = tmp_path / "run"
+
+    def prepare(height, width, data_dir=None):
+        return prepare_fern_data(height, width, basedir=data_dir)
+
+    trainer = run_training(
+        prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path), "--data-dir", str(tmp_path),
+              "--run-dir", str(run_dir)],
+    )
+    assert int(trainer.state.step) == 2 * (768 // 128)
+    assert (run_dir / "nerf_l2_d16_n12_ep2.ckpt.npz").exists()
+    assert (run_dir / "images" / "001.png").exists()
+    out = capsys.readouterr().out
+    assert "val:" in out
