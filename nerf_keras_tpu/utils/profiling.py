@@ -49,8 +49,10 @@ def annotate(name: str):
 def _sync_scalar(tree) -> float:
     """Synchronize by value fetch (see module docstring for why not
     ``block_until_ready``); returns the fetched scalar."""
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    return float(np.asarray(leaf).ravel()[0])
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:  # warmup=0: nothing dispatched yet — nothing to sync
+        return 0.0
+    return float(np.asarray(leaves[0]).ravel()[0])
 
 
 @dataclass

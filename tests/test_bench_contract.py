@@ -1,0 +1,29 @@
+"""bench.py driver contract: one JSON line on stdout, correct keys."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_emits_contract_line_cpu():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--platform", "cpu", "--kernel", "xla",
+         "--steps", "1", "--warmup", "1", "--batch-size", "64"],
+        capture_output=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    lines = proc.stdout.decode().strip().splitlines()
+    assert len(lines) == 1, f"stdout must be exactly the JSON line: {lines}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "train_rays_per_sec_per_chip"
+    assert rec["unit"] == "rays/s"
+    assert rec["value"] > 0
+    assert "vs_baseline" in rec
+    assert rec["backend"] == "cpu"
