@@ -244,3 +244,49 @@ def test_sample_pdf_zero_fine_samples():
             0, deterministic=det,
         )
         assert out.shape == (1, 0)
+
+
+def test_sample_pdf_degenerate_and_plateau_cases():
+    """Edge cases for the one-hot einsum core: all-zero weights (uniform
+    after the +1e-5 floor), mass in the FIRST and LAST bins (cdf plateaus
+    at 0 and 1), and a re-derivation with identical uniforms."""
+    s, nf = 8, 64
+    t = np.linspace(2.0, 6.0, s, dtype=np.float32)[None]
+    t_mid = 0.5 * (t[:, 1:] + t[:, :-1])
+
+    def numpy_ref(weights, u):
+        w = weights + 1e-5
+        pdf = w / w.sum(-1, keepdims=True)
+        cdf = np.concatenate(
+            [np.zeros((w.shape[0], 1), np.float32), np.cumsum(pdf, -1)], -1
+        )
+        inds = np.stack(
+            [np.searchsorted(cdf[i], u[i], side="right") for i in range(len(u))]
+        )
+        below = np.maximum(0, inds - 1)
+        above = np.minimum(cdf.shape[-1] - 1, inds)
+        cdf_b = np.take_along_axis(cdf, below, -1)
+        cdf_a = np.take_along_axis(cdf, above, -1)
+        tm = t_mid.repeat(len(u), 0)
+        tm_b = np.take_along_axis(tm, np.minimum(tm.shape[-1] - 1, below), -1)
+        tm_a = np.take_along_axis(tm, np.minimum(tm.shape[-1] - 1, above), -1)
+        denom = cdf_a - cdf_b
+        denom = np.where(denom < 1e-5, 1.0, denom)
+        return tm_b + (u - cdf_b) / denom * (tm_a - tm_b)
+
+    cases = [
+        np.zeros((1, s), np.float32),                       # all-plateau pdf
+        np.eye(s, dtype=np.float32)[0][None],               # mass in bin 0
+        np.eye(s, dtype=np.float32)[-1][None],              # mass in last bin
+        np.array([[0, 0, 1, 1, 0, 0, 0, 5]], np.float32),   # interior plateaus
+    ]
+    key = jax.random.PRNGKey(3)
+    for weights in cases:
+        got = np.asarray(
+            sample_pdf(key, jnp.asarray(t_mid), jnp.asarray(weights), nf)
+        )
+        u = np.asarray(jax.random.uniform(key, (1, nf), dtype=jnp.float32))
+        np.testing.assert_allclose(
+            got, numpy_ref(weights, u), rtol=1e-4, atol=1e-5,
+        )
+        assert np.isfinite(got).all()
