@@ -100,20 +100,21 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
 
     if full:
         h = w = 800
+        chunk = int(os.environ.get("BENCH_RENDER_CHUNK", "16384"))
         pose = np.eye(4, dtype=np.float32)
         pose[2, 3] = 4.0
         t0 = time.perf_counter()
-        out = trainer.render_image(pose, h, w, focal=1000.0, chunk=16384)
+        out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
         np.asarray(out["rgb"])
         frame_time = time.perf_counter() - t0
         # second frame: compiled path only
         t0 = time.perf_counter()
-        out = trainer.render_image(pose, h, w, focal=1000.0, chunk=16384)
+        out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
         np.asarray(out["rgb"])
         frame_time2 = time.perf_counter() - t0
         print(
-            f"[bench] 800x800 frame: {frame_time:.2f}s (first) "
-            f"{frame_time2:.2f}s (steady; target <2s)",
+            f"[bench] 800x800 frame (chunk {chunk}): {frame_time:.2f}s "
+            f"(first) {frame_time2:.2f}s (steady; target <2s)",
             file=sys.stderr,
         )
 
