@@ -220,24 +220,33 @@ def main() -> None:
     # Preflight: probe backend identity AND that a trivial computation
     # completes — a wedged TPU answers neither within the timeout.  A
     # --platform pin applies to the probe too (env alone does not stick
-    # against the sitecustomize TPU plugin).
+    # against the sitecustomize TPU plugin).  The compute probe's budget is
+    # generous and configurable: a cold axon tunnel has been observed to
+    # take >180 s for its first trivial compile on a loaded machine, and a
+    # false "wedged" verdict silently downgrades the whole bench to the
+    # CPU fallback number.
+    probe_budget = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "420"))
     pin = (
         f"jax.config.update('jax_platforms', '{args.platform}');"
         if args.platform else ""
     )
     try:
+        t0 = time.perf_counter()
         probe = subprocess.run(
             [sys.executable, "-c",
              f"import jax; {pin}import jax.numpy as jnp;"
              "v = float(jnp.ones((8, 8)).sum());"
              "print(jax.default_backend(), jax.device_count(), v)"],
-            timeout=180, capture_output=True,
+            timeout=probe_budget, capture_output=True,
         )
         if probe.returncode != 0:
             raise RuntimeError(probe.stderr.decode()[-500:])
         backend = probe.stdout.decode().strip().splitlines()[-1].split()[0]
+        print(f"[bench] preflight ok: backend={backend} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
     except Exception as e:
-        print(f"[bench] accelerator preflight failed (wedged device?): "
+        print(f"[bench] accelerator preflight failed after "
+              f"{probe_budget:.0f}s (wedged device?): "
               f"{type(e).__name__}", file=sys.stderr)
         backend = None
 
