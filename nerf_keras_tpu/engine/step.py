@@ -277,6 +277,73 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
     return forward
 
 
+def _make_fused_eval_forward(cfg: NeRFConfig, mesh=None) -> Callable:
+    """Forward-only coarse→fine via the ray-level Pallas megakernel
+    (ops/pallas/fused_render.py:render_rays_fused): per-sample positions,
+    Fourier encoding, the MLP and alpha compositing all stay in VMEM.
+
+    Why not the XLA path or the encode-outside kernel (round-2 HLO + A/B
+    measurements, docs/PERF.md): the XLA-side encode chain materializes
+    (N, 3) points and (N, 63)/(N, 27) encodings, which TPU lane-pads to
+    128 — XLA lowers them into tile-padded VPU loop fusions costing more
+    than the MLP savings.  Feeding the kernel raw (B, 3) rays removes the
+    whole chain.
+
+    Depth is recovered from the kernel's weights output as
+    ``sum(weights * t)`` — identical to ops/volume.py's composite.
+    Returns ``forward(params, origins, dirs, t_vals) -> dict`` with
+    rgb/depth/weights for both passes (no raw preds — the ``full=True``
+    render keeps the jnp path).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
+    from nerf_keras_tpu.parallel.mesh import DATA_AXIS
+
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def render_pass(params, origins, dirs, t_vals):
+        return render_rays_fused(
+            params, origins, dirs, t_vals,
+            l_xyz=cfg.l_xyz, l_dir=cfg.l_dir,
+            compute_dtype=compute_dtype, skip_layer=cfg.skip_layer,
+        )
+
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        render_pass = jax.shard_map(
+            render_pass,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+
+    def forward(params, ray_origins, ray_directions, t_vals):
+        rgb_coarse, w_coarse = render_pass(
+            params["coarse"], ray_origins, ray_directions, t_vals
+        )
+        depth_coarse = jnp.sum(w_coarse * t_vals, axis=-1)
+
+        t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        t_fine = sample_pdf(None, t_mid, w_coarse, cfg.ns_fine, deterministic=True)
+        t_all = sorted_union(t_vals, t_fine)
+
+        rgb_fine, w_fine = render_pass(
+            params["fine"], ray_origins, ray_directions, t_all
+        )
+        depth_fine = jnp.sum(w_fine * t_all, axis=-1)
+        return {
+            "rgb_coarse": rgb_coarse,
+            "rgb_fine": rgb_fine,
+            "depth_coarse": depth_coarse,
+            "depth_fine": depth_fine,
+            "weights_coarse": w_coarse,
+            "weights_fine": w_fine,
+        }
+
+    return forward
+
+
 def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Callable:
     """Build the jitted train step.
 
@@ -339,7 +406,28 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
     Deterministic: centered t-values and midpoint inverse-CDF draws, so
     validation metrics are reproducible (the reference evaluates with fresh
     randomness every time).
+
+    With ``cfg.use_pallas`` the fused MLP+composite forward kernel is used
+    (~1.5x the XLA path's forward throughput on v5e, see
+    :func:`_make_fused_eval_forward`); the math is identical.
     """
+    if cfg.use_pallas:
+        fwd_fused = _make_fused_eval_forward(cfg, mesh)
+
+        def eval_step(state: TrainState, batch):
+            images, origins, dirs = batch
+            t_vals = generate_t_vals(
+                None, near, far, images.shape[:-1], cfg.ns_coarse, "center"
+            )
+            out = fwd_fused(state.params, origins, dirs, t_vals)
+            return {
+                "loss_coarse": mse(images, out["rgb_coarse"]),
+                "loss": mse(images, out["rgb_fine"]),
+                "psnr": psnr(images, out["rgb_fine"]),
+            }
+
+        return eval_step
+
     forward = make_forward_pass(cfg, mesh)
 
     def eval_step(state: TrainState, batch):
@@ -372,7 +460,26 @@ def make_render_fn(
     8-tensor return, models.py:216-223).  ``full`` is a separate
     compilation: the extra maps are (B, S)/(B, S, 4) HBM writes + host
     fetches the common rgb/depth path shouldn't pay.
+
+    With ``cfg.use_pallas`` (and not ``full`` — raw preds only exist on
+    the jnp path) each pass renders through the fused forward kernel
+    (:func:`_make_fused_eval_forward`; ~1.5x the XLA path on v5e).
     """
+    if cfg.use_pallas and not full:
+        fwd_fused = _make_fused_eval_forward(cfg, mesh)
+
+        def render_fused(state: TrainState, origins, dirs):
+            t_vals = generate_t_vals(
+                None, near, far, origins.shape[:-1], cfg.ns_coarse, "center"
+            )
+            out = fwd_fused(state.params, origins, dirs, t_vals)
+            return {
+                k: out[k]
+                for k in ("rgb_coarse", "rgb_fine", "depth_coarse", "depth_fine")
+            }
+
+        return render_fused
+
     forward = make_forward_pass(cfg, mesh)
 
     def render(state: TrainState, origins, dirs):

@@ -91,13 +91,13 @@ class Trainer:
         self.state: TrainState = jax.device_put(state, self._state_shardings)
 
         # --- compiled steps ---
-        # The fused Pallas kernel wins TRAINING (its hand-written backward
-        # recomputes in VMEM), but for forward-only work XLA's own fusion
-        # is faster (800x800 frame: 3.96 s jnp vs 5.05 s pallas on v5e) —
-        # so eval/render always take the jnp path.  This also drops two
-        # Pallas compilations (~4 min through the remote helper) from
-        # every run.
-        fwd_cfg = dataclasses.replace(cfg, use_pallas=False)
+        # Eval/render follow the resolved kernel choice: the fused forward
+        # kernel measures 34.9 ms vs 53.1 ms for the XLA-path MLP alone at
+        # 3.15M points on v5e (scripts/exp_fwd_kernels.py) — the XLA path
+        # is HBM-bound on its (N, 256) layer activations.  (Round 1
+        # concluded XLA wins forward-only from whole-frame timings
+        # polluted by per-chunk dispatch; re-measured in round 2.)
+        fwd_cfg = cfg
         data_in = (self._batch_sharding,) * 3
         self._train_step = jax.jit(
             make_train_step(cfg, self.near, self.far, mesh=self.mesh),
@@ -117,7 +117,6 @@ class Trainer:
         )
         self._fwd_cfg = fwd_cfg
         self._render_full_cache = None
-        self._frame_render_cache: dict = {}
 
     # ------------------------------------------------------------------
     def put_batch(self, batch) -> tuple:
@@ -291,83 +290,24 @@ class Trainer:
             k: np.concatenate(jax.device_get(v), axis=0) for k, v in outs.items()
         }
 
-    def _frame_render(self, n_padded: int, chunk: int):
-        """Compiled whole-frame renderer: ONE device dispatch per frame.
-
-        A host loop of N/chunk separate dispatches pays a full tunnel
-        round-trip each on the axon backend (~25 ms x 40 chunks for an
-        800x800 frame); here ``lax.map`` loops over chunks ON DEVICE with
-        memory still bounded by the chunk size, and the host fetches two
-        maps once.  Cached per (padded ray count, chunk).
-        """
-        key = (n_padded, chunk)
-        cached = self._frame_render_cache.get(key)
-        if cached is not None:
-            return cached
-
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        render = make_render_fn(self._fwd_cfg, self.near, self.far, mesh=self.mesh)
-        n_chunks = n_padded // chunk
-        chunk_sharding = NamedSharding(self.mesh, P("data"))
-
-        def fn(state, origins, dirs):
-            o = origins.reshape(n_chunks, chunk, 3)
-            d = dirs.reshape(n_chunks, chunk, 3)
-
-            def body(c):
-                # inputs arrive replicated; split each chunk's rays over
-                # the data axis so every device renders 1/ds of the chunk
-                co = jax.lax.with_sharding_constraint(c[0], chunk_sharding)
-                cd = jax.lax.with_sharding_constraint(c[1], chunk_sharding)
-                r = render(state, co, cd)
-                return r["rgb_fine"], r["depth_fine"]
-
-            rgb, depth = jax.lax.map(body, (o, d))
-            return rgb.reshape(-1, 3), depth.reshape(-1)
-
-        compiled = jax.jit(
-            fn,
-            in_shardings=(self._state_shardings, self._repl, self._repl),
-            out_shardings=self._repl,
-        )
-        self._frame_render_cache[key] = compiled
-        return compiled
-
     def render_image(
         self, pose: np.ndarray, height: int, width: int, focal: float,
         chunk: int = 16384, include_coarse: bool = False,
     ) -> dict:
-        """Render one full frame from a camera pose; returns HxW maps."""
+        """Render one full frame from a camera pose; returns HxW maps.
+
+        Strategy (measured, scripts/exp_frame.py on v5e): a host loop over
+        the jitted chunk render with per-chunk outputs left ON DEVICE and
+        one final fetch.  Dispatches pipeline on the tunnel, so the host
+        round-trip per chunk is hidden; a single-dispatch
+        ``lax.map``-over-chunks variant measured ~30% SLOWER (3.40 s vs
+        2.58 s per 800x800 frame) and was removed.
+        """
         from nerf_keras_tpu.ops.rays import get_rays
 
         origins, dirs = get_rays(height, width, focal, pose)
         origins = np.asarray(origins).reshape(-1, 3)
         dirs = np.asarray(dirs).reshape(-1, 3)
-        n = origins.shape[0]
-
-        if not include_coarse and jax.process_count() == 1:
-            # fast path: single-dispatch on-device chunk loop
-            ds = self.mesh.shape["data"]
-            chunk = ((min(chunk, max(n, 1)) + ds - 1) // ds) * ds
-            pad = (-n) % chunk
-            if pad:
-                o_pad = np.zeros((pad, 3), origins.dtype)
-                d_pad = np.concatenate(
-                    [np.zeros((pad, 2), dirs.dtype), -np.ones((pad, 1), dirs.dtype)],
-                    axis=1,
-                )
-                origins = np.concatenate([origins, o_pad], axis=0)
-                dirs = np.concatenate([dirs, d_pad], axis=0)
-            rgb, depth = self._frame_render(origins.shape[0], chunk)(
-                self.state, origins, dirs
-            )
-            rgb = np.asarray(jax.device_get(rgb))[:n]
-            depth = np.asarray(jax.device_get(depth))[:n]
-            return {
-                "rgb": rgb.reshape(height, width, 3),
-                "depth": depth.reshape(height, width),
-            }
 
         keys = None if include_coarse else ("rgb_fine", "depth_fine")
         out = self.render_rays(origins, dirs, chunk=chunk, keys=keys)

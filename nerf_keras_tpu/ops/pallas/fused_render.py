@@ -371,6 +371,177 @@ def _fused_render_bwd(static, residuals, g):
 _fused_render.defvjp(_fused_render_fwd, _fused_render_bwd)
 
 
+def _encode_consts(d: int, num_freqs: int):
+    """Constants for in-kernel Fourier encoding of (T, d) coordinates.
+
+    Returns ``(E, n_id)`` where ``E`` is the (d, W) selector-with-frequency
+    matrix: column c of ``p @ E`` equals ``2^{octave(c)} * p[:, dim(c)]``
+    (octave 0 / scale 1 for the identity block), matching
+    ops/encoding.py's layout ``[x | sin(2^0 x), cos(2^0 x) | ...]``.
+    ``n_id = d`` identity columns come first; among the rest, column c is a
+    sin feature iff ``((c - d) // d) % 2 == 0``.
+    """
+    w = d + 2 * d * num_freqs
+    e = np.zeros((d, w), dtype=np.float32)
+    for j in range(d):
+        e[j, j] = 1.0
+    for i in range(num_freqs):
+        for j in range(d):
+            e[j, d + (2 * i) * d + j] = 2.0**i      # sin block
+            e[j, d + (2 * i + 1) * d + j] = 2.0**i  # cos block
+    return e, d
+
+
+def _encode_tile(p, e_ref, d: int):
+    """Fourier-encode a (T, d) f32 tile fully in VMEM.
+
+    One (T, d) x (d, W) matmul applies the per-column frequency scaling
+    (exact: one nonzero per column, power-of-two scale), then full-width
+    sin/cos sweeps and an iota-mask select reproduce ops/encoding.py's
+    feature order.  Runs in f32 — the largest sin argument is
+    ``2^{L-1} * far`` (~5e3 rad for Lego), where bf16 phase error would be
+    catastrophic.
+    """
+    z = jax.lax.dot_general(
+        p, e_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, W)
+    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, dimension=1)
+    is_id = col < d
+    is_sin = ((col - d) // d) % 2 == 0
+    return jnp.where(is_id, z, jnp.where(is_sin, jnp.sin(z), jnp.cos(z)))
+
+
+def _fwd_encode_kernel(num_layers, skip_layer, compute_dtype, r, s, dx, dd,
+                       o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref,
+                       *refs):
+    """Forward-only: expand rays to samples, Fourier-encode, MLP, composite
+    — all in VMEM.  Exists because the XLA-side encode chain materializes
+    (N, 3) points and (N, 63)/(N, 27) encodings, which TPU lane-pads to
+    128 (42x / 2x / 4.7x their logical bytes) and lowers into slow
+    tile-padded VPU loop fusions (~4.5 ms per 1M points measured via HLO
+    cost analysis, docs/PERF.md round-2 section).  Unlike the TRAINING
+    in-kernel-encode experiments (rejected: fwd+bwd recompute runs the
+    transcendentals twice), a forward-only kernel encodes once.
+    """
+    rgb_ref, w_ref = refs[-2], refs[-1]
+    wr = refs[:-2]
+    # Per-sample expansion via the exact one-hot selectors: row k of
+    # (A^T @ v) is v[k // S].
+    def expand(v):
+        return jax.lax.dot_general(
+            a_ref[:], v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    o_exp = expand(o_ref[:])          # (R*S, 3)
+    d_exp = expand(d_ref[:])          # (R*S, 3)
+    t_flat = _from_rs(t_ref[:], a_ref, b_ref)  # (R*S, 1)
+    points = o_exp + d_exp * t_flat
+
+    x_enc = _encode_tile(points, ex_ref, dx).astype(compute_dtype)
+    d_enc = _encode_tile(d_exp, ed_ref, dd).astype(compute_dtype)
+
+    preds, _ = _forward_tile(
+        wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype
+    )
+    rgb_out, weights, _ = _volume_render_tile(
+        preds, t_ref[:], a_ref, b_ref, r, s
+    )
+    rgb_ref[:] = rgb_out
+    w_ref[:] = weights
+
+
+def render_rays_fused(
+    params: Params,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_vals: jnp.ndarray,
+    *,
+    l_xyz: int = 10,
+    l_dir: int = 4,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    skip_layer: int = 4,
+    max_tile_fwd: int = _MAX_TILE_FWD,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-only megakernel over raw rays: sample positions, Fourier
+    encoding, the full MLP, and alpha compositing never leave VMEM.
+
+    This is the SURVEY.md §7 step-8 ray-march fusion completed for the
+    inference/eval path (the training path keeps encodings in XLA as
+    custom_vjp residuals — see apply_nerf_render_pallas).
+
+    Args:
+        params: MLP pytree (models/mlp.py layout).
+        origins/directions: ``(B, 3)`` rays.
+        t_vals: ``(B, S)`` ascending sample distances.
+
+    Returns:
+        ``(rgb, weights)``: ``(B, 3)`` f32 composited color and ``(B, S)``
+        f32 compositing weights (for importance sampling / depth).
+    """
+    num_layers = len(params["trunk"])
+    b, s = t_vals.shape
+    cdt = jnp.dtype(compute_dtype)
+    flat = [
+        p.astype(cdt) if p.ndim == 2 else p.reshape(1, -1)
+        for p in _flatten_params(params, num_layers)
+    ]
+    r_fwd = _rays_per_tile(s, max_tile_fwd)
+    b_pad = ((b + r_fwd - 1) // r_fwd) * r_fwd
+    grid = b_pad // r_fwd
+    tile = r_fwd * s
+
+    o2 = _pad_rays(origins.astype(jnp.float32), b_pad)
+    d2 = _pad_rays(directions.astype(jnp.float32), b_pad)
+    t_pad = jnp.broadcast_to(
+        jnp.arange(1, s + 1, dtype=t_vals.dtype), (b_pad - b, s)
+    )
+    t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
+    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_fwd, s))
+    ex, dx = _encode_consts(3, l_xyz)
+    ed, dd = _encode_consts(3, l_dir)
+    ex, ed = jnp.asarray(ex), jnp.asarray(ed)
+
+    kernel = functools.partial(
+        _fwd_encode_kernel, num_layers, skip_layer, cdt, r_fwd, s, dx, dd
+    )
+    rgb, weights = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((r_fwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_fwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_fwd, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(sel_a),
+            _const_spec(sel_b),
+            _const_spec(ex),
+            _const_spec(ed),
+            *[_const_spec(w) for w in flat],
+        ],
+        out_specs=[
+            pl.BlockSpec((r_fwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_fwd, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=_should_interpret(),
+    )(o2, d2, t2, sel_a, sel_b, ex, ed, *flat)
+    return rgb[:b], weights[:b]
+
+
 def apply_nerf_render_pallas(
     params: Params,
     x_enc: jnp.ndarray,

@@ -1,0 +1,84 @@
+"""Whole-frame render strategy A/B on the live backend.
+
+Compares, for a real 800x800 frame on the flagship architecture:
+  1. render_image's single-dispatch lax.map-over-chunks path
+  2. a host loop over the jitted chunk render with one final fetch
+     (dispatches pipeline on the tunnel; outputs stay on device)
+
+Round-2 context: chunk-level timing says 16384 rays cost ~60 ms fused,
+so a 640k-ray frame "should" take ~2.4 s — but the lax.map frame measures
+~4.2 s.  This experiment isolates where the extra second-and-a-half goes.
+
+Usage: python scripts/exp_frame.py [--hw 800] [--chunk 16384] [--frames 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--hw", type=int, default=800)
+    p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--frames", type=int, default=3)
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--xla", action="store_true")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    cfg = NeRFConfig(
+        batch_size=4096, ns_coarse=64, ns_fine=128, num_layers=8,
+        hidden_dim=256, compute_dtype="bfloat16",
+        use_pallas=not args.xla and jax.default_backend() == "tpu",
+    ).validate()
+    trainer = Trainer(cfg, 2.0, 6.0)
+    print(f"[exp] backend={jax.default_backend()} hw={args.hw} "
+          f"chunk={args.chunk} pallas={cfg.use_pallas}", flush=True)
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+
+    from nerf_keras_tpu.ops.rays import get_rays
+
+    origins, dirs = get_rays(args.hw, args.hw, 1000.0, pose)
+    origins = np.asarray(origins).reshape(-1, 3)
+    dirs = np.asarray(dirs).reshape(-1, 3)
+
+    def time_fn(name, fn):
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            out = fn()
+            np.asarray(out)
+            dt = time.perf_counter() - t0
+            print(f"{name:34s} frame {i}: {dt:6.2f} s", flush=True)
+
+    # 1. single-dispatch lax.map path
+    time_fn("render_image (lax.map)",
+            lambda: trainer.render_image(pose, args.hw, args.hw, 1000.0,
+                                         chunk=args.chunk)["rgb"])
+
+    # 2. host chunk loop, outputs on device until one final fetch
+    time_fn("render_rays (host loop)",
+            lambda: trainer.render_rays(origins, dirs, chunk=args.chunk,
+                                        keys=("rgb_fine", "depth_fine"))
+            ["rgb_fine"])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,9 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--ab", action="store_true",
+                   help="A/B the full render chunk: jnp path vs fused kernel "
+                        "path, same process, interleaved")
     args = p.parse_args()
 
     if args.platform:
@@ -84,12 +87,34 @@ def main() -> None:
 
     # --- the real thing ---
     render = make_render_fn(cfg, near, far)
+
     def render_frame_equiv(s, o, d):
         r = render(s, o, d)
         # rgb + depth consumed — what the frame renderer actually fetches
         return jnp.sum(r["rgb_fine"]) + jnp.sum(r["depth_fine"])
 
-    total = bench("full render chunk", render_frame_equiv, state, o_dev, d_dev)
+    total = bench("full render chunk (jnp)", render_frame_equiv,
+                  state, o_dev, d_dev)
+
+    if args.ab:
+        import dataclasses
+
+        cfg_p = dataclasses.replace(cfg, use_pallas=True)
+        render_p = make_render_fn(cfg_p, near, far)
+
+        def render_fused_equiv(s, o, d):
+            r = render_p(s, o, d)
+            return jnp.sum(r["rgb_fine"]) + jnp.sum(r["depth_fine"])
+
+        # Interleave: tunnel speed drifts run to run — alternate the two
+        # compiled programs inside one process for a fair comparison.
+        jit_j = jax.jit(render_frame_equiv)
+        jit_p = jax.jit(render_fused_equiv)
+        for tag, f in (("jnp", jit_j), ("fused", jit_p)) * 3:
+            stats = timer.measure(lambda: f(state, o_dev, d_dev))
+            print(f"A/B full render chunk [{tag:5s}] {stats['step_ms']:8.2f} ms",
+                  flush=True)
+        return
 
     # --- components ---
     tv = generate_t_vals(None, near, far, (b,), sc, "center")

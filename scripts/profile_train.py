@@ -139,6 +139,51 @@ def main() -> None:
         print(f"[profile] backward-only ~= {g_ms - f_ms:.2f} ms, "
               f"step-minus-grad ~= {full - g_ms:.2f} ms", flush=True)
 
+    # 4b. fused kernels standalone at train scale
+    if use_pallas:
+        from nerf_keras_tpu.ops.pallas.fused_render import (
+            apply_nerf_render_pallas,
+        )
+
+        def enc_for(t):
+            pts, ds_ = sample_rays(origins, dirs, t)
+            return (encode_position(pts, cfg.l_xyz).astype(jnp.bfloat16),
+                    encode_position(ds_, cfg.l_dir).astype(jnp.bfloat16))
+
+        tvc = jax.device_put(np.asarray(generate_t_vals(
+            None, near, far, (b,), cfg.ns_coarse, "center")))
+        s_all = cfg.ns_coarse + cfg.ns_fine
+        tva = jax.device_put(np.broadcast_to(
+            np.linspace(near, far, s_all, dtype=np.float32), (b, s_all)).copy())
+        xc, dc = jax.jit(enc_for)(tvc)
+        xa, da = jax.jit(enc_for)(tva)
+
+        def fused_fwd(pr, x, d, t):
+            return apply_nerf_render_pallas(
+                pr, x.reshape(b, t.shape[-1], -1), d.reshape(b, t.shape[-1], -1),
+                t, compute_dtype=jnp.bfloat16, skip_layer=cfg.skip_layer)[0]
+
+        bench("fused fwd kernel coarse (B,64)", fused_fwd,
+              state.params["coarse"], xc, dc, tvc)
+        bench("fused fwd kernel fine (B,192)", fused_fwd,
+              state.params["fine"], xa, da, tva)
+
+        def fused_grad(pr, x, d, t, im):
+            def lf(p):
+                rgb = apply_nerf_render_pallas(
+                    p, x.reshape(b, t.shape[-1], -1),
+                    d.reshape(b, t.shape[-1], -1), t,
+                    compute_dtype=jnp.bfloat16, skip_layer=cfg.skip_layer)[0]
+                return mse(im, rgb)
+
+            v, g = jax.value_and_grad(lf)(pr)
+            for leaf in jax.tree_util.tree_leaves(g):
+                v = v + jnp.sum(leaf).astype(jnp.float32)
+            return v
+
+        bench("fused fwd+bwd kernel fine only", fused_grad,
+              state.params["fine"], xa, da, tva, images)
+
     # 5. glue standalone
     bench("generate_t_vals", lambda k: generate_t_vals(
         k, near, far, (b,), cfg.ns_coarse, cfg.sampling_mode), key)

@@ -340,9 +340,9 @@ def test_sorted_union_matches_sort():
     np.testing.assert_array_equal(got, want)
 
 
-def test_render_image_single_dispatch_matches_chunked():
-    """The lax.map whole-frame renderer must agree with the host-loop
-    chunked path (render_rays) exactly."""
+def test_render_image_matches_include_coarse_path():
+    """Both render_image modes (fine-only keys vs include_coarse) must
+    agree on the fine maps, including with a chunk that pads."""
     from nerf_keras_tpu.engine.trainer import Trainer
     from nerf_keras_tpu.parallel.mesh import make_mesh
 
@@ -356,6 +356,7 @@ def test_render_image_single_dispatch_matches_chunked():
     h, w = 12, 10  # 120 rays, chunk 32 -> padding exercised
     fast = t.render_image(pose, h, w, focal=12.0, chunk=32)
     slow = t.render_image(pose, h, w, focal=12.0, chunk=32, include_coarse=True)
+    assert "rgb_coarse" in slow and "rgb_coarse" not in fast
     np.testing.assert_allclose(fast["rgb"], slow["rgb"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(fast["depth"], slow["depth"], rtol=1e-5, atol=1e-6)
 

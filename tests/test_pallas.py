@@ -301,3 +301,89 @@ def test_fused_render_grad_with_ray_padding(params):
     for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_fused_eval_render_path_matches_jnp():
+    """The eval step and render fn built with use_pallas take the fused
+    forward kernel (engine/step.py:_make_fused_eval_forward) and must
+    reproduce the jnp path's metrics and rgb/depth maps exactly in f32."""
+    import dataclasses
+
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.step import (
+        init_train_state,
+        make_eval_step,
+        make_render_fn,
+    )
+
+    cfg_p = NeRFConfig(
+        batch_size=16, ns_coarse=8, ns_fine=16, num_layers=4, hidden_dim=32,
+        skip_layer=2, l_xyz=L_XYZ, l_dir=L_DIR, compute_dtype="float32",
+        use_pallas=True,
+    ).validate()
+    cfg_j = dataclasses.replace(cfg_p, use_pallas=False)
+    state = init_train_state(jax.random.PRNGKey(0), cfg_p)
+
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.uniform(0, 1, (16, 3)).astype(np.float32))
+    origins = jnp.asarray(np.tile([0, 0, 4.0], (16, 1)).astype(np.float32))
+    dirs = rng.normal(size=(16, 3)).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+
+    ev_p = make_eval_step(cfg_p, 2.0, 6.0)(state, (images, origins, dirs))
+    ev_j = make_eval_step(cfg_j, 2.0, 6.0)(state, (images, origins, dirs))
+    for k in ("loss_coarse", "loss", "psnr"):
+        np.testing.assert_allclose(
+            float(ev_p[k]), float(ev_j[k]), atol=1e-5, rtol=1e-5
+        )
+
+    r_p = make_render_fn(cfg_p, 2.0, 6.0)(state, origins, dirs)
+    r_j = make_render_fn(cfg_j, 2.0, 6.0)(state, origins, dirs)
+    assert set(r_p) == {"rgb_coarse", "rgb_fine", "depth_coarse", "depth_fine"}
+    for k in r_p:
+        np.testing.assert_allclose(
+            np.asarray(r_p[k]), np.asarray(r_j[k]), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_render_rays_fused_matches_jnp_chain():
+    """The forward-only megakernel (raw rays in, in-kernel encode) must
+    match sample_rays -> encode -> MLP -> volume_render in f32, including
+    with a ray count that does not divide the ray tile."""
+    from nerf_keras_tpu.ops import (
+        encode_position,
+        sample_rays,
+        volume_render,
+    )
+    from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
+
+    l_xyz, l_dir = 4, 2
+    params = init_nerf_params(jax.random.PRNGKey(3), **ARCH)
+    rng = np.random.default_rng(12)
+    b, s = 20, 16  # tile = 8 rays at max_tile_fwd=128 -> padding exercised
+    origins = jnp.asarray(np.tile([0, 0, 4.0], (b, 1)).astype(np.float32))
+    dirs = rng.normal(size=(b, 3)).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+    t = jnp.sort(
+        jnp.asarray(rng.uniform(2.0, 6.0, size=(b, s)).astype(np.float32)),
+        axis=-1,
+    )
+
+    pts, ds_ = sample_rays(origins, dirs, t)
+    x_enc = encode_position(pts, l_xyz)
+    d_enc = encode_position(ds_, l_dir)
+    preds, _ = apply_nerf_mlp(
+        params, x_enc, d_enc, compute_dtype=jnp.float32,
+        skip_layer=ARCH["skip_layer"],
+    )
+    rgb_ref, _, w_ref = volume_render(preds, t)
+
+    rgb, w = render_rays_fused(
+        params, origins, dirs, t, l_xyz=l_xyz, l_dir=l_dir,
+        compute_dtype=jnp.float32, skip_layer=ARCH["skip_layer"],
+        max_tile_fwd=8 * 16,
+    )
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               atol=1e-5, rtol=1e-5)
