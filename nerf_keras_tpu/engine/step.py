@@ -225,22 +225,29 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
 
 
 def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
-    """Training forward for the fully fused Pallas path: MLP + alpha
-    compositing run in one kernel per pass (ops/pallas/fused_render.py),
-    so the lane-padded ``(B*S, 4)`` predictions and their cotangents never
-    touch HBM.  Valid only with detached importance sampling
-    (``stop_pdf_gradient``); returns ``(rgb_coarse, rgb_fine)``.
+    """Training forward for the fully fused Pallas path: each pass is ONE
+    ray megakernel (ops/pallas/fused_render.py:render_rays_fused) — sample
+    expansion, Fourier encoding, the MLP and alpha compositing all stay in
+    VMEM, so neither the lane-padded encodings nor the ``(B*S, 4)``
+    predictions/cotangents ever touch HBM.  Valid only with detached
+    importance sampling (``stop_pdf_gradient``); returns
+    ``(rgb_coarse, rgb_fine)``.
     """
     from jax.sharding import PartitionSpec as P
 
-    from nerf_keras_tpu.ops.pallas.fused_render import apply_nerf_render_pallas
+    from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
     from nerf_keras_tpu.parallel.mesh import DATA_AXIS
 
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    def render(params, x_enc, d_enc, t_vals):
-        return apply_nerf_render_pallas(
-            params, x_enc, d_enc, t_vals,
+    def render(params, origins, dirs, t_vals):
+        # Raw rays in: the megakernel expands/encodes in VMEM on both the
+        # forward and the backward recompute — XLA-side encodings would
+        # materialize lane-padded to 128 and their producer fusions are
+        # tile-padded VPU loops (docs/PERF.md round-2 section).
+        return render_rays_fused(
+            params, origins, dirs, t_vals,
+            l_xyz=cfg.l_xyz, l_dir=cfg.l_dir,
             compute_dtype=compute_dtype, skip_layer=cfg.skip_layer,
         )
 
@@ -254,11 +261,8 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
         )
 
     def forward(params, key, ray_origins, ray_directions, t_vals):
-        points, dirs = sample_rays(ray_origins, ray_directions, t_vals)
-        x_enc = encode_position(points, cfg.l_xyz).astype(compute_dtype)
-        d_enc = encode_position(dirs, cfg.l_dir).astype(compute_dtype)
         rgb_coarse, weights_coarse = render(
-            params["coarse"], x_enc, d_enc, t_vals
+            params["coarse"], ray_origins, ray_directions, t_vals
         )
 
         t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
@@ -268,10 +272,7 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
         )
         t_all = sorted_union(t_vals, t_fine)
 
-        points_f, dirs_f = sample_rays(ray_origins, ray_directions, t_all)
-        xf_enc = encode_position(points_f, cfg.l_xyz).astype(compute_dtype)
-        df_enc = encode_position(dirs_f, cfg.l_dir).astype(compute_dtype)
-        rgb_fine, _ = render(params["fine"], xf_enc, df_enc, t_all)
+        rgb_fine, _ = render(params["fine"], ray_origins, ray_directions, t_all)
         return rgb_coarse, rgb_fine
 
     return forward

@@ -10,7 +10,6 @@ traffic (preds out + volume-render in, cotangent out + backward in).
 
 Scope (enforced by the caller, engine/step.py):
 
-* training only — eval/render use the jnp path (XLA wins forward-only);
 * detached importance sampling (``stop_pdf_gradient``, the default):
   the backward consumes ONLY the rgb cotangent.  Cotangents w.r.t. the
   per-ray weights, t-values and encodings are structurally zero in that
@@ -186,14 +185,21 @@ def _bwd_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
     n_w = 2 * num_layers + 8
     wr = refs[:n_w]
     dw_refs = refs[n_w:]
+    _bwd_core(wr, dw_refs, x_ref[:], d_ref[:], t_ref, g_ref, a_ref, b_ref,
+              num_layers, skip_layer, compute_dtype, hidden, r, s)
 
+
+def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, b_ref,
+              num_layers, skip_layer, compute_dtype, hidden, r, s):
+    """Shared backward tile body: recompute forward, volume-render VJP,
+    MLP reverse walk accumulating dW/db across grid steps."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for ref in dw_refs:
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
     preds, res = _forward_tile(
-        wr, x_ref[:], d_ref[:], num_layers, skip_layer, compute_dtype
+        wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype
     )
     _, _, (sigma, delta, alpha, trans, rgb_rs) = _volume_render_tile(
         preds, t_ref[:], a_ref, b_ref, r, s
@@ -233,6 +239,25 @@ def _bwd_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
         wr, dw_refs, res, dpreds, num_layers, skip_layer, compute_dtype,
         hidden, need_input_grads=False,
     )
+
+
+def _bwd_encode_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
+                       dx, dd, o_ref, d_ref, t_ref, g_ref, a_ref, b_ref,
+                       ex_ref, ed_ref, *refs):
+    """Backward over raw rays: re-run the in-VMEM expand + Fourier encode
+    (see _fwd_encode_kernel for why XLA-side encodings are a trap), then
+    the shared backward core.  Encoding transcendentals thus run twice per
+    step (fwd + this recompute) — measured cheaper than the lane-padded
+    XLA encode chain they replace (docs/PERF.md round-2 section)."""
+    n_w = 2 * num_layers + 8
+    wr = refs[:n_w]
+    dw_refs = refs[n_w:]
+    x_enc, d_enc = _expand_encode(
+        o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref, dx, dd,
+        compute_dtype,
+    )
+    _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, b_ref,
+              num_layers, skip_layer, compute_dtype, hidden, r, s)
 
 
 def _const_spec(w) -> pl.BlockSpec:
@@ -413,22 +438,13 @@ def _encode_tile(p, e_ref, d: int):
     return jnp.where(is_id, z, jnp.where(is_sin, jnp.sin(z), jnp.cos(z)))
 
 
-def _fwd_encode_kernel(num_layers, skip_layer, compute_dtype, r, s, dx, dd,
-                       o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref,
-                       *refs):
-    """Forward-only: expand rays to samples, Fourier-encode, MLP, composite
-    — all in VMEM.  Exists because the XLA-side encode chain materializes
-    (N, 3) points and (N, 63)/(N, 27) encodings, which TPU lane-pads to
-    128 (42x / 2x / 4.7x their logical bytes) and lowers into slow
-    tile-padded VPU loop fusions (~4.5 ms per 1M points measured via HLO
-    cost analysis, docs/PERF.md round-2 section).  Unlike the TRAINING
-    in-kernel-encode experiments (rejected: fwd+bwd recompute runs the
-    transcendentals twice), a forward-only kernel encodes once.
+def _expand_encode(o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref,
+                   dx, dd, compute_dtype):
+    """Expand (R, 3) rays to (R*S, ·) Fourier-encoded samples in VMEM.
+
+    Per-sample expansion goes through the exact one-hot selectors: row k
+    of ``A^T @ v`` is ``v[k // S]``.
     """
-    rgb_ref, w_ref = refs[-2], refs[-1]
-    wr = refs[:-2]
-    # Per-sample expansion via the exact one-hot selectors: row k of
-    # (A^T @ v) is v[k // S].
     def expand(v):
         return jax.lax.dot_general(
             a_ref[:], v,
@@ -443,7 +459,36 @@ def _fwd_encode_kernel(num_layers, skip_layer, compute_dtype, r, s, dx, dd,
 
     x_enc = _encode_tile(points, ex_ref, dx).astype(compute_dtype)
     d_enc = _encode_tile(d_exp, ed_ref, dd).astype(compute_dtype)
+    return x_enc, d_enc
 
+
+def _fwd_encode_kernel(num_layers, skip_layer, compute_dtype, r, s, dx, dd,
+                       emit_enc, o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref,
+                       ed_ref, *refs):
+    """Expand rays to samples, Fourier-encode, MLP, composite — all in
+    VMEM.  Exists because the XLA-side encode chain materializes (N, 3)
+    points and (N, 63)/(N, 27) encodings, which TPU lane-pads to 128
+    (42x / 2x / 4.7x their logical bytes) and lowers into slow
+    tile-padded VPU loop fusions (~4.5 ms per 1M points measured via HLO
+    cost analysis, docs/PERF.md round-2 section).
+
+    With ``emit_enc`` the encodings are additionally written out (training
+    residuals for the encodings-in backward — trades two HBM writes for
+    not re-running the transcendentals in the backward recompute).
+    """
+    if emit_enc:
+        rgb_ref, w_ref, xo_ref, do_ref = refs[-4:]
+        wr = refs[:-4]
+    else:
+        rgb_ref, w_ref = refs[-2], refs[-1]
+        wr = refs[:-2]
+    x_enc, d_enc = _expand_encode(
+        o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref, dx, dd,
+        compute_dtype,
+    )
+    if emit_enc:
+        xo_ref[:] = x_enc
+        do_ref[:] = d_enc
     preds, _ = _forward_tile(
         wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype
     )
@@ -452,6 +497,185 @@ def _fwd_encode_kernel(num_layers, skip_layer, compute_dtype, r, s, dx, dd,
     )
     rgb_ref[:] = rgb_out
     w_ref[:] = weights
+
+
+def _pad_ray_batch(origins, directions, t_vals, b, s, b_pad):
+    """Pad rays to the tile multiple; padded rays get strictly increasing
+    t so delta/cumprod stay finite."""
+    o2 = _pad_rays(origins.astype(jnp.float32), b_pad)
+    d2 = _pad_rays(directions.astype(jnp.float32), b_pad)
+    t_pad = jnp.broadcast_to(
+        jnp.arange(1, s + 1, dtype=t_vals.dtype), (b_pad - b, s)
+    )
+    t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
+    return o2, d2, t2
+
+
+def _ray_specs(r, s):
+    """BlockSpecs for the (origins, dirs, t) ray-tile operands."""
+    return [
+        pl.BlockSpec((r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_render_rays(static, origins, dirs, t_vals, *flat_params):
+    return _fused_render_rays_fwd_impl(static, origins, dirs, t_vals,
+                                       flat_params)
+
+
+def _fused_render_rays_fwd_impl(static, origins, dirs, t_vals, flat_params,
+                                emit_enc=False):
+    num_layers, skip_layer, cdt_name, r_fwd, _, l_xyz, l_dir, _mode = static
+    cdt = jnp.dtype(cdt_name)
+    b, s = t_vals.shape
+    b_pad = ((b + r_fwd - 1) // r_fwd) * r_fwd
+    grid = b_pad // r_fwd
+    tile = r_fwd * s
+
+    o2, d2, t2 = _pad_ray_batch(origins, dirs, t_vals, b, s, b_pad)
+    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_fwd, s))
+    ex, dx = _encode_consts(3, l_xyz)
+    ed, dd = _encode_consts(3, l_dir)
+    ex, ed = jnp.asarray(ex), jnp.asarray(ed)
+
+    out_specs = [
+        pl.BlockSpec((r_fwd, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_fwd, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, s), jnp.float32),
+    ]
+    if emit_enc:
+        for w in (ex.shape[1], ed.shape[1]):
+            out_specs.append(
+                pl.BlockSpec((tile, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((b_pad * s, w), cdt)
+            )
+
+    kernel = functools.partial(
+        _fwd_encode_kernel, num_layers, skip_layer, cdt, r_fwd, s, dx, dd,
+        emit_enc,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            *_ray_specs(r_fwd, s),
+            _const_spec(sel_a),
+            _const_spec(sel_b),
+            _const_spec(ex),
+            _const_spec(ed),
+            *[_const_spec(w) for w in flat_params],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=_should_interpret(),
+    )(o2, d2, t2, sel_a, sel_b, ex, ed, *flat_params)
+    rgb, weights = outs[0][:b], outs[1][:b]
+    if emit_enc:
+        return rgb, weights, outs[2][:b * s], outs[3][:b * s]
+    return rgb, weights
+
+
+def _fused_render_rays_fwd(static, origins, dirs, t_vals, *flat_params):
+    mode = static[-1]
+    if mode == "residual":
+        rgb, weights, x2, d2 = _fused_render_rays_fwd_impl(
+            static, origins, dirs, t_vals, flat_params, emit_enc=True
+        )
+        # Residuals are the kernel-computed encodings: the backward is the
+        # encodings-in kernel, no transcendental recompute.
+        return (rgb, weights), ((x2, d2), t_vals, flat_params)
+    out = _fused_render_rays_fwd_impl(static, origins, dirs, t_vals,
+                                      flat_params)
+    # Residuals are the RAW rays — (B, 3) instead of the (B*S, 63)/(B*S, 27)
+    # encodings the encodings-in path keeps alive between fwd and bwd.
+    return out, ((origins, dirs), t_vals, flat_params)
+
+
+def _fused_render_rays_bwd(static, residuals, g):
+    prim, t_vals, flat_params = residuals
+    if static[-1] == "residual":
+        x2, d2 = prim
+        sub_static = static[:5]
+        _dx, _dd, _dt, *dws = _fused_render_bwd(
+            sub_static, (x2, d2, t_vals, flat_params), g
+        )
+        return (
+            jnp.zeros((t_vals.shape[0], 3), jnp.float32),
+            jnp.zeros((t_vals.shape[0], 3), jnp.float32),
+            jnp.zeros_like(t_vals),
+            *dws,
+        )
+    origins, dirs = prim
+    return _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
+                                            flat_params, g)
+
+
+def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
+                                     flat_params, g):
+    num_layers, skip_layer, cdt_name, _, r_bwd, l_xyz, l_dir, _mode = static
+    cdt = jnp.dtype(cdt_name)
+    g_rgb, _g_weights = g  # weights cotangent structurally zero (detached)
+    b, s = t_vals.shape
+    b_pad = ((b + r_bwd - 1) // r_bwd) * r_bwd
+    grid = b_pad // r_bwd
+    hidden = flat_params[2 * num_layers + 2].shape[1]
+
+    o2, d2, t2 = _pad_ray_batch(origins, dirs, t_vals, b, s, b_pad)
+    g2 = _pad_rays(g_rgb, b_pad)  # zero cotangent on padded rays
+    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_bwd, s))
+    ex, dx = _encode_consts(3, l_xyz)
+    ed, dd = _encode_consts(3, l_dir)
+    ex, ed = jnp.asarray(ex), jnp.asarray(ed)
+
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                 for w in flat_params]
+    kernel = functools.partial(
+        _bwd_encode_kernel, num_layers, skip_layer, cdt, hidden, r_bwd, s,
+        dx, dd,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            *_ray_specs(r_bwd, s),
+            pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(sel_a),
+            _const_spec(sel_b),
+            _const_spec(ex),
+            _const_spec(ed),
+            *[_const_spec(w) for w in flat_params],
+        ],
+        out_specs=[_const_spec(sh) for sh in dw_shapes],
+        out_shape=dw_shapes,
+        # Same scoped-vmem note as _fused_render_bwd.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=_should_interpret(),
+    )(o2, d2, t2, g2, sel_a, sel_b, ex, ed, *flat_params)
+    dws = [dv.astype(w.dtype) for w, dv in zip(flat_params, outs)]
+    return (
+        jnp.zeros_like(origins),
+        jnp.zeros_like(dirs),
+        jnp.zeros_like(t_vals),
+        *dws,
+    )
+
+
+_fused_render_rays.defvjp(_fused_render_rays_fwd, _fused_render_rays_bwd)
 
 
 def render_rays_fused(
@@ -465,13 +689,23 @@ def render_rays_fused(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     skip_layer: int = 4,
     max_tile_fwd: int = _MAX_TILE_FWD,
+    max_tile_bwd: int = _MAX_TILE_BWD,
+    bwd_mode: str = "residual",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward-only megakernel over raw rays: sample positions, Fourier
-    encoding, the full MLP, and alpha compositing never leave VMEM.
+    """Ray megakernel over raw rays: sample positions, Fourier encoding,
+    the full MLP, and alpha compositing never leave VMEM.
 
-    This is the SURVEY.md §7 step-8 ray-march fusion completed for the
-    inference/eval path (the training path keeps encodings in XLA as
-    custom_vjp residuals — see apply_nerf_render_pallas).
+    This is the SURVEY.md §7 step-8 ray-march fusion over raw rays; it
+    drives BOTH the inference/eval path and (since round 2) the training
+    path.  ``bwd_mode`` picks the backward strategy:
+
+    * ``"residual"`` (default): the forward also writes the in-VMEM
+      encodings to HBM and the backward consumes them (the encodings-in
+      kernel) — transcendentals run once.
+    * ``"recompute"``: residuals are the raw ``(B, 3)`` rays; the backward
+      re-runs expand+encode in VMEM (measured ~4.5 ms/step slower at the
+      flagship train shape — the recompute exceeds what the smaller
+      residual traffic saves; kept for memory-constrained regimes).
 
     Args:
         params: MLP pytree (models/mlp.py layout).
@@ -479,67 +713,29 @@ def render_rays_fused(
         t_vals: ``(B, S)`` ascending sample distances.
 
     Returns:
-        ``(rgb, weights)``: ``(B, 3)`` f32 composited color and ``(B, S)``
-        f32 compositing weights (for importance sampling / depth).
+        ``(rgb, weights)``: ``(B, 3)`` f32 composited color
+        (differentiable w.r.t. the MLP parameters) and ``(B, S)`` f32
+        compositing weights (forward value only — their cotangent is
+        treated as zero, correct solely under detached importance
+        sampling; stop_gradient makes that explicit).
     """
+    if bwd_mode not in ("residual", "recompute"):
+        raise ValueError(f"unknown bwd_mode: {bwd_mode!r}")
     num_layers = len(params["trunk"])
-    b, s = t_vals.shape
+    s = t_vals.shape[-1]
     cdt = jnp.dtype(compute_dtype)
     flat = [
         p.astype(cdt) if p.ndim == 2 else p.reshape(1, -1)
         for p in _flatten_params(params, num_layers)
     ]
-    r_fwd = _rays_per_tile(s, max_tile_fwd)
-    b_pad = ((b + r_fwd - 1) // r_fwd) * r_fwd
-    grid = b_pad // r_fwd
-    tile = r_fwd * s
-
-    o2 = _pad_rays(origins.astype(jnp.float32), b_pad)
-    d2 = _pad_rays(directions.astype(jnp.float32), b_pad)
-    t_pad = jnp.broadcast_to(
-        jnp.arange(1, s + 1, dtype=t_vals.dtype), (b_pad - b, s)
+    static = (
+        num_layers, skip_layer, cdt.name,
+        _rays_per_tile(s, max_tile_fwd), _rays_per_tile(s, max_tile_bwd),
+        l_xyz, l_dir, bwd_mode,
     )
-    t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
-    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_fwd, s))
-    ex, dx = _encode_consts(3, l_xyz)
-    ed, dd = _encode_consts(3, l_dir)
-    ex, ed = jnp.asarray(ex), jnp.asarray(ed)
-
-    kernel = functools.partial(
-        _fwd_encode_kernel, num_layers, skip_layer, cdt, r_fwd, s, dx, dd
-    )
-    rgb, weights = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((r_fwd, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_fwd, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_fwd, s), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            _const_spec(sel_a),
-            _const_spec(sel_b),
-            _const_spec(ex),
-            _const_spec(ed),
-            *[_const_spec(w) for w in flat],
-        ],
-        out_specs=[
-            pl.BlockSpec((r_fwd, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_fwd, s), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, s), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
-        ),
-        interpret=_should_interpret(),
-    )(o2, d2, t2, sel_a, sel_b, ex, ed, *flat)
-    return rgb[:b], weights[:b]
+    rgb, weights = _fused_render_rays(static, origins, directions, t_vals,
+                                      *flat)
+    return rgb, jax.lax.stop_gradient(weights)
 
 
 def apply_nerf_render_pallas(

@@ -107,6 +107,21 @@ def main() -> None:
                   max_tile_fwd=_t)[0],
               params, x_enc, d_enc, t_dev)
 
+    # Raw-rays megakernel: per-tile operands are (R,3)/(R,S), so bigger
+    # tiles don't inflate input DMA the way the encodings-in kernel's do —
+    # only the f32 selector/encode constants grow.
+    from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
+
+    o_dev = jax.device_put(origins)
+    dir_dev = jax.device_put(dirs)
+    for tile in (2048, 4096, 6144, 8192, 12288):
+        bench(f"megakernel (raw rays) tile={tile}",
+              lambda pr, o, d, t, _t=tile: render_rays_fused(
+                  pr, o, d, t, l_xyz=10, l_dir=4,
+                  compute_dtype=jnp.bfloat16, skip_layer=4,
+                  max_tile_fwd=_t)[0],
+              params, o_dev, dir_dev, t_dev)
+
 
 if __name__ == "__main__":
     sys.exit(main())
