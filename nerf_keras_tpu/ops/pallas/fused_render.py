@@ -399,43 +399,46 @@ _fused_render.defvjp(_fused_render_fwd, _fused_render_bwd)
 def _encode_consts(d: int, num_freqs: int):
     """Constants for in-kernel Fourier encoding of (T, d) coordinates.
 
-    Returns ``(E, n_id)`` where ``E`` is the (d, W) selector-with-frequency
-    matrix: column c of ``p @ E`` equals ``2^{octave(c)} * p[:, dim(c)]``
-    (octave 0 / scale 1 for the identity block), matching
-    ops/encoding.py's layout ``[x | sin(2^0 x), cos(2^0 x) | ...]``.
-    ``n_id = d`` identity columns come first; among the rest, column c is a
-    sin feature iff ``((c - d) // d) % 2 == 0``.
+    Returns ``(E, n_id)`` where ``E`` is the (d+1, W)
+    selector-with-frequency-and-phase matrix: with ``p1 = [p | 1]``,
+    column c of ``p1 @ E`` equals ``2^{octave(c)} * p[:, dim(c)] +
+    phase(c)`` (octave 0 / scale 1 / phase 0 for the identity block),
+    matching ops/encoding.py's layout ``[x | sin(2^0 x), cos(2^0 x) |
+    ...]``.  The phase row carries ``pi/2`` on the cos columns so ONE
+    full-width sin sweep produces both features
+    (``cos z = sin(z + pi/2)``, ~4e-8 absolute error in f32 — well under
+    the 1e-5 parity tolerance); ``n_id = d`` identity columns come first.
     """
     w = d + 2 * d * num_freqs
-    e = np.zeros((d, w), dtype=np.float32)
+    e = np.zeros((d + 1, w), dtype=np.float32)
     for j in range(d):
         e[j, j] = 1.0
     for i in range(num_freqs):
         for j in range(d):
             e[j, d + (2 * i) * d + j] = 2.0**i      # sin block
             e[j, d + (2 * i + 1) * d + j] = 2.0**i  # cos block
+            e[d, d + (2 * i + 1) * d + j] = np.pi / 2  # cos via sin phase
     return e, d
 
 
 def _encode_tile(p, e_ref, d: int):
     """Fourier-encode a (T, d) f32 tile fully in VMEM.
 
-    One (T, d) x (d, W) matmul applies the per-column frequency scaling
-    (exact: one nonzero per column, power-of-two scale), then full-width
-    sin/cos sweeps and an iota-mask select reproduce ops/encoding.py's
-    feature order.  Runs in f32 — the largest sin argument is
-    ``2^{L-1} * far`` (~5e3 rad for Lego), where bf16 phase error would be
-    catastrophic.
+    One (T, d+1) x (d+1, W) matmul applies the per-column frequency
+    scaling and the cos phase shift (exact scale: one nonzero per column,
+    power-of-two), then a SINGLE full-width sin sweep and an iota-mask
+    select reproduce ops/encoding.py's feature order.  Runs in f32 — the
+    largest sin argument is ``2^{L-1} * far`` (~5e3 rad for Lego), where
+    bf16 phase error would be catastrophic.
     """
+    p1 = jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=-1)
     z = jax.lax.dot_general(
-        p, e_ref[:],
+        p1, e_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (T, W)
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, dimension=1)
-    is_id = col < d
-    is_sin = ((col - d) // d) % 2 == 0
-    return jnp.where(is_id, z, jnp.where(is_sin, jnp.sin(z), jnp.cos(z)))
+    return jnp.where(col < d, z, jnp.sin(z))
 
 
 def _expand_encode(o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref,
@@ -458,7 +461,10 @@ def _expand_encode(o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref,
     points = o_exp + d_exp * t_flat
 
     x_enc = _encode_tile(points, ex_ref, dx).astype(compute_dtype)
-    d_enc = _encode_tile(d_exp, ed_ref, dd).astype(compute_dtype)
+    # Every sample on a ray shares its direction: encode (R, 3) once and
+    # expand the (R, W) features with the exact selector matmul — S x
+    # fewer direction transcendentals than encoding the expanded rows.
+    d_enc = expand(_encode_tile(d_ref[:], ed_ref, dd)).astype(compute_dtype)
     return x_enc, d_enc
 
 
