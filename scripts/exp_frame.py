@@ -68,16 +68,15 @@ def main() -> None:
             dt = time.perf_counter() - t0
             print(f"{name:34s} frame {i}: {dt:6.2f} s", flush=True)
 
-    # 1. single-dispatch lax.map path
-    time_fn("render_image (lax.map)",
-            lambda: trainer.render_image(pose, args.hw, args.hw, 1000.0,
-                                         chunk=args.chunk)["rgb"])
-
-    # 2. host chunk loop, outputs on device until one final fetch
-    time_fn("render_rays (host loop)",
-            lambda: trainer.render_rays(origins, dirs, chunk=args.chunk,
-                                        keys=("rgb_fine", "depth_fine"))
-            ["rgb_fine"])
+    # render_image is the host chunk loop since round 2 (the lax.map
+    # single-dispatch frame measured 3.40 vs 2.58 s and was removed);
+    # sweep the chunk size — bigger chunks amortize per-dispatch cost but
+    # raise HBM pressure.
+    for chunk in (args.chunk, 2 * args.chunk, 3 * args.chunk):
+        time_fn(f"render_rays chunk={chunk}",
+                lambda c=chunk: trainer.render_rays(
+                    origins, dirs, chunk=c,
+                    keys=("rgb_fine", "depth_fine"))["rgb_fine"])
 
 
 if __name__ == "__main__":

@@ -68,23 +68,28 @@ def main() -> None:
     # variant b (current code): raw-rays megakernel, residual bwd (hybrid)
     step_hyb = jax.jit(make_train_step(cfg, near, far))
 
-    # variant c: raw-rays megakernel, recompute bwd
+    # variants c+: raw-rays megakernel with explicit kernel knobs
     from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
 
-    def fwd_recompute(params, key, ray_o, ray_d, t_vals):
-        rgb_c, w_c = render_rays_fused(
-            params["coarse"], ray_o, ray_d, t_vals,
-            l_xyz=cfg.l_xyz, l_dir=cfg.l_dir, compute_dtype=jnp.bfloat16,
-            skip_layer=cfg.skip_layer, bwd_mode="recompute")
-        t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-        t_fine = sample_pdf(key, t_mid, jax.lax.stop_gradient(w_c),
-                            cfg.ns_fine, deterministic=key is None)
-        t_all = sorted_union(t_vals, t_fine)
-        rgb_f, _ = render_rays_fused(
-            params["fine"], ray_o, ray_d, t_all,
-            l_xyz=cfg.l_xyz, l_dir=cfg.l_dir, compute_dtype=jnp.bfloat16,
-            skip_layer=cfg.skip_layer, bwd_mode="recompute")
-        return rgb_c, rgb_f
+    def make_fwd(**knobs):
+        def fwd(params, key, ray_o, ray_d, t_vals):
+            rgb_c, w_c = render_rays_fused(
+                params["coarse"], ray_o, ray_d, t_vals,
+                l_xyz=cfg.l_xyz, l_dir=cfg.l_dir, compute_dtype=jnp.bfloat16,
+                skip_layer=cfg.skip_layer, **knobs)
+            t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+            t_fine = sample_pdf(key, t_mid, jax.lax.stop_gradient(w_c),
+                                cfg.ns_fine, deterministic=key is None)
+            t_all = sorted_union(t_vals, t_fine)
+            rgb_f, _ = render_rays_fused(
+                params["fine"], ray_o, ray_d, t_all,
+                l_xyz=cfg.l_xyz, l_dir=cfg.l_dir, compute_dtype=jnp.bfloat16,
+                skip_layer=cfg.skip_layer, **knobs)
+            return rgb_c, rgb_f
+
+        return fwd
+
+    fwd_recompute = make_fwd(bwd_mode="recompute")
 
     # variant a: encodings-in kernels — rebuild via a local forward that
     # mirrors the pre-round-2 _make_fused_train_forward
@@ -124,6 +129,15 @@ def main() -> None:
     finally:
         step_mod._make_fused_train_forward = orig
 
+    extra_steps = []
+    for bt in (2048, 3072):
+        f = make_fwd(max_tile_bwd=bt)
+        step_mod._make_fused_train_forward = lambda c, mesh=None, _f=f: _f
+        try:
+            extra_steps.append((f"bwd{bt}", jax.jit(make_train_step(cfg, near, far))))
+        finally:
+            step_mod._make_fused_train_forward = orig
+
     timer = StepTimer(warmup=args.warmup, steps=args.steps)
     key = jax.random.PRNGKey(7)
 
@@ -134,7 +148,7 @@ def main() -> None:
     print(f"[exp] backend={jax.default_backend()} batch={b}", flush=True)
     for r in range(args.rounds):
         for tag, step in (("enc-in ", step_enc), ("hybrid ", step_hyb),
-                          ("recomp ", step_rec)):
+                          ("recomp ", step_rec), *extra_steps):
             holder = {"s": state}
 
             def one():
