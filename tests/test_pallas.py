@@ -442,3 +442,40 @@ def test_render_rays_fused_grads_match_jnp_chain(params, bwd_mode):
 
     for leaf in jax.tree_util.tree_leaves(jax.grad(loss_w)(params)):
         assert float(jnp.max(jnp.abs(leaf))) == 0.0
+
+
+def test_pallas_eval_and_render_under_dp_mesh():
+    """The FUSED eval step and render path (use_pallas) under an 8-way
+    data mesh go through shard_map'd render_rays_fused and must match the
+    jnp path on the same batch."""
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    kwargs = dict(
+        batch_size=32, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        l_xyz=2, l_dir=1, compute_dtype="float32",
+    )
+    cfg_p = NeRFConfig(use_pallas=True, **kwargs).validate()
+    cfg_j = NeRFConfig(use_pallas=False, **kwargs).validate()
+
+    rng = np.random.default_rng(3)
+    images = rng.uniform(0, 1, (32, 3)).astype(np.float32)
+    dirs = rng.normal(size=(32, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.tile(np.array([0, 0, 4.0], np.float32), (32, 1))
+    batch = (images, origins, dirs)
+
+    t_p = Trainer(cfg_p, 2.0, 6.0, mesh=make_mesh(8, 1))
+    t_j = Trainer(cfg_j, 2.0, 6.0, mesh=make_mesh(8, 1))
+
+    e_p = t_p.eval_step(t_p.put_batch(batch))
+    e_j = t_j.eval_step(t_j.put_batch(batch))
+    for k in ("loss", "loss_coarse", "psnr"):
+        np.testing.assert_allclose(float(e_p[k]), float(e_j[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+    r_p = t_p.render_rays(origins, dirs, chunk=16)
+    r_j = t_j.render_rays(origins, dirs, chunk=16)
+    for k in ("rgb_fine", "depth_fine"):
+        np.testing.assert_allclose(r_p[k], r_j[k], rtol=1e-5, atol=1e-6)

@@ -139,9 +139,9 @@ def test_render_rays_keys_filter_and_render_image():
     assert set(img2) == {"rgb", "depth", "rgb_coarse", "depth_coarse"}
 
 
-def test_render_image_fused_on_8dev_mesh():
-    """Whole-frame lax.map renderer under an 8-way data mesh: the
-    with_sharding_constraint split must reproduce single-device output."""
+def test_render_image_on_8dev_mesh():
+    """Whole-frame render under an 8-way data mesh must reproduce
+    single-device output (host chunk loop + sharded chunk renders)."""
     import numpy as np
 
     from nerf_keras_tpu.config import NeRFConfig
