@@ -62,6 +62,10 @@ def resolve_eval_every(
     (including an explicit 1) > the entry point's reference-matching default
     (1 for train_lego/train_fern, 50/10 for the TPU scripts)."""
     if cli_value is not None:
+        if cli_value < 1:
+            raise SystemExit(
+                f"--eval-every must be >= 1, got {cli_value}"
+            )
         return cli_value
     if cfg.eval_every is not None:
         return cfg.eval_every
@@ -140,6 +144,19 @@ def run_training(
     losses_for_plot: list[float] = []
 
     test_bs = cfg.test_batch_size or cfg.batch_size
+    # Eval batches go through put_global_batch, which slices rows over
+    # processes and shards them over the mesh's data axis — the batch size
+    # must divide by the data-axis extent (a multiple of the process
+    # count under the process-major device layout).  Round DOWN so odd
+    # val-set sizes (e.g. a 625-ray 25x25 holdout on 2 hosts) degrade to
+    # a slightly smaller eval batch instead of crashing mid-run.
+    data_div = trainer.mesh.shape["data"]
+    if len(val_ds) < data_div:
+        raise ValueError(
+            f"val split has {len(val_ds)} rays but the data mesh axis has "
+            f"{data_div} shards; shrink the mesh or enlarge the val split"
+        )
+    eval_bs = max(data_div, (min(test_bs, len(val_ds)) // data_div) * data_div)
     # Multi-host accounting: each host assembles only its 1/P slice of the
     # global batch (put_batch assembles the global array across hosts), so
     # the per-host pipeline batch is batch_size // P and steps_per_epoch
@@ -211,7 +228,7 @@ def run_training(
 
         if (epoch + 1) % eval_every == 0 or epoch + 1 == cfg.epochs:
             val_metrics = trainer.evaluate(
-                iterate_batches(val_ds, min(test_bs, len(val_ds)), shuffle=False)
+                iterate_batches(val_ds, eval_bs, shuffle=False)
             )
             print(
                 f"  val: loss={val_metrics['loss']:.5f} "

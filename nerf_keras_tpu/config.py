@@ -103,6 +103,15 @@ class NeRFConfig:
             raise ValueError(f"unknown compute_dtype: {self.compute_dtype!r}")
         if self.eval_every is not None and self.eval_every < 1:
             raise ValueError(f"eval_every must be >= 1, got {self.eval_every}")
+        if self.use_pallas and self.batch_norm:
+            # The fused kernels carry no BatchNorm state; without this
+            # check a direct make_*_step caller would silently train/eval
+            # without BN (Trainer has the same guard for resolved configs).
+            raise ValueError(
+                "use_pallas=True is incompatible with batch_norm=True "
+                "(the fused kernels have no BatchNorm support); use the "
+                "XLA path for BN configs"
+            )
         return self
 
 

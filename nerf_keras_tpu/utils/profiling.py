@@ -11,7 +11,11 @@ equivalents promised there:
   execution finishes, so the timer synchronizes by *fetching a scalar
   value* and subtracts the measured fetch round-trip;
 * :func:`annotate` — named profiler spans (``jax.profiler.TraceAnnotation``)
-  so custom phases show up in the trace viewer.
+  so custom phases show up in the trace viewer;
+* :func:`bench_scalar` — the standard component-timing recipe for the
+  profiling/experiment scripts: jit-wrap ``fn`` to reduce its output to a
+  scalar ON DEVICE (a large output would bill tunnel transfer time to the
+  component) and measure with :class:`StepTimer`.
 """
 
 from __future__ import annotations
@@ -53,6 +57,32 @@ def _sync_scalar(tree) -> float:
     if not leaves:  # warmup=0: nothing dispatched yet — nothing to sync
         return 0.0
     return float(np.asarray(leaves[0]).ravel()[0])
+
+
+def bench_scalar(timer: "StepTimer", name: str, fn, *xs,
+                 width: int = 44, rate=None) -> float | None:
+    """Time ``fn(*xs)`` with on-device scalar reduction and print one line.
+
+    The scalar-sum wrapper forces the full computation (XLA cannot
+    dead-code-eliminate a consumed value) while keeping the per-step fetch
+    to one scalar — the only sync that works on tunneled backends (module
+    docstring).  Exceptions (e.g. a tile size over the VMEM cap) print as
+    FAILED and return None so sweeps continue.  ``rate`` is an optional
+    ``ms -> str`` callback appended to the line (throughput columns).
+    """
+    import jax.numpy as jnp
+
+    jitted = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    try:
+        stats = timer.measure(lambda: jitted(*xs))
+    except Exception as e:  # noqa: BLE001 — sweep must survive any backend error
+        print(f"{name:{width}s}   FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:90]}", flush=True)
+        return None
+    ms = stats["step_ms"]
+    tail = rate(ms) if rate else f"(fetch_rtt {stats['fetch_rtt_ms']:.1f} ms)"
+    print(f"{name:{width}s} {ms:8.2f} ms  {tail}", flush=True)
+    return ms
 
 
 @dataclass

@@ -1,13 +1,13 @@
-"""Whole-frame render strategy A/B on the live backend.
+"""Whole-frame render timing on the live backend.
 
-Compares, for a real 800x800 frame on the flagship architecture:
-  1. render_image's single-dispatch lax.map-over-chunks path
-  2. a host loop over the jitted chunk render with one final fetch
-     (dispatches pipeline on the tunnel; outputs stay on device)
+Times real 800x800 frames through trainer.render_rays (the host chunk
+loop with outputs left on device and one final fetch — render_image's
+strategy) across chunk sizes.
 
-Round-2 context: chunk-level timing says 16384 rays cost ~60 ms fused,
-so a 640k-ray frame "should" take ~2.4 s — but the lax.map frame measures
-~4.2 s.  This experiment isolates where the extra second-and-a-half goes.
+Historical note: this script originally A/B'd the single-dispatch
+lax.map-over-chunks frame against the host loop and measured 3.40 s vs
+2.58 s (docs/PERF.md round-2 section); the losing lax.map path was then
+removed from the Trainer, so only the host-loop variant remains to time.
 
 Usage: python scripts/exp_frame.py [--hw 800] [--chunk 16384] [--frames 3]
 """

@@ -43,7 +43,7 @@ def main() -> None:
     from nerf_keras_tpu.ops import encode_position, sample_rays
     from nerf_keras_tpu.ops.pallas.fused_mlp import apply_nerf_mlp_pallas
     from nerf_keras_tpu.ops.pallas.fused_render import apply_nerf_render_pallas
-    from nerf_keras_tpu.utils.profiling import StepTimer
+    from nerf_keras_tpu.utils.profiling import StepTimer, bench_scalar
 
     b, s = args.rays, args.samples
     cfg = NeRFConfig(
@@ -72,17 +72,9 @@ def main() -> None:
     npts = b * s
 
     def bench(name, fn, *xs):
-        jitted = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
-        try:
-            stats = timer.measure(lambda: jitted(*xs))
-        except Exception as e:  # e.g. a tile size over the VMEM cap
-            print(f"{name:44s}   FAILED {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:90]}", flush=True)
-            return None
-        ms = stats["step_ms"]
-        print(f"{name:44s} {ms:8.2f} ms  ({npts / ms * 1e3 / 1e6:7.1f} Mpts/s)",
-              flush=True)
-        return ms
+        return bench_scalar(
+            timer, name, fn, *xs,
+            rate=lambda ms: f"({npts / ms * 1e3 / 1e6:7.1f} Mpts/s)")
 
     print(f"[exp] backend={jax.default_backend()} rays={b} samples={s} "
           f"points={npts}", flush=True)

@@ -41,7 +41,7 @@ def main() -> None:
     from jax.experimental.pallas import tpu as pltpu
 
     from nerf_keras_tpu.ops.pallas.fused_mlp import _should_interpret
-    from nerf_keras_tpu.utils.profiling import StepTimer
+    from nerf_keras_tpu.utils.profiling import StepTimer, bench_scalar
     interp = _should_interpret()
 
     n = args.points
@@ -55,16 +55,10 @@ def main() -> None:
         )
 
     def bench(name, fn, *xs, flops):
-        jitted = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
-        try:
-            stats = timer.measure(lambda: jitted(*xs))
-        except Exception as e:
-            print(f"{name:46s}   FAILED {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:80]}", flush=True)
-            return
-        ms = stats["step_ms"]
-        print(f"{name:46s} {ms:8.2f} ms  ({n / ms * 1e3 / 1e6:6.1f} Mpts/s, "
-              f"{flops / (ms * 1e-3) / 1e12:5.1f} TFLOP/s)", flush=True)
+        bench_scalar(
+            timer, name, fn, *xs, width=46,
+            rate=lambda ms: f"({n / ms * 1e3 / 1e6:6.1f} Mpts/s, "
+                            f"{flops / (ms * 1e-3) / 1e12:5.1f} TFLOP/s)")
 
     x256 = jnp.asarray(rng.normal(size=(n, 256)).astype(np.float32)
                        ).astype(jnp.bfloat16)

@@ -50,7 +50,7 @@ def main() -> None:
         sorted_union,
         volume_render,
     )
-    from nerf_keras_tpu.utils.profiling import StepTimer
+    from nerf_keras_tpu.utils.profiling import StepTimer, bench_scalar
 
     cfg = NeRFConfig(
         batch_size=args.chunk, ns_coarse=64, ns_fine=128,
@@ -70,17 +70,7 @@ def main() -> None:
     timer = StepTimer(warmup=args.warmup, steps=args.steps)
 
     def bench(name, fn, *xs):
-        # Reduce to a scalar ON DEVICE: the timer syncs by fetching the
-        # output, and a multi-MB output would bill tunnel transfer time
-        # (~120 MB/s) to the component.  jnp.sum forces the full compute
-        # while keeping the fetch one scalar.
-        jitted = jax.jit(
-            lambda *a: jnp.sum(fn(*a).astype(jnp.float32))
-        )
-        stats = timer.measure(lambda: jitted(*xs))
-        print(f"{name:34s} {stats['step_ms']:8.2f} ms "
-              f"(fetch_rtt {stats['fetch_rtt_ms']:.1f} ms)", flush=True)
-        return stats["step_ms"]
+        return bench_scalar(timer, name, fn, *xs, width=36)
 
     print(f"[profile] backend={jax.default_backend()} chunk={b} "
           f"samples={sc}+{cfg.ns_fine}", flush=True)

@@ -52,7 +52,7 @@ def main() -> None:
         sample_rays,
         sorted_union,
     )
-    from nerf_keras_tpu.utils.profiling import StepTimer
+    from nerf_keras_tpu.utils.profiling import StepTimer, bench_scalar
 
     use_pallas = not args.xla and jax.default_backend() == "tpu"
     cfg = NeRFConfig(
@@ -76,15 +76,7 @@ def main() -> None:
     timer = StepTimer(warmup=args.warmup, steps=args.steps)
 
     def bench(name, fn, *xs):
-        # Reduce to a scalar ON DEVICE (see profile_render.py): a big
-        # output would bill tunnel transfer to the component.
-        jitted = jax.jit(
-            lambda *a: jnp.sum(fn(*a).astype(jnp.float32))
-        )
-        stats = timer.measure(lambda: jitted(*xs))
-        print(f"{name:36s} {stats['step_ms']:8.2f} ms "
-              f"(fetch_rtt {stats['fetch_rtt_ms']:.1f} ms)", flush=True)
-        return stats["step_ms"]
+        return bench_scalar(timer, name, fn, *xs, width=36)
 
     print(f"[profile] backend={jax.default_backend()} batch={b} "
           f"pallas={use_pallas}", flush=True)

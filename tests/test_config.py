@@ -73,6 +73,11 @@ def test_eval_every_precedence():
     explicit = config_from_dict({"BATCH_SIZE": 64, "EVAL_EVERY": 7})
     assert resolve_eval_every(None, explicit, 50) == 7
 
+    # CLI flag wins, but 0 is a config error, not a ZeroDivisionError later
+    assert resolve_eval_every(3, explicit, 50) == 3
+    with pytest.raises(SystemExit):
+        resolve_eval_every(0, explicit, 50)
+
     # CLI flag beats everything
     assert resolve_eval_every(3, explicit, 50) == 3
 
