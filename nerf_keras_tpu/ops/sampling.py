@@ -157,11 +157,20 @@ def sample_pdf(
     values = jnp.stack(
         [cdf, shift_up(cdf), t_mid_ext, shift_up(t_mid_ext)], axis=-1
     )  # (..., K, 4)
+    # precision=HIGHEST is load-bearing: TPU's DEFAULT f32 matmul
+    # precision truncates operands to bf16, which quantizes the selected
+    # cdf/t values (~0.4% relative) — fine samples land on a ~0.016 grid
+    # in t and cost ~2 dB of val PSNR at the flagship config (measured,
+    # docs/PERF.md).  CPU tests can't catch this (f32 dots are exact
+    # there); tests/test_ops.py pins exactness in principle, the TPU
+    # bench in practice.  With HIGHEST the pass decomposition makes
+    # 1.0 x f32 exact again at negligible cost (~0.3 GFLOP).
     sel = jnp.einsum(
         "...kf,...kv->...fv",
         onehot,
         values,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     cdf_below, cdf_above, t_below, t_above = (
         sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
