@@ -72,6 +72,22 @@ def resolve_eval_every(
     return default
 
 
+def resolve_eval_batch(test_bs: int, n_val: int, data_div: int) -> int:
+    """Eval batch size compatible with the mesh: eval batches go through
+    ``Trainer.put_global_batch``, which slices rows over processes and
+    shards them over the mesh's data axis — the batch size must divide by
+    the data-axis extent (a multiple of the process count under the
+    process-major device layout).  Rounds DOWN so odd val-set sizes (e.g.
+    a 625-ray 25x25 holdout on 2 hosts) degrade to a slightly smaller
+    eval batch instead of crashing mid-run at the first eval."""
+    if n_val < data_div:
+        raise ValueError(
+            f"val split has {n_val} rays but the data mesh axis has "
+            f"{data_div} shards; shrink the mesh or enlarge the val split"
+        )
+    return max(data_div, (min(test_bs, n_val) // data_div) * data_div)
+
+
 def resolve_run_dirs(cfg: NeRFConfig, name: str, run_dir: str | None):
     """Run/viz directories, local or GCS (reference train_lego.py:63-69)."""
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
@@ -144,19 +160,7 @@ def run_training(
     losses_for_plot: list[float] = []
 
     test_bs = cfg.test_batch_size or cfg.batch_size
-    # Eval batches go through put_global_batch, which slices rows over
-    # processes and shards them over the mesh's data axis — the batch size
-    # must divide by the data-axis extent (a multiple of the process
-    # count under the process-major device layout).  Round DOWN so odd
-    # val-set sizes (e.g. a 625-ray 25x25 holdout on 2 hosts) degrade to
-    # a slightly smaller eval batch instead of crashing mid-run.
-    data_div = trainer.mesh.shape["data"]
-    if len(val_ds) < data_div:
-        raise ValueError(
-            f"val split has {len(val_ds)} rays but the data mesh axis has "
-            f"{data_div} shards; shrink the mesh or enlarge the val split"
-        )
-    eval_bs = max(data_div, (min(test_bs, len(val_ds)) // data_div) * data_div)
+    eval_bs = resolve_eval_batch(test_bs, len(val_ds), trainer.mesh.shape["data"])
     # Multi-host accounting: each host assembles only its 1/P slice of the
     # global batch (put_batch assembles the global array across hosts), so
     # the per-host pipeline batch is batch_size // P and steps_per_epoch

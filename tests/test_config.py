@@ -104,3 +104,16 @@ def test_use_pallas_auto_resolution():
         mesh=make_mesh(1, 1, devices=jax.devices()[:1]),
     )
     assert t2.cfg.use_pallas is True
+
+
+def test_resolve_eval_batch():
+    """Eval batch size must divide the data-mesh extent; odd val sizes
+    round down instead of crashing; too-small val splits error early."""
+    from nerf_keras_tpu.cli.train import resolve_eval_batch
+
+    assert resolve_eval_batch(4096, 10000, 1) == 4096
+    assert resolve_eval_batch(4096, 625, 2) == 624     # rounds down
+    assert resolve_eval_batch(100, 625, 8) == 96
+    assert resolve_eval_batch(4, 625, 8) == 8          # floor at data_div
+    with pytest.raises(ValueError, match="val split"):
+        resolve_eval_batch(4096, 5, 8)
