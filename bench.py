@@ -107,14 +107,19 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
         np.asarray(out["rgb"])
         frame_time = time.perf_counter() - t0
-        # second frame: compiled path only
-        t0 = time.perf_counter()
-        out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
-        np.asarray(out["rgb"])
-        frame_time2 = time.perf_counter() - t0
+        # steady frames: compiled path only.  Best of two — identical
+        # programs vary 2.5-3.2 s run-to-run on the shared tunnel
+        # (docs/PERF.md), so a single sample mostly measures the tunnel.
+        steady = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
+            np.asarray(out["rgb"])
+            steady.append(time.perf_counter() - t0)
         print(
             f"[bench] 800x800 frame (chunk {chunk}): {frame_time:.2f}s "
-            f"(first) {frame_time2:.2f}s (steady; target <2s)",
+            f"(first) {min(steady):.2f}s (steady, best of {len(steady)}; "
+            f"target <2s)",
             file=sys.stderr,
         )
 
