@@ -134,6 +134,43 @@ def main() -> None:
         bench(f"trunk bf16-out abs-relu tile={tile}", run_trunk_b, x256,
               *ws, flops=fl8)
 
+        # 1c. software-pipelined halves: split the tile in two and
+        # interleave their layers, so the scheduler can overlap half A's
+        # VPU relu/cast with half B's MXU matmul (the plain chain's
+        # strict dependency idles the MXU during every relu).
+        for parts in (2, 4):
+            sub = tile // parts
+
+            def k_trunk_p(x_ref, *refs, _parts=parts, _sub=sub):
+                o_ref = refs[-1]
+                hs = [x_ref[i * _sub:(i + 1) * _sub] for i in range(_parts)]
+                for w_ref in refs[:-1]:
+                    w = w_ref[:]
+                    zs = [dot(h, w) for h in hs]
+                    hs = [jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+                          for z in zs]
+                for i, h in enumerate(hs):
+                    o_ref[i * _sub:(i + 1) * _sub] = h
+
+            def run_trunk_p(x, *w, _k=k_trunk_p):
+                return pl.pallas_call(
+                    _k,
+                    grid=(grid,),
+                    in_specs=[pl.BlockSpec((tile, 256), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM)]
+                    + [pl.BlockSpec(wi.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM) for wi in w],
+                    out_specs=pl.BlockSpec((tile, 256), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n, 256), jnp.bfloat16),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=48 * 1024 * 1024),
+                    interpret=interp,
+                )(x, *w)
+
+            bench(f"trunk {parts}-way interleaved tile={tile}", run_trunk_p,
+                  x256, *ws, flops=fl8)
+
         # 2. trunk + 63-wide first layer (K pads to 128)
         def k_in63(x_ref, w1_ref, *refs):
             o_ref = refs[-1]
