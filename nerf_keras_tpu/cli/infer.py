@@ -81,6 +81,9 @@ def run_inference(argv: list[str] | None = None) -> str:
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from nerf_keras_tpu.utils.cache import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
 
     cfg = load_config(args.config)
     name = config_name(args.config)

@@ -20,6 +20,7 @@ from nerf_keras_tpu.config import NeRFConfig, config_name, load_config
 from nerf_keras_tpu.data.pipeline import RayDataset, iterate_batches
 from nerf_keras_tpu.engine.trainer import Trainer
 from nerf_keras_tpu.utils import io
+from nerf_keras_tpu.utils.cache import maybe_enable_compilation_cache
 from nerf_keras_tpu.utils.checkpoint import (
     checkpoint_name,
     load_checkpoint,
@@ -116,6 +117,7 @@ def run_training(
         # Must happen before any backend initialization; env alone is not
         # enough when a sitecustomize registers a TPU plugin eagerly.
         jax.config.update("jax_platforms", args.platform)
+    maybe_enable_compilation_cache()
 
     # Multi-host: one call per process, before any other JAX use; no-op on
     # a single host (replaces TPUClusterResolver/TPUStrategy wiring,

@@ -183,6 +183,9 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from nerf_keras_tpu.utils.cache import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
 
     service = RenderService(
         load_config(args.config), args.checkpoint, args.near, args.far

@@ -26,3 +26,26 @@ def test_makedirs_idempotent(tmp_path):
     io.makedirs(d)
     io.makedirs(d)
     assert io.exists(d)
+
+
+def test_compilation_cache_wiring(tmp_path, monkeypatch):
+    """NERF_COMPILATION_CACHE points JAX's persistent cache at the dir;
+    unset means untouched; enable_compilation_cache survives odd JAX
+    versions by returning False instead of raising."""
+    import jax
+
+    from nerf_keras_tpu.utils.cache import (
+        enable_compilation_cache,
+        maybe_enable_compilation_cache,
+    )
+
+    monkeypatch.delenv("NERF_COMPILATION_CACHE", raising=False)
+    assert maybe_enable_compilation_cache() is False
+
+    cache_dir = str(tmp_path / "xla-cache")
+    monkeypatch.setenv("NERF_COMPILATION_CACHE", cache_dir)
+    assert maybe_enable_compilation_cache() is True
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+
+    assert enable_compilation_cache(str(tmp_path / "other")) is True
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
