@@ -43,7 +43,10 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
 
     from nerf_keras_tpu.config import NeRFConfig
     from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.utils.cache import maybe_enable_compilation_cache
     from nerf_keras_tpu.utils.profiling import StepTimer
+
+    maybe_enable_compilation_cache()
 
     cfg = NeRFConfig(
         batch_size=batch_size,

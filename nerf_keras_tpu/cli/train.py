@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import math
 import time
 from typing import Callable
 
@@ -73,20 +74,25 @@ def resolve_eval_every(
     return default
 
 
-def resolve_eval_batch(test_bs: int, n_val: int, data_div: int) -> int:
+def resolve_eval_batch(
+    test_bs: int, n_val: int, data_div: int, proc_count: int = 1
+) -> int:
     """Eval batch size compatible with the mesh: eval batches go through
-    ``Trainer.put_global_batch``, which slices rows over processes and
-    shards them over the mesh's data axis — the batch size must divide by
-    the data-axis extent (a multiple of the process count under the
-    process-major device layout).  Rounds DOWN so odd val-set sizes (e.g.
-    a 625-ray 25x25 holdout on 2 hosts) degrade to a slightly smaller
-    eval batch instead of crashing mid-run at the first eval."""
-    if n_val < data_div:
+    ``Trainer.put_global_batch``, which slices rows over ``proc_count``
+    processes AND shards them over the mesh's data axis, so the batch
+    size must divide by BOTH (lcm — the data axis need not be a multiple
+    of the process count on model-parallel meshes).  Rounds DOWN so odd
+    val-set sizes (e.g. a 625-ray 25x25 holdout on 2 hosts) degrade to a
+    slightly smaller eval batch instead of crashing mid-run at the first
+    eval."""
+    div = math.lcm(data_div, proc_count)
+    if n_val < div:
         raise ValueError(
-            f"val split has {n_val} rays but the data mesh axis has "
-            f"{data_div} shards; shrink the mesh or enlarge the val split"
+            f"val split has {n_val} rays but eval batches must divide by "
+            f"lcm(data axis {data_div}, processes {proc_count}) = {div}; "
+            f"shrink the mesh or enlarge the val split"
         )
-    return max(data_div, (min(test_bs, n_val) // data_div) * data_div)
+    return max(div, (min(test_bs, n_val) // div) * div)
 
 
 def resolve_run_dirs(cfg: NeRFConfig, name: str, run_dir: str | None):
@@ -161,13 +167,15 @@ def run_training(
     history = History()
     losses_for_plot: list[float] = []
 
-    test_bs = cfg.test_batch_size or cfg.batch_size
-    eval_bs = resolve_eval_batch(test_bs, len(val_ds), trainer.mesh.shape["data"])
     # Multi-host accounting: each host assembles only its 1/P slice of the
     # global batch (put_batch assembles the global array across hosts), so
     # the per-host pipeline batch is batch_size // P and steps_per_epoch
     # covers the GLOBAL ray count once per epoch.
     _, proc_count = process_info()
+    test_bs = cfg.test_batch_size or cfg.batch_size
+    eval_bs = resolve_eval_batch(
+        test_bs, len(val_ds), trainer.mesh.shape["data"], proc_count
+    )
     if cfg.batch_size % proc_count != 0:
         raise ValueError(
             f"BATCH_SIZE={cfg.batch_size} must be divisible by the process "

@@ -160,7 +160,7 @@ def sample_pdf(
     # precision=HIGHEST is load-bearing: TPU's DEFAULT f32 matmul
     # precision truncates operands to bf16, which quantizes the selected
     # cdf/t values (~0.4% relative) — fine samples land on a ~0.016 grid
-    # in t and cost ~2 dB of val PSNR at the flagship config (measured,
+    # in t and cost ~1.3 dB of val PSNR at the flagship config (measured,
     # docs/PERF.md).  CPU tests can't catch this (f32 dots are exact
     # there); tests/test_ops.py pins exactness in principle, the TPU
     # bench in practice.  With HIGHEST the pass decomposition makes

@@ -77,7 +77,7 @@ def bench_scalar(timer: "StepTimer", name: str, fn, *xs,
         stats = timer.measure(lambda: jitted(*xs))
     except Exception as e:  # noqa: BLE001 — sweep must survive any backend error
         print(f"{name:{width}s}   FAILED {type(e).__name__}: "
-              f"{str(e).splitlines()[0][:90]}", flush=True)
+              f"{(str(e).splitlines() or [repr(e)])[0][:90]}", flush=True)
         return None
     ms = stats["step_ms"]
     tail = rate(ms) if rate else f"(fetch_rtt {stats['fetch_rtt_ms']:.1f} ms)"

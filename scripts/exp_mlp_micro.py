@@ -139,6 +139,10 @@ def main() -> None:
         # VPU relu/cast with half B's MXU matmul (the plain chain's
         # strict dependency idles the MXU during every relu).
         for parts in (2, 4):
+            if tile % parts:
+                print(f"skip {parts}-way interleave: tile {tile} not "
+                      f"divisible", flush=True)
+                continue
             sub = tile // parts
 
             def k_trunk_p(x_ref, *refs, _parts=parts, _sub=sub):

@@ -144,6 +144,10 @@ def main() -> None:
     bench("volume_render fine", lambda p, t: volume_render(p, t)[0], preds_f, t_all)
 
     n_frame = 800 * 800
+    if total is None:
+        print("[profile] full-chunk bench FAILED; no frame estimate",
+              flush=True)
+        return
     print(f"[profile] full-chunk total {total:.2f} ms -> "
           f"{total * (n_frame / b) / 1e3:.2f} s per 800x800 frame-equivalent",
           flush=True)

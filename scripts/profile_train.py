@@ -137,8 +137,12 @@ def main() -> None:
             return acc
 
         bench("adam update alone", adam, grads, state.opt_state, state.params)
-        print(f"[profile] backward-only ~= {g_ms - f_ms:.2f} ms, "
-              f"step-minus-grad ~= {full - g_ms:.2f} ms", flush=True)
+        if None not in (f_ms, g_ms, full):
+            print(f"[profile] backward-only ~= {g_ms - f_ms:.2f} ms, "
+                  f"step-minus-grad ~= {full - g_ms:.2f} ms", flush=True)
+        else:
+            print("[profile] derived numbers skipped (a component FAILED)",
+                  flush=True)
 
     # 4b. fused kernels standalone at train scale
     if use_pallas:

@@ -73,8 +73,7 @@ def test_eval_every_precedence():
     explicit = config_from_dict({"BATCH_SIZE": 64, "EVAL_EVERY": 7})
     assert resolve_eval_every(None, explicit, 50) == 7
 
-    # CLI flag wins, but 0 is a config error, not a ZeroDivisionError later
-    assert resolve_eval_every(3, explicit, 50) == 3
+    # 0 from the CLI is a usage error, not a ZeroDivisionError later
     with pytest.raises(SystemExit):
         resolve_eval_every(0, explicit, 50)
 
@@ -114,6 +113,12 @@ def test_resolve_eval_batch():
     assert resolve_eval_batch(4096, 10000, 1) == 4096
     assert resolve_eval_batch(4096, 625, 2) == 624     # rounds down
     assert resolve_eval_batch(100, 625, 8) == 96
-    assert resolve_eval_batch(4, 625, 8) == 8          # floor at data_div
+    assert resolve_eval_batch(4, 625, 8) == 8          # floor at divisor
+    # model-parallel mesh (data axis 1) on 2 hosts: process count still
+    # constrains the batch (put_global_batch slices rows over processes)
+    assert resolve_eval_batch(4096, 625, 1, proc_count=2) == 624
+    assert resolve_eval_batch(4096, 625, 3, proc_count=2) == 624  # lcm=6
     with pytest.raises(ValueError, match="val split"):
         resolve_eval_batch(4096, 5, 8)
+    with pytest.raises(ValueError, match="val split"):
+        resolve_eval_batch(4096, 7, 1, proc_count=8)

@@ -39,13 +39,22 @@ def test_compilation_cache_wiring(tmp_path, monkeypatch):
         maybe_enable_compilation_cache,
     )
 
-    monkeypatch.delenv("NERF_COMPILATION_CACHE", raising=False)
-    assert maybe_enable_compilation_cache() is False
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        monkeypatch.delenv("NERF_COMPILATION_CACHE", raising=False)
+        assert maybe_enable_compilation_cache() is False
 
-    cache_dir = str(tmp_path / "xla-cache")
-    monkeypatch.setenv("NERF_COMPILATION_CACHE", cache_dir)
-    assert maybe_enable_compilation_cache() is True
-    assert jax.config.jax_compilation_cache_dir == cache_dir
+        cache_dir = str(tmp_path / "xla-cache")
+        monkeypatch.setenv("NERF_COMPILATION_CACHE", cache_dir)
+        assert maybe_enable_compilation_cache() is True
+        assert jax.config.jax_compilation_cache_dir == cache_dir
 
-    assert enable_compilation_cache(str(tmp_path / "other")) is True
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
+        assert enable_compilation_cache(str(tmp_path / "other")) is True
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "other")
+    finally:
+        # restore global config: cache state must not leak into the suite
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
