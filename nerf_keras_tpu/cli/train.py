@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import datetime
 import math
+import signal
 import time
 from typing import Callable
 
@@ -209,6 +210,22 @@ def run_training(
         return iterate_batches(train_ds, local_bs, shuffle=True,
                                seed=cfg.seed, epoch=epoch)
 
+    # Preemption safety (SURVEY.md §5 failure-detection row — the
+    # reference has nothing): TPU jobs are routinely preempted with a
+    # SIGTERM grace window; checkpoint at the next epoch boundary and
+    # exit 0 so the job resumes with --resume instead of losing the run.
+    # Signal-handler rules: only set a flag (no JAX/IO in handler), and
+    # only in the main thread of the main interpreter.
+    stop_requested = {"sig": None}
+
+    def _request_stop(signum, frame):
+        stop_requested["sig"] = signum
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _request_stop)
+    except ValueError:  # non-main thread (tests driving run_training)
+        prev_sigterm = None
+
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         metrics = trainer.train_epoch(
@@ -282,5 +299,19 @@ def run_training(
         else:
             history.append(metrics)
 
+        if stop_requested["sig"] is not None:
+            ckpt_path = io.join(run_dir, checkpoint_name(cfg))
+            if is_main:
+                io.makedirs(run_dir)
+                save_checkpoint(ckpt_path, trainer.state, cfg, scene=scene)
+            print(
+                f"[nerf-tpu] signal {stop_requested['sig']} at epoch "
+                f"{epoch + 1}: checkpoint saved to {ckpt_path}; resume "
+                f"with --resume"
+            )
+            break
+
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     print(f"[nerf-tpu] done; run dir: {run_dir}")
     return trainer

@@ -379,3 +379,51 @@ def test_train_epoch_log_every(capsys):
     out = capsys.readouterr().out
     assert out.count("step ") == 2  # steps 2 and 4
     assert "loss=" in out and "psnr=" in out
+
+
+def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
+    """Preemption safety: SIGTERM mid-run must checkpoint at the next
+    epoch boundary and exit 0 (the reference loses the run)."""
+    import json
+    import os
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _time
+
+    cfg = {
+        "BATCH_SIZE": 64, "NS_COARSE": 4, "NS_FINE": 8, "HEIGHT": 12,
+        "WIDTH": 12, "L_XYZ": 4, "L_DIR": 2, "NUM_LAYERS": 2,
+        "HIDDEN_DIM": 16, "SKIP_LAYER": 1, "EPOCHS": 500,
+        "LEARNING_RATE": 0.002, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 1000,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    run_dir = tmp_path / "run"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # no need for 8 virtual devices here
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "train_synthetic.py"),
+         "--config", str(cfg_path), "--run-dir", str(run_dir),
+         "--platform", "cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=repo, env=env,
+    )
+    # wait for training to actually be in the epoch loop
+    deadline = _time.time() + 180
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if line.startswith("epoch 2/"):
+            break
+        assert _time.time() < deadline, "".join(lines)
+    proc.send_signal(_signal.SIGTERM)
+    out = proc.stdout.read()
+    rc = proc.wait(timeout=120)
+    assert rc == 0, out
+    assert "checkpoint saved" in out, out
+    ckpts = list(run_dir.glob("*.ckpt.npz"))
+    assert ckpts, out
