@@ -59,14 +59,31 @@ def _is_skip(i: int, skip_layer: int) -> bool:
 
 
 def _flatten_params(params: Params, num_layers: int) -> list[jnp.ndarray]:
-    """Deterministic flat ordering of the MLP pytree for pallas_call args."""
+    """Deterministic flat ordering of the MLP pytree for pallas_call args.
+
+    The feature and sigma heads are merged into one ``(in, hidden+1)``
+    "fs" weight/bias pair OUTSIDE the kernel (autodiff splits the merged
+    cotangent back through the concatenate): both heads read the same
+    ``x_last``, and N=257 pads to the same 384 MXU columns as the separate
+    N=256 + N=1 dots — one invocation instead of two in the forward AND
+    one dW accumulator instead of two in the backward, for free.
+    """
     flat: list[jnp.ndarray] = []
     for i in range(num_layers):
         layer = params["trunk"][i]
         flat += [layer["w"], layer["b"]]
-    for head in ("sigma", "feature", "branch", "rgb"):
+    flat += [
+        jnp.concatenate([params["feature"]["w"], params["sigma"]["w"]], axis=-1),
+        jnp.concatenate([params["feature"]["b"], params["sigma"]["b"]], axis=-1),
+    ]
+    for head in ("branch", "rgb"):
         flat += [params[head]["w"], params[head]["b"]]
     return flat
+
+
+# Flat params per MLP: 2 per trunk layer + fs/branch/rgb w+b pairs.
+def _n_flat(num_layers: int) -> int:
+    return 2 * num_layers + 6
 
 
 def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
@@ -76,6 +93,7 @@ def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
     Mirrors models/mlp.py:apply_nerf_mlp exactly (minus BatchNorm, which the
     Pallas path does not support — config validation rejects the combo).
     """
+    hidden = wr[0].shape[1]
     acts = []  # input to each trunk layer, in compute dtype
     x = x_enc.astype(compute_dtype)
     x_skip = x
@@ -89,13 +107,15 @@ def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
         else:
             x = h
     base = 2 * num_layers
-    w_sig, b_sig = wr[base], wr[base + 1]
-    w_feat, b_feat = wr[base + 2], wr[base + 3]
-    w_br, b_br = wr[base + 4], wr[base + 5]
-    w_rgb, b_rgb = wr[base + 6], wr[base + 7]
+    w_fs, b_fs = wr[base], wr[base + 1]
+    w_br, b_br = wr[base + 2], wr[base + 3]
+    w_rgb, b_rgb = wr[base + 4], wr[base + 5]
 
-    sigma = jnp.dot(x, w_sig[:], preferred_element_type=jnp.float32) + b_sig[:]
-    feat = jnp.dot(x, w_feat[:], preferred_element_type=jnp.float32) + b_feat[:]
+    # Merged feature+sigma head (see _flatten_params): columns [:hidden]
+    # are the feature layer, column [hidden] is sigma.
+    fs = jnp.dot(x, w_fs[:], preferred_element_type=jnp.float32) + b_fs[:]
+    feat = fs[:, :hidden]
+    sigma = fs[:, hidden:]
     fd = jnp.concatenate(
         [feat.astype(compute_dtype), d_enc.astype(compute_dtype)], axis=-1
     )
@@ -139,10 +159,9 @@ def _mlp_bwd_tile(
     dsigma = g[:, 3:4]
 
     base = 2 * num_layers
-    w_sig = wr[base]
-    w_feat = wr[base + 2]
-    w_br = wr[base + 4]
-    w_rgb = wr[base + 6]
+    w_fs = wr[base]
+    w_br = wr[base + 2]
+    w_rgb = wr[base + 4]
 
     def matmul_nt(a, b):
         """a @ b.T with f32 accumulation: (T, n) x (m, n) -> (T, m)."""
@@ -167,29 +186,24 @@ def _mlp_bwd_tile(
     def dw(i):
         return dw_refs[i]
 
-    dw(base + 6)[:] += matmul_tn(h2, drgb)
-    dw(base + 7)[:] += bsum(drgb)
+    dw(base + 4)[:] += matmul_tn(h2, drgb)
+    dw(base + 5)[:] += bsum(drgb)
     dh2 = matmul_nt(drgb, w_rgb[:]) * _relu_mask(h2)
 
     # branch: h2 = relu(fd @ w_br + b_br)
-    dw(base + 4)[:] += matmul_tn(fd, dh2)
-    dw(base + 5)[:] += bsum(dh2)
+    dw(base + 2)[:] += matmul_tn(fd, dh2)
+    dw(base + 3)[:] += bsum(dh2)
     dfd = matmul_nt(dh2, w_br[:])
 
     dfeat = dfd[:, :hidden]
     dd_enc = dfd[:, hidden:] if need_input_grads else None
 
-    # Fused feature+sigma head backward: both dW columns and both dx
-    # contributions ride one MXU pass each through the concatenated
-    # (in, hidden+1) weight.
+    # Merged feature+sigma head backward: the params arrive pre-merged
+    # (_flatten_params), so dW, db and dx each ride ONE MXU pass.
     dfs = jnp.concatenate([dfeat, dsigma], axis=-1)
-    w_fs = jnp.concatenate([w_feat[:], w_sig[:]], axis=-1)
-    dw_fs = matmul_tn(x_last, dfs)
-    dw(base + 2)[:] += dw_fs[:, :hidden]
-    dw(base + 3)[:] += bsum(dfeat)
-    dw(base)[:] += dw_fs[:, hidden:]
-    dw(base + 1)[:] += bsum(dsigma)
-    dx = matmul_nt(dfs, w_fs)
+    dw(base)[:] += matmul_tn(x_last, dfs)
+    dw(base + 1)[:] += bsum(dfs)
+    dx = matmul_nt(dfs, w_fs[:])
 
     dx_enc_acc = None
     for i in reversed(range(num_layers)):
@@ -233,7 +247,7 @@ def _bwd_kernel(
     index maps — those blocks live in VMEM across the whole sequential
     grid and accumulate in f32.
     """
-    n_w = 2 * num_layers + 8
+    n_w = _n_flat(num_layers)
     wr = refs[:n_w]
     if need_input_grads:
         dx_ref, dd_ref = refs[n_w], refs[n_w + 1]
@@ -320,7 +334,7 @@ def _fused_mlp_bwd(static, residuals, g):
     n = x_enc.shape[0]
     n_pad = ((n + tile - 1) // tile) * tile
     grid = n_pad // tile
-    hidden = flat_params[2].shape[1] if num_layers > 1 else flat_params[0].shape[1]
+    hidden = flat_params[0].shape[1]
     xyz_dim = x_enc.shape[1]
 
     wspecs = [

@@ -44,6 +44,7 @@ from nerf_keras_tpu.ops.pallas.fused_mlp import (
     _flatten_params,
     _forward_tile,
     _mlp_bwd_tile,
+    _n_flat,
     _should_interpret,
 )
 
@@ -56,8 +57,10 @@ _TERMINAL_DELTA = 1e10
 # backward pallas_call).
 _MAX_TILE_FWD = 4096
 _MAX_TILE_BWD = 1024
-# (8192/3072 measured WORSE — 53.2 vs 47.1 ms: the f32 selector
-# constants scale with the tile and crowd out pipelining headroom)
+# Round 2 measured bigger tiles WORSE (8192/3072: 53.2 vs 47.1 ms), but
+# that was the O(R^2 S^2) single-selector design; with the blocked
+# selectors (see _segment_selectors) tile cost is linear in R and these
+# defaults are re-swept on TPU by scripts/exp_bwd_r3.py.
 
 
 def _rays_per_tile(num_samples: int, max_points: int) -> int:
@@ -67,45 +70,91 @@ def _rays_per_tile(num_samples: int, max_points: int) -> int:
     return max(8, (r // 8) * 8)
 
 
-def _segment_selectors(r: int, s: int):
-    """One-hot selector constants for exact (R*S, 1) <-> (R, S) movement.
+# Rays per selector block.  The selector matmuls cost O(G * S^2) FLOPs per
+# G-ray block, i.e. LINEAR in the ray tile R (round 2's single (R, R*S)
+# selector cost O(R^2 S^2) — quadratic in R — which is what made ray tiles
+# past 8 measure worse and capped the backward at 512 tiny grid steps).
+# Blocking also makes the constants' VMEM footprint O(S^2), independent
+# of R.  8 = the f32 sublane quantum; every ray tile is a multiple of it.
+_SEL_GROUP = 8
+
+
+def _segment_selectors(s: int, g: int = _SEL_GROUP):
+    """One-hot selector constants for exact (R*S, 1) <-> (R, S) movement,
+    applied per G-ray block.
 
     Mosaic cannot reshape across the sublane/lane boundary
     ("infer-vector-layout: unsupported shape cast" for
     vector<RxS> -> vector<RSx1>), so per-sample columns are moved between
     the flat point layout and the per-ray tile layout with f32 selector
-    matmuls, which are exact (one product per output element):
+    matmuls, which are exact (one product per output element).  Per block k
+    covering rays [k*G, (k+1)*G):
 
-        to_rs(v)   = A @ (v * B)              (R*S,1) -> (R,S)
-        from_rs(W) = rowsum((A^T @ W) * B)    (R,S)   -> (R*S,1)
+        to_rs(v)_k   = A @ (v_k * B)             (G*S,1) -> (G,S)
+        from_rs(W)_k = rowsum((At @ W_k) * B)    (G,S)   -> (G*S,1)
+        expand(v)_k  = At @ v_k                  (G,W)   -> (G*S,W)
 
-    where A[r, k] = [k // S == r] and B[k, j] = [k % S == j].
+    where A[r, j] = [j // S == r], At = A^T (precomputed so every in-kernel
+    dot is in the native NN orientation — no contraction over sublanes),
+    and B[j, c] = [j % S == c].
     """
-    a = np.zeros((r, r * s), dtype=np.float32)
-    b = np.zeros((r * s, s), dtype=np.float32)
-    for k in range(r * s):
+    a = np.zeros((g, g * s), dtype=np.float32)
+    b = np.zeros((g * s, s), dtype=np.float32)
+    for k in range(g * s):
         a[k // s, k] = 1.0
         b[k, k % s] = 1.0
-    return a, b
+    return a, np.ascontiguousarray(a.T), b
 
 
-def _to_rs(v, a_ref, b_ref):
-    """(R*S, 1) column -> (R, S) tile (exact)."""
+def _sel_consts(s: int):
+    """Selector constants as jnp arrays: (a, at, b)."""
+    return tuple(jnp.asarray(c) for c in _segment_selectors(s))
+
+
+def _nn_dot(a, b):
     return jax.lax.dot_general(
-        a_ref[:], v * b_ref[:],
+        a, b,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _from_rs(w, a_ref, b_ref):
-    """(R, S) tile -> (R*S, 1) column (exact)."""
-    rows = jax.lax.dot_general(
-        a_ref[:], w,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (R*S, S): row k = w[k // S, :]
-    return jnp.sum(rows * b_ref[:], axis=-1, keepdims=True)
+def _cat0(blocks):
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+
+
+def _to_rs(v, a_ref, b_ref):
+    """(R*S, 1) column -> (R, S) tile (exact), per G-ray block."""
+    gs, s = b_ref.shape
+    b = b_ref[:]
+    a = a_ref[:]
+    return _cat0([
+        _nn_dot(a, v[k * gs:(k + 1) * gs, :] * b)
+        for k in range(v.shape[0] // gs)
+    ])
+
+
+def _from_rs(w, at_ref, b_ref):
+    """(R, S) tile -> (R*S, 1) column (exact), per G-ray block."""
+    gs, g = at_ref.shape
+    at = at_ref[:]
+    b = b_ref[:]
+    return _cat0([
+        jnp.sum(_nn_dot(at, w[k * g:(k + 1) * g, :]) * b,
+                axis=-1, keepdims=True)
+        for k in range(w.shape[0] // g)
+    ])
+
+
+def _expand_rows(v, at_ref):
+    """(R, W) per-ray rows -> (R*S, W) per-sample rows (exact), per
+    G-ray block: row j of block k is ``v[k*G + j // S]``."""
+    gs, g = at_ref.shape
+    at = at_ref[:]
+    return _cat0([
+        _nn_dot(at, v[k * g:(k + 1) * g, :])
+        for k in range(v.shape[0] // g)
+    ])
 
 
 def _cumsum_lanes(x, s: int):
@@ -136,8 +185,8 @@ def _one_minus_alpha(alpha):
 def _volume_render_tile(preds, t, a_ref, b_ref, r, s):
     """ops/volume.py:volume_render on one (R*S, 4) tile -> per-ray
     composites; returns (rgb (R,3), weights (R,S)) plus the intermediates
-    the backward reuses.  Row<->tile movement goes through the selector
-    matmuls (no cross-boundary reshapes)."""
+    the backward reuses.  Row<->tile movement goes through the blocked
+    selector matmuls (no cross-boundary reshapes)."""
     sigma = _to_rs(jnp.maximum(preds[:, 3:4], 0.0), a_ref, b_ref)
     delta = jnp.diff(t, axis=-1)
     delta = jnp.concatenate(
@@ -165,7 +214,7 @@ def _volume_render_tile(preds, t, a_ref, b_ref, r, s):
 
 
 def _fwd_kernel(num_layers, skip_layer, compute_dtype, r, s,
-                x_ref, d_ref, t_ref, a_ref, b_ref, *refs):
+                x_ref, d_ref, t_ref, a_ref, at_ref, b_ref, *refs):
     rgb_ref, w_ref = refs[-2], refs[-1]
     wr = refs[:-2]
     preds, _ = _forward_tile(
@@ -179,17 +228,18 @@ def _fwd_kernel(num_layers, skip_layer, compute_dtype, r, s,
 
 
 def _bwd_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
-                x_ref, d_ref, t_ref, g_ref, a_ref, b_ref, *refs):
+                x_ref, d_ref, t_ref, g_ref, a_ref, at_ref, b_ref, *refs):
     """Recompute MLP + volume render, apply the compositing VJP to the
     per-ray rgb cotangent, then the shared MLP reverse walk (dW/db only)."""
-    n_w = 2 * num_layers + 8
+    n_w = _n_flat(num_layers)
     wr = refs[:n_w]
     dw_refs = refs[n_w:]
-    _bwd_core(wr, dw_refs, x_ref[:], d_ref[:], t_ref, g_ref, a_ref, b_ref,
+    _bwd_core(wr, dw_refs, x_ref[:], d_ref[:], t_ref, g_ref,
+              a_ref, at_ref, b_ref,
               num_layers, skip_layer, compute_dtype, hidden, r, s)
 
 
-def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, b_ref,
+def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, at_ref, b_ref,
               num_layers, skip_layer, compute_dtype, hidden, r, s):
     """Shared backward tile body: recompute forward, volume-render VJP,
     MLP reverse walk accumulating dW/db across grid steps."""
@@ -217,7 +267,7 @@ def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, b_ref,
         # sigmoid VJP back to the raw logits
         dlogits.append(
             _from_rs(dc * alpha * trans * rgb_c * (1.0 - rgb_c),
-                     a_ref, b_ref)
+                     at_ref, b_ref)
         )
 
     # dalpha_s = T_s * dw_s - (sum_{t>s} w_t * dw_t) / (1 - alpha_s + eps).
@@ -232,7 +282,7 @@ def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, b_ref,
     dsigma = dalpha * (delta * jnp.exp(-sigma * delta))
     dsigma = dsigma * (sigma > 0.0).astype(jnp.float32)
     dpreds = jnp.concatenate(
-        dlogits + [_from_rs(dsigma, a_ref, b_ref)], axis=-1
+        dlogits + [_from_rs(dsigma, at_ref, b_ref)], axis=-1
     )
 
     _mlp_bwd_tile(
@@ -242,21 +292,43 @@ def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, b_ref,
 
 
 def _bwd_encode_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
-                       dx, dd, o_ref, d_ref, t_ref, g_ref, a_ref, b_ref,
-                       ex_ref, ed_ref, *refs):
+                       dx, dd, o_ref, d_ref, t_ref, g_ref,
+                       a_ref, at_ref, b_ref, ex_ref, ed_ref, *refs):
     """Backward over raw rays: re-run the in-VMEM expand + Fourier encode
     (see _fwd_encode_kernel for why XLA-side encodings are a trap), then
     the shared backward core.  Encoding transcendentals thus run twice per
     step (fwd + this recompute) — measured cheaper than the lane-padded
     XLA encode chain they replace (docs/PERF.md round-2 section)."""
-    n_w = 2 * num_layers + 8
+    n_w = _n_flat(num_layers)
     wr = refs[:n_w]
     dw_refs = refs[n_w:]
     x_enc, d_enc = _expand_encode(
-        o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref, dx, dd,
+        o_ref, d_ref, t_ref, a_ref, at_ref, b_ref, ex_ref, ed_ref, dx, dd,
         compute_dtype,
     )
-    _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, b_ref,
+    _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref,
+              a_ref, at_ref, b_ref,
+              num_layers, skip_layer, compute_dtype, hidden, r, s)
+
+
+def _bwd_xres_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
+                     dd, d_ref, t_ref, g_ref, x_ref,
+                     a_ref, at_ref, b_ref, ed_ref, *refs):
+    """Backward with position encodings as residuals (``bwd_mode=
+    "residual"``): the forward already wrote the expensive (R*S, 63)
+    position encodings to HBM; the per-RAY direction features are merely
+    re-encoded here in VMEM (R transcendental rows, S x fewer than the
+    sample count) and expanded with the exact selector — so the direction
+    residual's lane-padded (R*S, 128-tile) HBM write+read is skipped for
+    ~zero recompute."""
+    n_w = _n_flat(num_layers)
+    wr = refs[:n_w]
+    dw_refs = refs[n_w:]
+    d_enc = _expand_rows(
+        _encode_tile(d_ref[:], ed_ref, dd), at_ref
+    ).astype(compute_dtype)
+    _bwd_core(wr, dw_refs, x_ref[:], d_enc, t_ref, g_ref,
+              a_ref, at_ref, b_ref,
               num_layers, skip_layer, compute_dtype, hidden, r, s)
 
 
@@ -274,6 +346,18 @@ def _pad_rays(a, b_pad):
         return a
     pad = [(0, b_pad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
     return jnp.pad(a, pad)
+
+
+def _vmem_cap(points: int) -> int:
+    """Scoped-VMEM cap for a kernel streaming ``points``-sample tiles.
+
+    The backward holds the per-layer activations (~6 KB/point bf16 at
+    hidden 256) plus the f32 dW accumulators, selector constants and
+    double-buffered inputs; the historical fixed 48 MB cap allowed only
+    ~1.5K-point tiles.  Scale with the tile (generously — the cap is a
+    compiler check, not a reservation) and clamp below physical VMEM.
+    """
+    return int(min(112, 32 + points * 10 // 1024)) * 1024 * 1024
 
 
 def _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params):
@@ -294,7 +378,7 @@ def _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params):
         jnp.arange(1, s + 1, dtype=t_vals.dtype), (b_pad - b, s)
     )
     t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
-    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_fwd, s))
+    sel_a, sel_at, sel_b = _sel_consts(s)
 
     rgb, weights = pl.pallas_call(
         kernel,
@@ -307,6 +391,7 @@ def _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params):
             pl.BlockSpec((r_fwd, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(sel_a),
+            _const_spec(sel_at),
             _const_spec(sel_b),
             *[_const_spec(w) for w in flat_params],
         ],
@@ -321,10 +406,10 @@ def _fused_render_fwd_impl(static, x_enc, d_enc, t_vals, flat_params):
             jax.ShapeDtypeStruct((b_pad, s), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=_vmem_cap(tile)
         ),
         interpret=_should_interpret(),
-    )(x2, d2, t2, sel_a, sel_b, *flat_params)
+    )(x2, d2, t2, sel_a, sel_at, sel_b, *flat_params)
     return rgb[:b], weights[:b]
 
 
@@ -342,7 +427,7 @@ def _fused_render_bwd(static, residuals, g):
     b_pad = ((b + r_bwd - 1) // r_bwd) * r_bwd
     grid = b_pad // r_bwd
     tile = r_bwd * s
-    hidden = flat_params[2 * num_layers + 2].shape[1]
+    hidden = flat_params[0].shape[1]
 
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_params]
     kernel = functools.partial(
@@ -355,7 +440,7 @@ def _fused_render_bwd(static, residuals, g):
     )
     t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
     g2 = _pad_rays(g_rgb, b_pad)  # zero cotangent on padded rays
-    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_bwd, s))
+    sel_a, sel_at, sel_b = _sel_consts(s)
 
     outs = pl.pallas_call(
         kernel,
@@ -370,20 +455,20 @@ def _fused_render_bwd(static, residuals, g):
             pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(sel_a),
+            _const_spec(sel_at),
             _const_spec(sel_b),
             *[_const_spec(w) for w in flat_params],
         ],
         out_specs=[_const_spec(sh) for sh in dw_shapes],
         out_shape=dw_shapes,
         # The backward holds per-layer activations for a full R*S-point
-        # tile plus the f32 dW accumulators; at the minimum ray tile for
-        # S=192 that is ~18 MB — above the DEFAULT 16 MB scoped-vmem cap
-        # but well inside the chip's physical VMEM.  Raise the cap.
+        # tile plus the f32 dW accumulators — far above the DEFAULT 16 MB
+        # scoped-vmem cap but inside the chip's physical VMEM.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=_vmem_cap(tile)
         ),
         interpret=_should_interpret(),
-    )(x2, d2, t2, g2, sel_a, sel_b, *flat_params)
+    )(x2, d2, t2, g2, sel_a, sel_at, sel_b, *flat_params)
     dws = [dv.astype(w.dtype) for w, dv in zip(flat_params, outs)]
     return (
         jnp.zeros_like(x_enc),
@@ -405,9 +490,17 @@ def _encode_consts(d: int, num_freqs: int):
     phase(c)`` (octave 0 / scale 1 / phase 0 for the identity block),
     matching ops/encoding.py's layout ``[x | sin(2^0 x), cos(2^0 x) |
     ...]``.  The phase row carries ``pi/2`` on the cos columns so ONE
-    full-width sin sweep produces both features
-    (``cos z = sin(z + pi/2)``, ~4e-8 absolute error in f32 — well under
-    the 1e-5 parity tolerance); ``n_id = d`` identity columns come first.
+    full-width sin sweep produces both features (``cos z = sin(z +
+    pi/2)``).  Accuracy: the f32 rounding of ``z + pi/2`` perturbs the
+    phase by up to ``ulp(z)/2``, which GROWS with the octave — ~4e-8 for
+    small arguments but ~1e-4 rad at the flagship top octave (``z =
+    2^9 * far`` ~ 3e3 rad), so top-octave features can differ from a
+    direct ``cos`` by ~1e-4.  Harmless in practice: that phase error is
+    far below the bf16 quantization (~4e-3 relative) the features are
+    stored at, and end-to-end TPU PSNR matches the jnp path
+    (docs/PERF.md); pinned by an explicit l_xyz=10 large-argument test
+    with an honest 1e-3 tolerance (tests/test_pallas.py).
+    ``n_id = d`` identity columns come first.
     """
     w = d + 2 * d * num_freqs
     e = np.zeros((d + 1, w), dtype=np.float32)
@@ -441,36 +534,31 @@ def _encode_tile(p, e_ref, d: int):
     return jnp.where(col < d, z, jnp.sin(z))
 
 
-def _expand_encode(o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref,
+def _expand_encode(o_ref, d_ref, t_ref, a_ref, at_ref, b_ref, ex_ref, ed_ref,
                    dx, dd, compute_dtype):
     """Expand (R, 3) rays to (R*S, ·) Fourier-encoded samples in VMEM.
 
-    Per-sample expansion goes through the exact one-hot selectors: row k
-    of ``A^T @ v`` is ``v[k // S]``.
+    Per-sample expansion goes through the exact blocked one-hot selectors
+    (:func:`_expand_rows`).
     """
-    def expand(v):
-        return jax.lax.dot_general(
-            a_ref[:], v,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    o_exp = expand(o_ref[:])          # (R*S, 3)
-    d_exp = expand(d_ref[:])          # (R*S, 3)
-    t_flat = _from_rs(t_ref[:], a_ref, b_ref)  # (R*S, 1)
+    o_exp = _expand_rows(o_ref[:], at_ref)     # (R*S, 3)
+    d_exp = _expand_rows(d_ref[:], at_ref)     # (R*S, 3)
+    t_flat = _from_rs(t_ref[:], at_ref, b_ref)  # (R*S, 1)
     points = o_exp + d_exp * t_flat
 
     x_enc = _encode_tile(points, ex_ref, dx).astype(compute_dtype)
     # Every sample on a ray shares its direction: encode (R, 3) once and
     # expand the (R, W) features with the exact selector matmul — S x
     # fewer direction transcendentals than encoding the expanded rows.
-    d_enc = expand(_encode_tile(d_ref[:], ed_ref, dd)).astype(compute_dtype)
+    d_enc = _expand_rows(
+        _encode_tile(d_ref[:], ed_ref, dd), at_ref
+    ).astype(compute_dtype)
     return x_enc, d_enc
 
 
 def _fwd_encode_kernel(num_layers, skip_layer, compute_dtype, r, s, dx, dd,
-                       emit_enc, o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref,
-                       ed_ref, *refs):
+                       emit_enc, o_ref, d_ref, t_ref, a_ref, at_ref, b_ref,
+                       ex_ref, ed_ref, *refs):
     """Expand rays to samples, Fourier-encode, MLP, composite — all in
     VMEM.  Exists because the XLA-side encode chain materializes (N, 3)
     points and (N, 63)/(N, 27) encodings, which TPU lane-pads to 128
@@ -478,23 +566,23 @@ def _fwd_encode_kernel(num_layers, skip_layer, compute_dtype, r, s, dx, dd,
     tile-padded VPU loop fusions (~4.5 ms per 1M points measured via HLO
     cost analysis, docs/PERF.md round-2 section).
 
-    With ``emit_enc`` the encodings are additionally written out (training
-    residuals for the encodings-in backward — trades two HBM writes for
-    not re-running the transcendentals in the backward recompute).
+    With ``emit_enc`` the POSITION encodings are additionally written out
+    (training residuals for the x-residual backward — one HBM write so the
+    backward never re-runs the per-sample position transcendentals; the
+    per-RAY direction features are cheap enough to re-encode there).
     """
     if emit_enc:
-        rgb_ref, w_ref, xo_ref, do_ref = refs[-4:]
-        wr = refs[:-4]
+        rgb_ref, w_ref, xo_ref = refs[-3:]
+        wr = refs[:-3]
     else:
         rgb_ref, w_ref = refs[-2], refs[-1]
         wr = refs[:-2]
     x_enc, d_enc = _expand_encode(
-        o_ref, d_ref, t_ref, a_ref, b_ref, ex_ref, ed_ref, dx, dd,
+        o_ref, d_ref, t_ref, a_ref, at_ref, b_ref, ex_ref, ed_ref, dx, dd,
         compute_dtype,
     )
     if emit_enc:
         xo_ref[:] = x_enc
-        do_ref[:] = d_enc
     preds, _ = _forward_tile(
         wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype
     )
@@ -542,7 +630,7 @@ def _fused_render_rays_fwd_impl(static, origins, dirs, t_vals, flat_params,
     tile = r_fwd * s
 
     o2, d2, t2 = _pad_ray_batch(origins, dirs, t_vals, b, s, b_pad)
-    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_fwd, s))
+    sel_a, sel_at, sel_b = _sel_consts(s)
     ex, dx = _encode_consts(3, l_xyz)
     ed, dd = _encode_consts(3, l_dir)
     ex, ed = jnp.asarray(ex), jnp.asarray(ed)
@@ -556,14 +644,13 @@ def _fused_render_rays_fwd_impl(static, origins, dirs, t_vals, flat_params,
         jax.ShapeDtypeStruct((b_pad, s), jnp.float32),
     ]
     if emit_enc:
-        for w in (ex.shape[1], ed.shape[1]):
-            out_specs.append(
-                pl.BlockSpec((tile, w), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            out_shape.append(
-                jax.ShapeDtypeStruct((b_pad * s, w), cdt)
-            )
+        out_specs.append(
+            pl.BlockSpec((tile, ex.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b_pad * s, ex.shape[1]), cdt)
+        )
 
     kernel = functools.partial(
         _fwd_encode_kernel, num_layers, skip_layer, cdt, r_fwd, s, dx, dd,
@@ -575,6 +662,7 @@ def _fused_render_rays_fwd_impl(static, origins, dirs, t_vals, flat_params,
         in_specs=[
             *_ray_specs(r_fwd, s),
             _const_spec(sel_a),
+            _const_spec(sel_at),
             _const_spec(sel_b),
             _const_spec(ex),
             _const_spec(ed),
@@ -583,49 +671,107 @@ def _fused_render_rays_fwd_impl(static, origins, dirs, t_vals, flat_params,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=_vmem_cap(tile)
         ),
         interpret=_should_interpret(),
-    )(o2, d2, t2, sel_a, sel_b, ex, ed, *flat_params)
+    )(o2, d2, t2, sel_a, sel_at, sel_b, ex, ed, *flat_params)
     rgb, weights = outs[0][:b], outs[1][:b]
     if emit_enc:
-        return rgb, weights, outs[2][:b * s], outs[3][:b * s]
+        return rgb, weights, outs[2][:b * s]
     return rgb, weights
 
 
 def _fused_render_rays_fwd(static, origins, dirs, t_vals, *flat_params):
     mode = static[-1]
     if mode == "residual":
-        rgb, weights, x2, d2 = _fused_render_rays_fwd_impl(
+        rgb, weights, x2 = _fused_render_rays_fwd_impl(
             static, origins, dirs, t_vals, flat_params, emit_enc=True
         )
-        # Residuals are the kernel-computed encodings: the backward is the
-        # encodings-in kernel, no transcendental recompute.
-        return (rgb, weights), ((x2, d2), t_vals, flat_params)
+        # Residuals: the kernel-computed POSITION encodings (the per-sample
+        # transcendentals run once) plus the raw dirs — the backward
+        # re-encodes directions per RAY in VMEM, which is S x cheaper than
+        # a lane-padded (B*S, 27) residual round-trip.
+        return (rgb, weights), ((x2, dirs), t_vals, flat_params)
     out = _fused_render_rays_fwd_impl(static, origins, dirs, t_vals,
                                       flat_params)
-    # Residuals are the RAW rays — (B, 3) instead of the (B*S, 63)/(B*S, 27)
-    # encodings the encodings-in path keeps alive between fwd and bwd.
+    # Residuals are the RAW rays — (B, 3) instead of the (B*S, 63)
+    # encodings the x-residual path keeps alive between fwd and bwd.
     return out, ((origins, dirs), t_vals, flat_params)
 
 
 def _fused_render_rays_bwd(static, residuals, g):
     prim, t_vals, flat_params = residuals
     if static[-1] == "residual":
-        x2, d2 = prim
-        sub_static = static[:5]
-        _dx, _dd, _dt, *dws = _fused_render_bwd(
-            sub_static, (x2, d2, t_vals, flat_params), g
-        )
+        x2, dirs = prim
+        dws = _fused_render_xres_bwd(static, x2, dirs, t_vals,
+                                     flat_params, g)
         return (
             jnp.zeros((t_vals.shape[0], 3), jnp.float32),
-            jnp.zeros((t_vals.shape[0], 3), jnp.float32),
+            jnp.zeros_like(dirs),
             jnp.zeros_like(t_vals),
             *dws,
         )
     origins, dirs = prim
     return _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
                                             flat_params, g)
+
+
+def _fused_render_xres_bwd(static, x_enc, dirs, t_vals, flat_params, g):
+    """Backward for ``bwd_mode="residual"``: position encodings arrive as
+    residuals, direction features are re-encoded per ray in VMEM
+    (:func:`_bwd_xres_kernel`).  Returns the dW list."""
+    num_layers, skip_layer, cdt_name, _, r_bwd, _l_xyz, l_dir, _mode = static
+    cdt = jnp.dtype(cdt_name)
+    g_rgb, _g_weights = g  # weights cotangent structurally zero (detached)
+    b, s = t_vals.shape
+    b_pad = ((b + r_bwd - 1) // r_bwd) * r_bwd
+    grid = b_pad // r_bwd
+    tile = r_bwd * s
+    hidden = flat_params[0].shape[1]
+
+    x2 = _pad_rays(x_enc.reshape(b, s, -1), b_pad).reshape(b_pad * s, -1)
+    d2 = _pad_rays(dirs.astype(jnp.float32), b_pad)
+    t_pad = jnp.broadcast_to(
+        jnp.arange(1, s + 1, dtype=t_vals.dtype), (b_pad - b, s)
+    )
+    t2 = jnp.concatenate([t_vals, t_pad], axis=0) if b_pad != b else t_vals
+    g2 = _pad_rays(g_rgb, b_pad)  # zero cotangent on padded rays
+    sel_a, sel_at, sel_b = _sel_consts(s)
+    ed, dd = _encode_consts(3, l_dir)
+    ed = jnp.asarray(ed)
+
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                 for w in flat_params]
+    kernel = functools.partial(
+        _bwd_xres_kernel, num_layers, skip_layer, cdt, hidden, r_bwd, s, dd
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_bwd, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, x2.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(sel_a),
+            _const_spec(sel_at),
+            _const_spec(sel_b),
+            _const_spec(ed),
+            *[_const_spec(w) for w in flat_params],
+        ],
+        out_specs=[_const_spec(sh) for sh in dw_shapes],
+        out_shape=dw_shapes,
+        # Same scoped-vmem note as _fused_render_bwd.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_cap(tile)
+        ),
+        interpret=_should_interpret(),
+    )(d2, t2, g2, x2, sel_a, sel_at, sel_b, ed, *flat_params)
+    return [dv.astype(w.dtype) for w, dv in zip(flat_params, outs)]
 
 
 def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
@@ -636,11 +782,11 @@ def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
     b, s = t_vals.shape
     b_pad = ((b + r_bwd - 1) // r_bwd) * r_bwd
     grid = b_pad // r_bwd
-    hidden = flat_params[2 * num_layers + 2].shape[1]
+    hidden = flat_params[0].shape[1]
 
     o2, d2, t2 = _pad_ray_batch(origins, dirs, t_vals, b, s, b_pad)
     g2 = _pad_rays(g_rgb, b_pad)  # zero cotangent on padded rays
-    sel_a, sel_b = (jnp.asarray(c) for c in _segment_selectors(r_bwd, s))
+    sel_a, sel_at, sel_b = _sel_consts(s)
     ex, dx = _encode_consts(3, l_xyz)
     ed, dd = _encode_consts(3, l_dir)
     ex, ed = jnp.asarray(ex), jnp.asarray(ed)
@@ -659,6 +805,7 @@ def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
             pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(sel_a),
+            _const_spec(sel_at),
             _const_spec(sel_b),
             _const_spec(ex),
             _const_spec(ed),
@@ -668,10 +815,10 @@ def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
         out_shape=dw_shapes,
         # Same scoped-vmem note as _fused_render_bwd.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=_vmem_cap(r_bwd * s)
         ),
         interpret=_should_interpret(),
-    )(o2, d2, t2, g2, sel_a, sel_b, ex, ed, *flat_params)
+    )(o2, d2, t2, g2, sel_a, sel_at, sel_b, ex, ed, *flat_params)
     dws = [dv.astype(w.dtype) for w, dv in zip(flat_params, outs)]
     return (
         jnp.zeros_like(origins),
@@ -694,8 +841,8 @@ def render_rays_fused(
     l_dir: int = 4,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     skip_layer: int = 4,
-    max_tile_fwd: int = _MAX_TILE_FWD,
-    max_tile_bwd: int = _MAX_TILE_BWD,
+    max_tile_fwd: int | None = None,
+    max_tile_bwd: int | None = None,
     bwd_mode: str = "residual",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Ray megakernel over raw rays: sample positions, Fourier encoding,
@@ -727,6 +874,12 @@ def render_rays_fused(
     """
     if bwd_mode not in ("residual", "recompute"):
         raise ValueError(f"unknown bwd_mode: {bwd_mode!r}")
+    # Late-bound defaults: module constants so sweeps/benchmarks can
+    # override globally (the engine calls this without tile arguments).
+    if max_tile_fwd is None:
+        max_tile_fwd = _MAX_TILE_FWD
+    if max_tile_bwd is None:
+        max_tile_bwd = _MAX_TILE_BWD
     num_layers = len(params["trunk"])
     s = t_vals.shape[-1]
     cdt = jnp.dtype(compute_dtype)
@@ -752,8 +905,8 @@ def apply_nerf_render_pallas(
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     skip_layer: int = 4,
-    max_tile_fwd: int = _MAX_TILE_FWD,
-    max_tile_bwd: int = _MAX_TILE_BWD,
+    max_tile_fwd: int | None = None,
+    max_tile_bwd: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused MLP + alpha compositing over a ray batch.
 
@@ -769,6 +922,10 @@ def apply_nerf_render_pallas(
         (forward value only — their cotangent is treated as zero, which is
         correct solely under detached importance sampling).
     """
+    if max_tile_fwd is None:
+        max_tile_fwd = _MAX_TILE_FWD
+    if max_tile_bwd is None:
+        max_tile_bwd = _MAX_TILE_BWD
     num_layers = len(params["trunk"])
     b, s = t_vals.shape
     cdt = jnp.dtype(compute_dtype)
