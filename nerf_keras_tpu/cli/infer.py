@@ -1,8 +1,15 @@
 """Novel-view rendering CLI (the reference's inference.py).
 
-Renders a spiral of camera poses through the fine model and writes a video:
-Blender-style spherical orbit (theta in [-45, 45), phi=-30, r=4 — reference
-inference.py:229-231) or an LLFF spiral path for forward-facing scenes.
+Renders a path of camera poses through the fine model and writes a video:
+
+* ``--path orbit`` (default): Blender-style spherical orbit (theta in
+  [-45, 45), phi=-30, r=4 — reference inference.py:229-231);
+* ``--path spiral``: the LLFF spiral (or, with ``--spherify``, the
+  spherified orbit) implied by a forward-facing capture's geometry,
+  recovered from ``--data-dir``.  The reference COMPUTES this path
+  (fern_data_utils.py:279-288) but then renders Lego-style spheres even
+  for its default fern config (inference.py:229-231); wiring it through
+  fixes that wart.
 
 Improvements over the reference: the checkpoint is located automatically
 (the reference hardcodes a timestamped run dir, inference.py:68-70), frames
@@ -44,6 +51,23 @@ def spherical_poses(
     ]
 
 
+def spiral_poses_from_capture(
+    data_dir: str, n_frames: int, factor: int = 8, spherify: bool = False,
+) -> list[np.ndarray]:
+    """Render path implied by an LLFF capture's geometry: the spiral
+    around the average pose (reference ``render_path_spiral``,
+    fern_data_utils.py:279-288) or, with ``spherify``, the spherified
+    orbit.  Returns ``n_frames`` (3, 4) camera-to-world poses subsampled
+    evenly from the capture's 120-pose path."""
+    from nerf_keras_tpu.data.llff import load_llff_data
+
+    _imgs, _poses, _bds, render_poses, _hold = load_llff_data(
+        data_dir, factor=factor, recenter=True, spherify=spherify
+    )
+    idx = np.linspace(0, len(render_poses) - 1, n_frames)
+    return [render_poses[int(round(i))][:, :4] for i in idx]
+
+
 def run_inference(argv: list[str] | None = None) -> str:
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default="config/fern_batch_h256.json")
@@ -54,6 +78,20 @@ def run_inference(argv: list[str] | None = None) -> str:
                         "(train_lego.py:213); imported into the params "
                         "pytree for parity rendering")
     p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--path", type=str, default="orbit",
+                   choices=("orbit", "spiral"),
+                   help="camera path: 'orbit' = Blender-style spherical "
+                        "sweep (reference inference.py:229-231); 'spiral' "
+                        "= the LLFF path implied by --data-dir's capture "
+                        "geometry (fern_data_utils.py:279-288)")
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="LLFF capture directory (poses_bounds.npy + "
+                        "images); required for --path spiral")
+    p.add_argument("--factor", type=int, default=8,
+                   help="LLFF downsample factor for --path spiral")
+    p.add_argument("--spherify", action="store_true",
+                   help="with --path spiral: spherified 360 orbit instead "
+                        "of the forward-facing spiral")
     p.add_argument("--full-orbit", action="store_true",
                    help="render a 360 degree orbit instead of the default "
                         "[-45, 45) sweep (reference inference.py:271-310)")
@@ -146,10 +184,19 @@ def run_inference(argv: list[str] | None = None) -> str:
         print(f"[nerf-tpu] imported reference weights {args.reference_weights}")
 
     frames, depth_frames = [], []
-    poses = spherical_poses(
-        args.frames, full_orbit=args.full_orbit, phi=args.phi,
-        radius=args.radius,
-    )
+    if args.path == "spiral":
+        if not args.data_dir:
+            raise SystemExit("--path spiral requires --data-dir "
+                             "(LLFF capture with poses_bounds.npy)")
+        poses = spiral_poses_from_capture(
+            args.data_dir, args.frames, factor=args.factor,
+            spherify=args.spherify,
+        )
+    else:
+        poses = spherical_poses(
+            args.frames, full_orbit=args.full_orbit, phi=args.phi,
+            radius=args.radius,
+        )
     for i, pose in enumerate(poses):
         out = trainer.render_image(pose, cfg.height, cfg.width, focal, chunk=args.chunk)
         frames.append(to_uint8(out["rgb"]))
