@@ -64,6 +64,12 @@ class NeRFConfig:
     #   False: reference-faithful — the reference never detaches
     #         (data_utils.py:172-223), so t-value gradients flow into the
     #         coarse MLP through the sampling CDF
+    ndc: bool = False
+    #   True: reparameterize rays into normalized device coordinates and
+    #         sample t in [0, 1] — the original NeRF's treatment for
+    #         forward-facing (LLFF) captures, absent from the reference
+    #         (SURVEY.md §2.2).  Off by default to preserve reference
+    #         parity; only meaningful for forward-facing datasets.
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
@@ -137,6 +143,7 @@ _KEY_MAP = {
     "SAMPLING_MODE": "sampling_mode",
     "USE_PALLAS": "use_pallas",
     "STOP_PDF_GRADIENT": "stop_pdf_gradient",
+    "NDC": "ndc",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",
     "SEED": "seed",

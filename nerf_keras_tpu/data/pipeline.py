@@ -114,3 +114,23 @@ def flatten_views(
         origins.reshape(-1, 3).astype(np.float32),
         directions.reshape(-1, 3).astype(np.float32),
     )
+
+
+def dataset_to_ndc(ds: RayDataset, near_plane: float = 1.0) -> RayDataset:
+    """Reparameterize a forward-facing ray dataset into NDC
+    (ops/rays.py:ndc_rays; NeRFConfig.ndc).  Bounds become [0, 1]: t'=0
+    is the world-space ``near_plane``, t'=1 is infinity."""
+    import dataclasses
+
+    from nerf_keras_tpu.ops.rays import ndc_rays
+
+    o, d = ndc_rays(
+        ds.height, ds.width, ds.focal, near_plane, ds.origins, ds.directions
+    )
+    return dataclasses.replace(
+        ds,
+        origins=np.asarray(o, np.float32),
+        directions=np.asarray(d, np.float32),
+        near=0.0,
+        far=1.0,
+    )

@@ -8,6 +8,7 @@ dims, jit/vmap/grad-safe, and PRNG-key-driven.
 from nerf_keras_tpu.ops.encoding import encode_position
 from nerf_keras_tpu.ops.rays import (
     get_rays,
+    ndc_rays,
     sample_rays,
     pose_spherical,
     get_translation_t,
@@ -20,6 +21,7 @@ from nerf_keras_tpu.ops.sampling import generate_t_vals, sample_pdf, sorted_unio
 __all__ = [
     "encode_position",
     "get_rays",
+    "ndc_rays",
     "sample_rays",
     "pose_spherical",
     "get_translation_t",

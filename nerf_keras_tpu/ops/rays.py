@@ -74,6 +74,76 @@ def sample_rays(
     return points, dirs
 
 
+def ndc_rays(
+    height: int,
+    width: int,
+    focal,
+    near,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reparameterize forward-facing rays into normalized device
+    coordinates (the original NeRF's NDC treatment, paper appendix C).
+
+    Absent from the reference entirely (SURVEY.md §2.2: "no NDC
+    reparameterization anywhere in the repo") even though its Fern
+    workload is the textbook case: forward-facing captures have unbounded
+    depth, and linear-in-t sampling in world space wastes samples near
+    the camera while undersampling the background.  In NDC the scene maps
+    into the [-1, 1]^2 x [0, 1] cube and ``t in [0, 1]`` sweeps from the
+    near plane to infinity with perspective-correct spacing.
+
+    Derivation (standard pinhole projection P, camera facing -z):
+    shift each origin to the near plane (``t = -(near + o_z) / d_z``),
+    then project so the new ray ``o' + t' d'`` in NDC corresponds to the
+    original world ray:
+
+        o' = (-f/(W/2) * o_x/o_z,  -f/(H/2) * o_y/o_z,  1 + 2n/o_z)
+        d' = (-f/(W/2) * (d_x/d_z - o_x/o_z),
+              -f/(H/2) * (d_y/d_z - o_y/o_z),  -2n/o_z)
+
+    Args:
+        height, width: image dims the focal is expressed against.
+        focal: focal length in pixels.
+        near: world-space distance of the projection near plane (the
+            standard choice after LLFF bound rescaling is 1.0).
+        ray_origins / ray_directions: ``(..., 3)`` world rays with
+            ``d_z < 0`` (forward-facing).
+
+    Returns:
+        ``(origins, directions)`` in NDC; sample with bounds [0, 1].
+    """
+    ray_origins = jnp.asarray(ray_origins, jnp.float32)
+    ray_directions = jnp.asarray(ray_directions, jnp.float32)
+    focal = jnp.asarray(focal, jnp.float32)
+    near = jnp.asarray(near, jnp.float32)
+
+    # Shift origins onto the near plane so t'=0 starts there.
+    t = -(near + ray_origins[..., 2]) / ray_directions[..., 2]
+    o = ray_origins + t[..., None] * ray_directions
+
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = (
+        ray_directions[..., 0],
+        ray_directions[..., 1],
+        ray_directions[..., 2],
+    )
+    sx = -focal / (0.5 * width)
+    sy = -focal / (0.5 * height)
+    o_ndc = jnp.stack(
+        [sx * ox / oz, sy * oy / oz, 1.0 + 2.0 * near / oz], axis=-1
+    )
+    d_ndc = jnp.stack(
+        [
+            sx * (dx / dz - ox / oz),
+            sy * (dy / dz - oy / oz),
+            -2.0 * near / oz,
+        ],
+        axis=-1,
+    )
+    return o_ndc, d_ndc
+
+
 # ---------------------------------------------------------------------------
 # Spherical camera paths for novel-view rendering (reference data_utils.py:
 # 225-267).  Host-side pose math — plain numpy, computed once per frame.

