@@ -151,6 +151,13 @@ def run_training(
     train_ds, val_ds, (near, far), focal = prepare_data(
         cfg.height, cfg.width, data_dir=args.data_dir
     )
+    if cfg.ndc:
+        # Forward-facing NDC reparameterization (NeRFConfig.ndc; absent
+        # from the reference): rays into the NDC cube, t sampled in [0, 1].
+        from nerf_keras_tpu.data.pipeline import dataset_to_ndc
+
+        train_ds, val_ds = dataset_to_ndc(train_ds), dataset_to_ndc(val_ds)
+        near, far = 0.0, 1.0
     train_ds = shard_dataset_for_process(train_ds)
     print(f"[nerf-tpu] rays: train={len(train_ds)} val={len(val_ds)} "
           f"near={near:.3f} far={far:.3f} focal={focal:.2f}")
@@ -164,7 +171,7 @@ def run_training(
         print(f"[nerf-tpu] resumed from {args.resume} at step {int(trainer.state.step)}")
 
     run_dir, viz_dir = resolve_run_dirs(cfg, name, args.run_dir)
-    scene = {"near": near, "far": far, "focal": focal}
+    scene = {"near": near, "far": far, "focal": focal, "ndc": cfg.ndc}
     history = History()
     losses_for_plot: list[float] = []
 
@@ -226,6 +233,27 @@ def run_training(
     except ValueError:  # non-main thread (tests driving run_training)
         prev_sigterm = None
 
+    # The handler must be restored even when the loop raises (non-finite
+    # loss, checkpoint IO): run_training is also called in-process by
+    # tests/embedding callers, and a leaked handler would outlive us.
+    try:
+        _run_epochs(
+            cfg, trainer, run_dir, viz_dir, scene, history, val_ds,
+            start_epoch, steps_per_epoch, eval_every, eval_bs, test_bs,
+            is_main, losses_for_plot, epoch_batches, stop_requested,
+        )
+    finally:
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+    print(f"[nerf-tpu] done; run dir: {run_dir}")
+    return trainer
+
+
+def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, val_ds,
+                start_epoch, steps_per_epoch, eval_every, eval_bs, test_bs,
+                is_main, losses_for_plot, epoch_batches, stop_requested):
+    """Epoch loop body of :func:`run_training` (split out so the SIGTERM
+    handler restoration can wrap it in try/finally)."""
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         metrics = trainer.train_epoch(
@@ -310,8 +338,3 @@ def run_training(
                 f"with --resume"
             )
             break
-
-    if prev_sigterm is not None:
-        signal.signal(signal.SIGTERM, prev_sigterm)
-    print(f"[nerf-tpu] done; run dir: {run_dir}")
-    return trainer

@@ -38,7 +38,13 @@ def makedirs(path: str) -> None:
 
 def listdir(path: str) -> list[str]:
     if _is_remote(path):
-        return sorted(os.path.basename(p.rstrip("/")) for p in _fs(path).ls(path))
+        # detail=False is load-bearing: several fsspec backends default to
+        # detail=True and return dict records, not path strings (caught by
+        # the memory:// round-trip tests — would have crashed on GCS).
+        return sorted(
+            os.path.basename(p.rstrip("/"))
+            for p in _fs(path).ls(path, detail=False)
+        )
     return sorted(os.listdir(path))
 
 

@@ -479,3 +479,31 @@ def test_pallas_eval_and_render_under_dp_mesh():
     r_j = t_j.render_rays(origins, dirs, chunk=16)
     for k in ("rgb_fine", "depth_fine"):
         np.testing.assert_allclose(r_p[k], r_j[k], rtol=1e-5, atol=1e-6)
+
+
+def test_encode_phase_trick_high_octave_accuracy():
+    """The in-kernel encode computes ``cos z = sin(z + pi/2)`` via a phase
+    row; f32 rounding of ``z + pi/2`` perturbs the phase by ~ulp(z)/2,
+    which GROWS with the octave — ~1e-4 rad at the flagship top octave
+    (l_xyz=10, far=6 -> z ~ 3e3), so the honest tolerance there is 1e-3,
+    NOT the 1e-5 low-octave figure (round-2 advisor finding).  Low
+    octaves must stay tight."""
+    from nerf_keras_tpu.ops import encode_position
+    from nerf_keras_tpu.ops.pallas.fused_render import (
+        _encode_consts,
+        _encode_tile,
+    )
+
+    l_xyz = 10
+    e, d = _encode_consts(3, l_xyz)
+    rng = np.random.default_rng(5)
+    # Flagship-realistic coordinates: |o + t*d| with t in [2, 6].
+    p = jnp.asarray(rng.uniform(-6.0, 6.0, size=(64, 3)).astype(np.float32))
+    ref = encode_position(p, l_xyz)
+    out = _encode_tile(p, jnp.asarray(e), d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=0)
+    # First 4 octaves (z <= 2^3 * 6 = 48): phase error ~ulp(48)/2 ~ 2e-6.
+    lo = 3 + 2 * 3 * 4
+    np.testing.assert_allclose(np.asarray(out[:, :lo]),
+                               np.asarray(ref[:, :lo]), atol=2e-5, rtol=0)
