@@ -236,6 +236,7 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
     from jax.sharding import PartitionSpec as P
 
     from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
+    from nerf_keras_tpu.ops.pallas.pdf_union import sample_pdf_union
     from nerf_keras_tpu.parallel.mesh import DATA_AXIS
 
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -265,6 +266,12 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
             params["coarse"], ray_origins, ray_directions, t_vals
         )
 
+        # Importance sampling + union stay in XLA: the MXU-one-hot
+        # sample_pdf + lax.sort measured FASTER (4.66 ms vs 5.65 at the
+        # 16384-ray chunk) than the fused Pallas pdf+union kernel — the
+        # kernel's rank-position merge is VPU-issue-bound at O((S+NF)^2)
+        # per ray while the one-hot einsum rides the MXU; see
+        # ops/pallas/pdf_union.py for the measured negative result.
         t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
         t_fine = sample_pdf(
             key, t_mid, jax.lax.stop_gradient(weights_coarse), cfg.ns_fine,
@@ -325,8 +332,11 @@ def _make_fused_eval_forward(cfg: NeRFConfig, mesh=None) -> Callable:
         )
         depth_coarse = jnp.sum(w_coarse * t_vals, axis=-1)
 
+        # pdf+union stays on the XLA path — the fused Pallas alternative
+        # measured SLOWER (ops/pallas/pdf_union.py docstring).
         t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-        t_fine = sample_pdf(None, t_mid, w_coarse, cfg.ns_fine, deterministic=True)
+        t_fine = sample_pdf(None, t_mid, w_coarse, cfg.ns_fine,
+                            deterministic=True)
         t_all = sorted_union(t_vals, t_fine)
 
         rgb_fine, w_fine = render_pass(
