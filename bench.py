@@ -110,11 +110,12 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
         np.asarray(out["rgb"])
         frame_time = time.perf_counter() - t0
-        # steady frames: compiled path only.  Best of two — identical
-        # programs vary 2.5-3.2 s run-to-run on the shared tunnel
-        # (docs/PERF.md), so a single sample mostly measures the tunnel.
+        # steady frames: compiled path only.  Best of N (default 4) —
+        # identical programs vary 2.5-3.2 s run-to-run on the shared
+        # tunnel (docs/PERF.md), so a single sample mostly measures the
+        # tunnel; N is logged with the result.
         steady = []
-        for _ in range(2):
+        for _ in range(int(os.environ.get("BENCH_RENDER_STEADY_N", "4"))):
             t0 = time.perf_counter()
             out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
             np.asarray(out["rgb"])

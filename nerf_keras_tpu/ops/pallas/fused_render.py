@@ -55,12 +55,22 @@ _TERMINAL_DELTA = 1e10
 # additionally holds all per-layer activations + f32 dW accumulators in
 # VMEM, so it uses fewer rays (and raises the scoped-vmem cap — see the
 # backward pallas_call).
-_MAX_TILE_FWD = 4096
-_MAX_TILE_BWD = 1024
-# Round 2 measured bigger tiles WORSE (8192/3072: 53.2 vs 47.1 ms), but
-# that was the O(R^2 S^2) single-selector design; with the blocked
-# selectors (see _segment_selectors) tile cost is linear in R and these
-# defaults are re-swept on TPU by scripts/exp_bwd_r3.py.
+# Round-3 sweeps (scripts/exp_bwd_r3.py, exp_tiles2.py) with the blocked
+# (linear-in-R) selectors confirmed SMALL ray tiles win — the streaming
+# operands pipeline better against the resident dW/weight blocks:
+#   fine  (S=192): fwd r=16 (12.4 ms vs 12.5 at r=8, 14.5 at r=32);
+#                  bwd r=8  (19.5 ms vs 23.9 at r=16);
+#   coarse (S=64): fwd r=32 (5.97 ms vs 6.40 at r=64);
+#                  bwd r=8  (13.5 ms fwd+bwd vs 13.7 at r=16).
+# The per-S defaults below encode that table; explicit max_tile_* args
+# (sweep scripts) override it.
+
+
+def _default_tiles(s: int) -> tuple[int, int]:
+    """Measured-optimal (fwd, bwd) point-tile budgets for S samples/ray."""
+    if s <= 96:  # coarse-pass regime
+        return 32 * s, 8 * s
+    return 16 * s, 8 * s
 
 
 def _rays_per_tile(num_samples: int, max_points: int) -> int:
@@ -874,14 +884,15 @@ def render_rays_fused(
     """
     if bwd_mode not in ("residual", "recompute"):
         raise ValueError(f"unknown bwd_mode: {bwd_mode!r}")
-    # Late-bound defaults: module constants so sweeps/benchmarks can
-    # override globally (the engine calls this without tile arguments).
-    if max_tile_fwd is None:
-        max_tile_fwd = _MAX_TILE_FWD
-    if max_tile_bwd is None:
-        max_tile_bwd = _MAX_TILE_BWD
-    num_layers = len(params["trunk"])
     s = t_vals.shape[-1]
+    # Late-bound defaults: the measured per-S table (None) so the engine
+    # gets the swept optimum per pass; sweep scripts pass explicit tiles.
+    dft_fwd, dft_bwd = _default_tiles(s)
+    if max_tile_fwd is None:
+        max_tile_fwd = dft_fwd
+    if max_tile_bwd is None:
+        max_tile_bwd = dft_bwd
+    num_layers = len(params["trunk"])
     cdt = jnp.dtype(compute_dtype)
     flat = [
         p.astype(cdt) if p.ndim == 2 else p.reshape(1, -1)
@@ -922,12 +933,13 @@ def apply_nerf_render_pallas(
         (forward value only — their cotangent is treated as zero, which is
         correct solely under detached importance sampling).
     """
-    if max_tile_fwd is None:
-        max_tile_fwd = _MAX_TILE_FWD
-    if max_tile_bwd is None:
-        max_tile_bwd = _MAX_TILE_BWD
-    num_layers = len(params["trunk"])
     b, s = t_vals.shape
+    dft_fwd, dft_bwd = _default_tiles(s)
+    if max_tile_fwd is None:
+        max_tile_fwd = dft_fwd
+    if max_tile_bwd is None:
+        max_tile_bwd = dft_bwd
+    num_layers = len(params["trunk"])
     cdt = jnp.dtype(compute_dtype)
     flat = [
         p.astype(cdt) if p.ndim == 2 else p.reshape(1, -1)

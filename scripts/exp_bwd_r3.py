@@ -210,10 +210,15 @@ def main() -> None:
 
     # ---------------- phase: full train step ----------------
     if "step" in phases:
-        if args.step_bwd_tile:
-            fr._MAX_TILE_BWD = args.step_bwd_tile
-        if args.step_fwd_tile:
-            fr._MAX_TILE_FWD = args.step_fwd_tile
+        if args.step_bwd_tile or args.step_fwd_tile:
+            # Defaults come from the per-S measured table; override it.
+            orig = fr._default_tiles
+
+            def patched(s, _orig=orig):
+                f, b_ = _orig(s)
+                return (args.step_fwd_tile or f, args.step_bwd_tile or b_)
+
+            fr._default_tiles = patched
         images = jnp.asarray(rng.uniform(0, 1, (b, 3)), jnp.float32)
         batch = (images, origins, dirs)
         step = jax.jit(make_train_step(cfg, 2.0, 6.0))
@@ -226,8 +231,8 @@ def main() -> None:
 
         stats = timer.measure(one)
         ms = stats["step_ms"]
-        print(f"train step (fwd_tile={fr._MAX_TILE_FWD} "
-              f"bwd_tile={fr._MAX_TILE_BWD}) {ms:8.2f} ms "
+        print(f"train step (fwd_tile={args.step_fwd_tile or 'table'} "
+              f"bwd_tile={args.step_bwd_tile or 'table'}) {ms:8.2f} ms "
               f"({b / ms:,.0f} Krays/s /1000)", flush=True)
 
 
