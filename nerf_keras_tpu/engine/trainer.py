@@ -246,6 +246,7 @@ class Trainer:
         chunk: int = 16384,
         keys: tuple[str, ...] | None = None,
         full: bool = False,
+        staged: bool = False,
     ) -> dict:
         """Render a flat ray batch, chunked to bound memory.
 
@@ -273,24 +274,68 @@ class Trainer:
         ds = math.lcm(self.mesh.shape["data"], jax.process_count())
         chunk = min(chunk, max(n, 1))
         chunk = ((chunk + ds - 1) // ds) * ds
+        num_chunks = (n + chunk - 1) // chunk
+        total_pad = num_chunks * chunk - n
+        if total_pad:
+            # Padded rays: dummy forward-facing dirs so the math stays
+            # finite; their outputs are sliced off per chunk below.
+            origins = np.concatenate(
+                [origins, np.zeros((total_pad, 3), origins.dtype)], axis=0
+            )
+            directions = np.concatenate([directions, np.concatenate(
+                [np.zeros((total_pad, 2), directions.dtype),
+                 -np.ones((total_pad, 1), directions.dtype)], axis=1
+            )], axis=0)
+
+        # ``staged=True`` uploads ALL rays in ONE host->device transfer as
+        # (num_chunks, chunk, 3) with the chunk axis sharded over 'data'
+        # and slices per chunk on device.  Measured SLOWER than per-chunk
+        # puts in a same-process A/B (2.33-2.42 s vs 2.21 s per 800x800
+        # frame, scripts/exp_frame_ab.py): the puts already overlap
+        # compute via async dispatch, while the device-side slice adds a
+        # gather to the critical path.  Kept off by default; the flag
+        # remains for hosts where upload bandwidth dominates.
+        staged_arrs = None
+        if staged and jax.process_count() == 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            staged_arrs = tuple(
+                jax.device_put(
+                    np.ascontiguousarray(
+                        a.reshape(num_chunks, chunk, 3)
+                    ),
+                    sharding,
+                )
+                for a in (origins, directions)
+            )
+
         outs: dict[str, list] = {}
-        for start in range(0, n, chunk):
-            o = origins[start : start + chunk]
-            d = directions[start : start + chunk]
-            pad = chunk - o.shape[0]
-            if pad:
-                o = np.concatenate([o, np.zeros((pad, 3), o.dtype)], axis=0)
-                d = np.concatenate([d, np.concatenate(
-                    [np.zeros((pad, 2), d.dtype), -np.ones((pad, 1), d.dtype)], axis=1
-                )], axis=0)
-            o_dev, d_dev = self.put_global_batch((o, d))
+        for idx, start in enumerate(range(0, n, chunk)):
+            pad = max(0, start + chunk - n)
+            if staged_arrs is not None:
+                o_dev, d_dev = staged_arrs[0][idx], staged_arrs[1][idx]
+            else:
+                o_dev, d_dev = self.put_global_batch(
+                    (origins[start:start + chunk],
+                     directions[start:start + chunk])
+                )
             res = render_fn(self.state, o_dev, d_dev)
-            # Keep chunk outputs on device; one host fetch at the end
-            # (a per-chunk fetch pays a full round-trip on tunneled PJRT).
+            # Keep chunk outputs on device and START their device->host
+            # transfer asynchronously: the copies overlap the remaining
+            # chunks' compute, so the end-of-frame fetch — ~0.3-0.5 s of
+            # serial tunnel time for an 800x800 frame — mostly vanishes.
+            # (A blocking per-chunk fetch would instead serialize a full
+            # round-trip per chunk.)
             for k, v in res.items():
                 if keys is not None and k not in keys:
                     continue
-                outs.setdefault(k, []).append(v[: chunk - pad] if pad else v)
+                part = v[: chunk - pad] if pad else v
+                try:
+                    part.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass  # backend without async host copies
+                outs.setdefault(k, []).append(part)
         return {
             k: np.concatenate(jax.device_get(v), axis=0) for k, v in outs.items()
         }
