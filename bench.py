@@ -115,7 +115,9 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         # tunnel (docs/PERF.md), so a single sample mostly measures the
         # tunnel; N is logged with the result.
         steady = []
-        for _ in range(int(os.environ.get("BENCH_RENDER_STEADY_N", "4"))):
+        # clamp: N<1 would make min(steady) below raise and junk the run
+        for _ in range(max(1, int(os.environ.get("BENCH_RENDER_STEADY_N",
+                                                 "4")))):
             t0 = time.perf_counter()
             out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
             np.asarray(out["rgb"])

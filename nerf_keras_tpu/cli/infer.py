@@ -52,17 +52,18 @@ def spherical_poses(
 
 
 def spiral_poses_from_capture(
-    data_dir: str, n_frames: int, factor: int = 8, spherify: bool = False,
+    data_dir: str, n_frames: int, spherify: bool = False,
 ) -> list[np.ndarray]:
     """Render path implied by an LLFF capture's geometry: the spiral
     around the average pose (reference ``render_path_spiral``,
     fern_data_utils.py:279-288) or, with ``spherify``, the spherified
-    orbit.  Returns ``n_frames`` (3, 4) camera-to-world poses subsampled
-    evenly from the capture's 120-pose path."""
-    from nerf_keras_tpu.data.llff import load_llff_data
+    orbit.  Reads only ``poses_bounds.npy`` (no image IO).  Returns
+    ``n_frames`` (3, 4) camera-to-world poses subsampled evenly from the
+    capture's 120-pose path."""
+    from nerf_keras_tpu.data.llff import load_llff_render_path
 
-    _imgs, _poses, _bds, render_poses, _hold = load_llff_data(
-        data_dir, factor=factor, recenter=True, spherify=spherify
+    render_poses = load_llff_render_path(
+        data_dir, recenter=True, spherify=spherify
     )
     idx = np.linspace(0, len(render_poses) - 1, n_frames)
     return [render_poses[int(round(i))][:, :4] for i in idx]
@@ -85,10 +86,8 @@ def run_inference(argv: list[str] | None = None) -> str:
                         "= the LLFF path implied by --data-dir's capture "
                         "geometry (fern_data_utils.py:279-288)")
     p.add_argument("--data-dir", type=str, default=None,
-                   help="LLFF capture directory (poses_bounds.npy + "
-                        "images); required for --path spiral")
-    p.add_argument("--factor", type=int, default=8,
-                   help="LLFF downsample factor for --path spiral")
+                   help="LLFF capture directory (only poses_bounds.npy "
+                        "is read); required for --path spiral")
     p.add_argument("--spherify", action="store_true",
                    help="with --path spiral: spherified 360 orbit instead "
                         "of the forward-facing spiral")
@@ -162,6 +161,16 @@ def run_inference(argv: list[str] | None = None) -> str:
         args.focal if args.focal is not None
         else scene.get("focal", 1.2 * max(cfg.height, cfg.width))
     )
+    # The sidecar's NDC flag determines the RAY SPACE the checkpoint was
+    # trained in — just as load-bearing as near/far.  An NDC-trained model
+    # rendered with world-space rays (or vice versa) produces silent
+    # garbage, so the sidecar wins over the passed config.
+    if "ndc" in scene and bool(scene["ndc"]) != cfg.ndc:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, ndc=bool(scene["ndc"]))
+        print(f"[nerf-tpu] checkpoint sidecar sets ndc={cfg.ndc} "
+              f"(overrides the config)")
     print(f"[nerf-tpu] scene: near={near:.3f} far={far:.3f} "
           f"focal={focal:.2f}"
           + ("" if scene else " (no sidecar; Lego-scene defaults)"))
@@ -189,7 +198,7 @@ def run_inference(argv: list[str] | None = None) -> str:
             raise SystemExit("--path spiral requires --data-dir "
                              "(LLFF capture with poses_bounds.npy)")
         poses = spiral_poses_from_capture(
-            args.data_dir, args.frames, factor=args.factor,
+            args.data_dir, args.frames,
             spherify=args.spherify,
         )
     else:

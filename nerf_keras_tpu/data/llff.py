@@ -214,6 +214,69 @@ def minify(basedir: str, factor: int) -> str:
     return out_dir
 
 
+def _render_path_from_poses(
+    poses: np.ndarray, bds: np.ndarray, spherify: bool, n_frames: int = 120
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render path implied by the (already rescaled/recentered) capture
+    poses: spherified orbit or the spiral with the focus-depth heuristic
+    (reference fern_data_utils.py:279-288, :420-444).  Returns
+    ``(poses, render_poses, bds)`` — spherification modifies all three.
+    """
+    if spherify:
+        return spherify_poses(poses, bds)
+    avg = average_pose(poses)
+    up = _normalize(poses[:, :, 1].sum(axis=0))
+    close, far = bds.min() * 0.9, bds.max() * 5.0
+    dt = 0.75
+    focal = 1.0 / ((1.0 - dt) / close + dt / far)
+    rads = np.percentile(np.abs(poses[:, :, 3]), 90, axis=0)
+    render_poses = spiral_render_path(
+        avg, up, rads, focal, zrate=0.5, rots=2, n_frames=n_frames
+    )
+    return poses, render_poses, bds
+
+
+def _load_poses_bounds(basedir: str) -> tuple[np.ndarray, np.ndarray]:
+    """poses_bounds.npy -> raw (N, 3, 5) float64 poses and (N, 2) bounds."""
+    with io.open_file(io.join(basedir, "poses_bounds.npy"), "rb") as f:
+        arr = np.load(f)
+    poses = arr[:, :-2].reshape(-1, 3, 5).astype(np.float64)
+    bds = arr[:, -2:].astype(np.float64)
+    return poses, bds
+
+
+def load_llff_render_path(
+    basedir: str,
+    recenter: bool = True,
+    bd_factor: float = 0.75,
+    spherify: bool = False,
+    n_frames: int = 120,
+) -> np.ndarray:
+    """Render poses only — reads ONLY ``poses_bounds.npy``.
+
+    Identical pose math to :func:`load_llff_data` (axis reorder, bound
+    rescale, recentering, spiral/spherified path), but decodes no images
+    and never touches a minified copy — the right entry point when only
+    camera paths are needed (e.g. ``inference.py --path spiral`` on a
+    render box holding just the checkpoint + poses_bounds.npy).  The hwf
+    column reflects the raw capture resolution; path consumers use only
+    ``[:, :4]``.
+    """
+    poses, bds = _load_poses_bounds(basedir)
+    poses = np.concatenate(
+        [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:]], axis=2
+    ).astype(np.float32)
+    bds = bds.astype(np.float32)
+    scale = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
+    poses[:, :, 3] *= scale
+    bds = bds * scale
+    if recenter:
+        poses = recenter_poses(poses)
+    _, render_poses, _ = _render_path_from_poses(poses, bds, spherify,
+                                                 n_frames)
+    return render_poses
+
+
 def load_llff_data(
     basedir: str,
     factor: int = 8,
@@ -227,10 +290,7 @@ def load_llff_data(
     Returns ``(images, poses, bds, render_poses, i_holdout)`` with
     images (N, H, W, 3) float32, poses (N, 3, 5), bds (N, 2).
     """
-    with io.open_file(io.join(basedir, "poses_bounds.npy"), "rb") as f:
-        arr = np.load(f)
-    poses = arr[:, :-2].reshape(-1, 3, 5).astype(np.float64)
-    bds = arr[:, -2:].astype(np.float64)
+    poses, bds = _load_poses_bounds(basedir)
 
     img_dir = minify(basedir, factor) if factor and factor != 1 else io.join(basedir, "images")
     files = _image_files(img_dir)
@@ -259,19 +319,7 @@ def load_llff_data(
     if recenter:
         poses = recenter_poses(poses)
 
-    if spherify:
-        poses, render_poses, bds = spherify_poses(poses, bds)
-    else:
-        avg = average_pose(poses)
-        up = _normalize(poses[:, :, 1].sum(axis=0))
-        # Focus-depth heuristic (fern_data_utils.py:420-444).
-        close, far = bds.min() * 0.9, bds.max() * 5.0
-        dt = 0.75
-        focal = 1.0 / ((1.0 - dt) / close + dt / far)
-        rads = np.percentile(np.abs(poses[:, :, 3]), 90, axis=0)
-        render_poses = spiral_render_path(
-            avg, up, rads, focal, zrate=0.5, rots=2, n_frames=120
-        )
+    poses, render_poses, bds = _render_path_from_poses(poses, bds, spherify)
 
     avg = average_pose(poses)
     dists = np.sum((avg[:, 3] - poses[:, :, 3]) ** 2, axis=-1)

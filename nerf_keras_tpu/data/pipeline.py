@@ -116,13 +116,18 @@ def flatten_views(
     )
 
 
-def dataset_to_ndc(ds: RayDataset, near_plane: float = 1.0) -> RayDataset:
+def dataset_to_ndc(ds: RayDataset, near_plane: float | None = None) -> RayDataset:
     """Reparameterize a forward-facing ray dataset into NDC
     (ops/rays.py:ndc_rays; NeRFConfig.ndc).  Bounds become [0, 1]: t'=0
-    is the world-space ``near_plane``, t'=1 is infinity."""
+    is the world-space ``near_plane`` (default: the shared
+    ops/rays.py:NDC_NEAR_PLANE — rendering assumes the same value),
+    t'=1 is infinity."""
     import dataclasses
 
-    from nerf_keras_tpu.ops.rays import ndc_rays
+    from nerf_keras_tpu.ops.rays import NDC_NEAR_PLANE, ndc_rays
+
+    if near_plane is None:
+        near_plane = NDC_NEAR_PLANE
 
     o, d = ndc_rays(
         ds.height, ds.width, ds.focal, near_plane, ds.origins, ds.directions

@@ -236,7 +236,6 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
     from jax.sharding import PartitionSpec as P
 
     from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
-    from nerf_keras_tpu.ops.pallas.pdf_union import sample_pdf_union
     from nerf_keras_tpu.parallel.mesh import DATA_AXIS
 
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

@@ -353,13 +353,26 @@ class Trainer:
         ``lax.map``-over-chunks variant measured ~30% SLOWER (3.40 s vs
         2.58 s per 800x800 frame) and was removed.
         """
-        from nerf_keras_tpu.ops.rays import get_rays, ndc_rays
+        from nerf_keras_tpu.ops.rays import NDC_NEAR_PLANE, get_rays, ndc_rays
 
         origins, dirs = get_rays(height, width, focal, pose)
         if self.cfg.ndc:
-            # NDC-trained models (NeRFConfig.ndc) expect NDC-space rays;
-            # the standard near plane after LLFF rescaling is 1.0.
-            origins, dirs = ndc_rays(height, width, focal, 1.0, origins, dirs)
+            # NDC-trained models (NeRFConfig.ndc) expect NDC-space rays.
+            # NDC is only defined for forward-facing rays (d_z < 0): a
+            # sideways/backward pose (e.g. a Blender-style orbit sweep)
+            # would divide by ~0 and render silent NaN frames — fail
+            # loudly instead and point at the forward-facing path.
+            dz = np.asarray(dirs)[..., 2]
+            if not (dz < 0).all():
+                raise ValueError(
+                    "NDC rendering requires a forward-facing camera "
+                    f"(all ray d_z < 0; got max d_z = {dz.max():.4f}). "
+                    "Use the capture-implied path (inference.py --path "
+                    "spiral) for NDC-trained checkpoints."
+                )
+            origins, dirs = ndc_rays(
+                height, width, focal, NDC_NEAR_PLANE, origins, dirs
+            )
         origins = np.asarray(origins).reshape(-1, 3)
         dirs = np.asarray(dirs).reshape(-1, 3)
 

@@ -863,8 +863,11 @@ def render_rays_fused(
     path.  ``bwd_mode`` picks the backward strategy:
 
     * ``"residual"`` (default): the forward also writes the in-VMEM
-      encodings to HBM and the backward consumes them (the encodings-in
-      kernel) — transcendentals run once.
+      POSITION encodings to HBM as residuals; the backward consumes them
+      and merely re-encodes the per-RAY direction features in VMEM (S x
+      fewer transcendentals than the sample count, and the lane-padded
+      (B*S, 27->128) direction residual round-trip is skipped) — the
+      expensive per-sample position transcendentals run once.
     * ``"recompute"``: residuals are the raw ``(B, 3)`` rays; the backward
       re-runs expand+encode in VMEM (measured ~4.5 ms/step slower at the
       flagship train shape — the recompute exceeds what the smaller

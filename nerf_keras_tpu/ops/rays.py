@@ -74,6 +74,14 @@ def sample_rays(
     return points, dirs
 
 
+# The single source of truth for the NDC projection near plane: the
+# standard choice after LLFF bound rescaling (bd_factor=0.75 puts the
+# closest bound at ~1.33, so the plane sits just inside it).  Training
+# (data/pipeline.py:dataset_to_ndc) and rendering (Trainer.render_image)
+# must agree on this value — a mismatch silently shifts where t'=0 lands.
+NDC_NEAR_PLANE = 1.0
+
+
 def ndc_rays(
     height: int,
     width: int,

@@ -20,6 +20,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=3)
     p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--chunks", type=str, default=None,
+                   help="comma list: sweep chunk sizes instead of the "
+                        "staged-vs-per-chunk A/B")
     args = p.parse_args()
     import jax  # noqa: F401
 
@@ -40,19 +43,32 @@ def main() -> None:
     o = np.asarray(o).reshape(-1, 3)
     d = np.asarray(d).reshape(-1, 3)
 
-    def frame(staged):
+    def frame(staged, chunk):
         t0 = time.perf_counter()
         out = trainer.render_rays(
-            o, d, chunk=args.chunk, keys=("rgb_fine", "depth_fine"),
+            o, d, chunk=chunk, keys=("rgb_fine", "depth_fine"),
             staged=staged,
         )
         np.asarray(out["rgb_fine"])
         return time.perf_counter() - t0
 
-    print("[frame_ab] warmup (compile):", f"{frame(True):.1f}s", flush=True)
+    if args.chunks:
+        sizes = [int(x) for x in args.chunks.split(",")]
+        for c in sizes:
+            print(f"[frame_ab] compile chunk={c}: {frame(False, c):.1f}s",
+                  flush=True)
+        for i in range(args.frames):
+            row = " | ".join(
+                f"c{c}: {frame(False, c):.2f}s" for c in sizes
+            )
+            print(f"round {i}: {row}", flush=True)
+        return
+
+    print("[frame_ab] warmup (compile):",
+          f"{frame(True, args.chunk):.1f}s", flush=True)
     for i in range(args.frames):
-        a = frame(True)
-        b = frame(False)
+        a = frame(True, args.chunk)
+        b = frame(False, args.chunk)
         print(f"round {i}: staged {a:.2f}s | per-chunk {b:.2f}s", flush=True)
 
 

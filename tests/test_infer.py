@@ -72,7 +72,7 @@ def test_spiral_path_renders_forward_facing_checkpoint(tmp_path):
     out = str(tmp_path / "spiral.mp4")
     written = run_inference([
         "--config", cfg_path, "--checkpoint", ckpt,
-        "--path", "spiral", "--data-dir", capture, "--factor", "1",
+        "--path", "spiral", "--data-dir", capture,
         "--frames", "2", "--chunk", "128", "--out", out,
     ])
     import os
@@ -101,10 +101,59 @@ def test_spiral_poses_subsample_shape(tmp_path):
     from nerf_keras_tpu.cli.infer import spiral_poses_from_capture
 
     capture = _write_capture(tmp_path)
-    poses = spiral_poses_from_capture(capture, 5, factor=1)
+    poses = spiral_poses_from_capture(capture, 5)
     assert len(poses) == 5
     for p in poses:
         assert p.shape == (3, 4)
         # rotation columns stay orthonormal (view_matrix construction)
         r = p[:, :3]
         np.testing.assert_allclose(r.T @ r, np.eye(3), atol=1e-5)
+
+
+def test_spiral_poses_need_only_poses_bounds(tmp_path):
+    """--path spiral must not require the capture images: the render path
+    is pose math only (load_llff_render_path reads poses_bounds.npy)."""
+    from nerf_keras_tpu.cli.infer import spiral_poses_from_capture
+
+    _write_capture(tmp_path)
+    import shutil
+
+    shutil.rmtree(tmp_path / "images")  # render box: checkpoint + poses only
+    poses = spiral_poses_from_capture(str(tmp_path), 3)
+    assert len(poses) == 3 and poses[0].shape == (3, 4)
+
+
+def test_ndc_sidecar_overrides_config_and_orbit_guard(tmp_path):
+    """An NDC-trained checkpoint's sidecar flips cfg.ndc at inference even
+    when the passed config lacks NDC; rendering it on the (default)
+    orbit path fails loudly instead of producing NaN frames."""
+    from nerf_keras_tpu.cli.infer import run_inference
+
+    capture = _write_capture(tmp_path)
+    cfg_path = _write_config(tmp_path)  # config WITHOUT NDC
+    cfg = load_config(cfg_path)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "ndc.ckpt.npz")
+    save_checkpoint(ckpt, state, cfg,
+                    scene={"near": 0.0, "far": 1.0, "focal": 20.0,
+                           "ndc": True})
+
+    # an upward-looking orbit pose has ray d_z > 0 -> the NDC
+    # forward-facing guard must trip instead of rendering NaN frames
+    with pytest.raises(ValueError, match="forward-facing"):
+        run_inference([
+            "--config", cfg_path, "--checkpoint", ckpt,
+            "--path", "orbit", "--phi", "30", "--frames", "1",
+            "--chunk", "128", "--out", str(tmp_path / "x.mp4"),
+        ])
+
+    # the capture-implied spiral is forward-facing -> renders fine
+    out = run_inference([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--path", "spiral", "--data-dir", capture,
+        "--frames", "2", "--chunk", "128",
+        "--out", str(tmp_path / "ndc_spiral.mp4"),
+    ])
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
