@@ -28,7 +28,6 @@ from nerf_keras_tpu.engine.trainer import Trainer
 from nerf_keras_tpu.ops.rays import pose_spherical
 from nerf_keras_tpu.utils.checkpoint import (
     latest_checkpoint,
-    load_checkpoint,
     load_checkpoint_scene,
 )
 from nerf_keras_tpu.utils.image import normalize_depth, to_uint8
@@ -177,19 +176,13 @@ def run_inference(argv: list[str] | None = None) -> str:
 
     trainer = Trainer(cfg, near, far)
     if ckpt is not None:
-        trainer.state = jax.device_put(
-            load_checkpoint(ckpt, jax.device_get(trainer.state)),
-            trainer._state_shardings,
-        )
+        trainer.restore(ckpt)
         print(f"[nerf-tpu] loaded {ckpt}")
     else:
         from nerf_keras_tpu.utils.keras_import import import_reference_weights
 
         params, bn = import_reference_weights(args.reference_weights, cfg)
-        trainer.state = jax.device_put(
-            trainer.state._replace(params=params, bn=bn),
-            trainer._state_shardings,
-        )
+        trainer.replace_params(params, bn)
         print(f"[nerf-tpu] imported reference weights {args.reference_weights}")
 
     frames, depth_frames = [], []

@@ -23,11 +23,7 @@ from nerf_keras_tpu.data.pipeline import RayDataset, iterate_batches
 from nerf_keras_tpu.engine.trainer import Trainer
 from nerf_keras_tpu.utils import io
 from nerf_keras_tpu.utils.cache import maybe_enable_compilation_cache
-from nerf_keras_tpu.utils.checkpoint import (
-    checkpoint_name,
-    load_checkpoint,
-    save_checkpoint,
-)
+from nerf_keras_tpu.utils.checkpoint import checkpoint_name, save_checkpoint
 from nerf_keras_tpu.utils.metrics import History
 from nerf_keras_tpu.utils.viz import save_panel
 
@@ -164,10 +160,7 @@ def run_training(
 
     trainer = Trainer(cfg, near, far)
     if args.resume:
-        trainer.state = jax.device_put(
-            load_checkpoint(args.resume, jax.device_get(trainer.state)),
-            trainer._state_shardings,
-        )
+        trainer.restore(args.resume)
         print(f"[nerf-tpu] resumed from {args.resume} at step {int(trainer.state.step)}")
 
     run_dir, viz_dir = resolve_run_dirs(cfg, name, args.run_dir)

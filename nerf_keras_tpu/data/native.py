@@ -37,10 +37,20 @@ RESHUFFLE_FN = ctypes.CFUNCTYPE(
 
 
 def _build() -> str:
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
-        check=True, capture_output=True,
-    )
+    # Build to a per-process temp name and os.replace into place: g++
+    # writing _LIB directly would let a SIBLING process (multi-process
+    # launch on a fresh checkout) dlopen a half-written library — the
+    # module-level lock only serializes threads within one process.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC],
+            check=True, capture_output=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return _LIB
 
 
@@ -127,6 +137,10 @@ class NativeRayBatcher:
 
     @property
     def steps_per_epoch(self) -> int:
+        if self._handle is None:
+            # same guard as __next__: ctypes would pass NULL into C++ and
+            # the null deref SIGSEGVs the interpreter, not an exception
+            raise RuntimeError("NativeRayBatcher is closed")
         return int(self._lib.batcher_steps_per_epoch(self._handle))
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:

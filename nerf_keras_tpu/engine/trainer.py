@@ -169,6 +169,30 @@ class Trainer:
 
         return tuple(put(x) for x in batch)
 
+    def restore(self, path: str) -> "Trainer":
+        """Load a checkpoint into this trainer with the correct shardings.
+
+        The one place owning the restore invariant (device_get template ->
+        load -> device_put with the state shardings); CLI resume, the
+        inference loader and the serving layer all go through it.
+        """
+        from nerf_keras_tpu.utils.checkpoint import load_checkpoint
+
+        self.state = jax.device_put(
+            load_checkpoint(path, jax.device_get(self.state)),
+            self._state_shardings,
+        )
+        return self
+
+    def replace_params(self, params, bn=None) -> "Trainer":
+        """Install externally-built params (e.g. imported reference
+        weights) with the correct shardings."""
+        self.state = jax.device_put(
+            self.state._replace(params=params, bn=bn),
+            self._state_shardings,
+        )
+        return self
+
     def train_step(self, batch, key: jax.Array | None = None):
         """One optimization step; returns metrics dict of scalars (device)."""
         key = self.train_key if key is None else key

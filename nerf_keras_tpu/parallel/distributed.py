@@ -42,17 +42,40 @@ def maybe_initialize() -> bool:
     num_procs = os.environ.get("NERF_NUM_PROCESSES")
     proc_id = os.environ.get("NERF_PROCESS_ID")
 
+    trio = (coordinator, num_procs, proc_id)
+    if any(v is not None for v in trio) and not all(trio):
+        # A partial trio is a misconfigured launch (typo'd var, one host
+        # missing an export).  Silently falling back to single-host mode
+        # would have BOTH processes train the full unsharded dataset and
+        # race on the same run dir — fail loudly instead.
+        missing = [
+            name for name, v in zip(
+                ("NERF_COORDINATOR", "NERF_NUM_PROCESSES",
+                 "NERF_PROCESS_ID"), trio)
+            if not v
+        ]
+        raise RuntimeError(
+            f"partial multi-process configuration: {missing} unset while "
+            "the other NERF_* launch variables are set — set all three "
+            "(docs/DISTRIBUTED.md) or none"
+        )
+
     if coordinator and num_procs and proc_id:
         # Multi-process CPU runs (tests, local sims) need a cross-host CPU
         # collectives backend; gloo ships with jaxlib.  Must be set before
         # backend init — harmless for TPU meshes, which ignore it.
-        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-            try:
-                jax.config.update(
-                    "jax_cpu_collectives_implementation", "gloo"
-                )
-            except Exception:
-                pass
+        # Platform detection must consult jax.config, NOT only the env
+        # var: in this repo's own recommended launch style the platform
+        # is pinned via --platform cpu -> jax.config.update (CLAUDE.md:
+        # the env var alone does not stick when a plugin registers
+        # eagerly), so the env var is often unset for CPU runs.
+        platforms = os.environ.get("JAX_PLATFORMS") or ""
+        try:
+            platforms = jax.config.jax_platforms or platforms
+        except AttributeError:
+            pass
+        if str(platforms).startswith("cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=int(num_procs),

@@ -40,12 +40,9 @@ class RenderService:
         self, cfg, checkpoint: str,
         near: float | None = None, far: float | None = None,
     ):
-        import jax
-
         from nerf_keras_tpu.engine.trainer import Trainer
         from nerf_keras_tpu.utils.checkpoint import (
             latest_checkpoint,
-            load_checkpoint,
             load_checkpoint_scene,
         )
 
@@ -59,11 +56,7 @@ class RenderService:
         near = near if near is not None else scene.get("near", 2.0)
         far = far if far is not None else scene.get("far", 6.0)
         self.default_focal = scene.get("focal")
-        self.trainer = Trainer(cfg, near, far)
-        self.trainer.state = jax.device_put(
-            load_checkpoint(checkpoint, jax.device_get(self.trainer.state)),
-            self.trainer._state_shardings,
-        )
+        self.trainer = Trainer(cfg, near, far).restore(checkpoint)
         self.checkpoint = checkpoint
         self.cfg = cfg
         self._lock = threading.Lock()
@@ -90,13 +83,17 @@ class RenderService:
                 )
             else:
                 focal = 1.2 * max(height, width)
-        t0 = time.perf_counter()
         with self._lock:  # single accelerator; serialize device work
+            # Time INSIDE the lock (render only, not lock-wait — waiting
+            # would inflate mean_render_s under concurrency) and mutate
+            # the counters under it too: handler threads come from
+            # ThreadingHTTPServer and += is not atomic under the GIL.
+            t0 = time.perf_counter()
             out = self.trainer.render_image(
                 pose, height, width, focal, chunk=chunk
             )
-        self.total_render_s += time.perf_counter() - t0
-        self.requests += 1
+            self.total_render_s += time.perf_counter() - t0
+            self.requests += 1
         buf = io.BytesIO()
         Image.fromarray(to_uint8(out["rgb"])).save(buf, format="PNG")
         return buf.getvalue()

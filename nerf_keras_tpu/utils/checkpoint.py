@@ -15,12 +15,35 @@ from __future__ import annotations
 
 import io as _io
 import json
+import os
+import re
 
 import jax
 import numpy as np
 
 from nerf_keras_tpu.config import NeRFConfig, to_reference_json, config_from_dict
 from nerf_keras_tpu.utils import io
+
+
+def _write_atomic(path: str, data: bytes) -> None:
+    """Write so a crash mid-write can never destroy an existing file.
+
+    Training saves every eval to the SAME path (checkpoint_name depends
+    only on the config), so a plain truncating open would leave a
+    corrupt file AND have already destroyed the previous good checkpoint
+    if the process dies mid-write (preemption grace expiring, OOM) —
+    defeating resume entirely.  Local: temp file + atomic os.replace.
+    Remote object stores (gs://): objects only become visible on
+    complete commit, so a direct write is already non-destructive.
+    """
+    if "://" in path:
+        with io.open_file(path, "wb") as f:
+            f.write(data)
+        return
+    tmp = path + ".tmp"
+    with io.open_file(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
 
 
 def checkpoint_name(cfg: NeRFConfig) -> str:
@@ -56,15 +79,20 @@ def save_checkpoint(
     arrays = _flatten(jax.device_get(state))
     buf = _io.BytesIO()
     np.savez(buf, **arrays)
-    with io.open_file(path, "wb") as f:
-        f.write(buf.getvalue())
+    # Sidecar first, npz last (both atomic): a kill in between leaves the
+    # OLD npz paired with a same-run sidecar (fine), never a NEW npz with
+    # a stale sidecar's scene geometry.
     if cfg is not None:
         sidecar = to_reference_json(cfg)
         if scene is not None:
-            sidecar["SCENE"] = {k.upper(): float(v) for k, v in scene.items()}
-        cfg_path = path + ".config.json"
-        with io.open_file(cfg_path, "w") as f:
-            json.dump(sidecar, f, indent=2)
+            sidecar["SCENE"] = {
+                k.upper(): (bool(v) if isinstance(v, (bool, np.bool_))
+                            else float(v))
+                for k, v in scene.items()
+            }
+        _write_atomic(path + ".config.json",
+                      json.dumps(sidecar, indent=2).encode())
+    _write_atomic(path, buf.getvalue())
 
 
 def load_checkpoint(path: str, template_state):
@@ -105,14 +133,28 @@ def load_checkpoint_scene(path: str) -> dict | None:
         scene = json.load(f).get("SCENE")
     if scene is None:
         return None
-    return {k.lower(): float(v) for k, v in scene.items()}
+    return {
+        k.lower(): (v if isinstance(v, bool) else float(v))
+        for k, v in scene.items()
+    }
+
+
+def _numeric_sort_key(name: str) -> tuple:
+    """Natural sort: digit runs compare numerically, so ``ep10`` beats
+    ``ep2`` (plain lexicographic sort returned the 2-epoch checkpoint as
+    'newest' — '2' > '1')."""
+    return tuple(
+        int(part) if part.isdigit() else part
+        for part in re.split(r"(\d+)", name)
+    )
 
 
 def latest_checkpoint(run_dir: str) -> str | None:
-    """Newest ``*.ckpt.npz`` in a run directory, or None."""
+    """Newest ``*.ckpt.npz`` in a run directory (natural name order, so
+    the highest-epoch file wins), or None."""
     if not io.exists(run_dir):
         return None
     names = [n for n in io.listdir(run_dir) if n.endswith(".ckpt.npz")]
     if not names:
         return None
-    return io.join(run_dir, sorted(names)[-1])
+    return io.join(run_dir, sorted(names, key=_numeric_sort_key)[-1])

@@ -170,3 +170,19 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         results[0]["val_loss"], float(ev["loss"]), rtol=1e-5
     )
+
+
+def test_partial_env_trio_raises(monkeypatch):
+    """A partially-set NERF_* launch trio is a misconfiguration: silently
+    proceeding single-host would have both processes train the full
+    dataset and race on the run dir (round-3 review finding)."""
+    import importlib
+
+    import nerf_keras_tpu.parallel.distributed as dist
+
+    monkeypatch.setenv("NERF_COORDINATOR", "127.0.0.1:9999")
+    monkeypatch.setenv("NERF_NUM_PROCESSES", "2")
+    monkeypatch.delenv("NERF_PROCESS_ID", raising=False)
+    importlib.reload(dist)
+    with pytest.raises(RuntimeError, match="NERF_PROCESS_ID"):
+        dist.maybe_initialize()
