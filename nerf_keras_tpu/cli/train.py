@@ -165,8 +165,30 @@ def run_training(
 
     run_dir, viz_dir = resolve_run_dirs(cfg, name, args.run_dir)
     scene = {"near": near, "far": far, "focal": focal, "ndc": cfg.ndc}
+    history_name = (
+        f"history_l{cfg.num_layers}_d{cfg.hidden_dim}"
+        f"_n{cfg.ns_coarse + cfg.ns_fine}_ep{cfg.epochs}.json"
+    )
     history = History()
     losses_for_plot: list[float] = []
+    if args.resume and io.exists(run_dir):
+        # Resuming into the same run dir: continue the metric record —
+        # a fresh History would overwrite the file with post-resume
+        # epochs only, silently discarding the earlier training curve.
+        # The filename embeds EPOCHS (reference naming), so when --epochs
+        # changed on resume fall back to the newest history file present.
+        candidates = [history_name] + sorted(
+            (n for n in io.listdir(run_dir)
+             if n.startswith("history_") and n.endswith(".json")),
+            reverse=True,
+        )
+        for cand in candidates:
+            if io.exists(io.join(run_dir, cand)):
+                history = History.load(io.join(run_dir, cand))
+                losses_for_plot = list(history.losses)
+                print(f"[nerf-tpu] continuing history from {cand} "
+                      f"({len(history.losses)} epochs recorded)")
+                break
 
     # Multi-host accounting: each host assembles only its 1/P slice of the
     # global batch (put_batch assembles the global array across hosts), so
@@ -183,7 +205,22 @@ def run_training(
             f"count ({proc_count})"
         )
     local_bs = cfg.batch_size // proc_count
-    steps_per_epoch = max(1, len(train_ds) // local_bs)
+    if len(train_ds) < local_bs:
+        # Without this, drop-remainder batching yields ZERO batches and
+        # the first epoch dies later with an opaque KeyError('loss').
+        raise ValueError(
+            f"BATCH_SIZE={cfg.batch_size} exceeds the per-host train set "
+            f"({len(train_ds)} rays after sharding across {proc_count} "
+            f"process(es)) — lower BATCH_SIZE or enlarge the dataset"
+        )
+    steps_per_epoch = len(train_ds) // local_bs
+    if len(val_ds) % eval_bs:
+        # Parity note: the reference's val pipeline also batches with
+        # drop_remainder=True (data_utils.py:166), so excluded rays match
+        # its behavior — but say so instead of silently biasing val PSNR.
+        print(f"[nerf-tpu] val: {len(val_ds) % eval_bs} of {len(val_ds)} "
+              f"rays excluded from metrics (eval batch {eval_bs}, "
+              f"drop-remainder — matches the reference pipeline)")
     start_epoch = int(trainer.state.step) // steps_per_epoch
     # Artifacts (checkpoints, panels, history) are written by process 0
     # only: every host computes the same replicated state/metrics, and
@@ -231,9 +268,10 @@ def run_training(
     # tests/embedding callers, and a leaked handler would outlive us.
     try:
         _run_epochs(
-            cfg, trainer, run_dir, viz_dir, scene, history, val_ds,
-            start_epoch, steps_per_epoch, eval_every, eval_bs, test_bs,
-            is_main, losses_for_plot, epoch_batches, stop_requested,
+            cfg, trainer, run_dir, viz_dir, scene, history, history_name,
+            val_ds, start_epoch, steps_per_epoch, eval_every, eval_bs,
+            test_bs, is_main, losses_for_plot, epoch_batches,
+            stop_requested,
         )
     finally:
         if prev_sigterm is not None:
@@ -242,9 +280,10 @@ def run_training(
     return trainer
 
 
-def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, val_ds,
-                start_epoch, steps_per_epoch, eval_every, eval_bs, test_bs,
-                is_main, losses_for_plot, epoch_batches, stop_requested):
+def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
+                val_ds, start_epoch, steps_per_epoch, eval_every, eval_bs,
+                test_bs, is_main, losses_for_plot, epoch_batches,
+                stop_requested):
     """Epoch loop body of :func:`run_training` (split out so the SIGTERM
     handler restoration can wrap it in try/finally)."""
     for epoch in range(start_epoch, cfg.epochs):
@@ -312,11 +351,7 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, val_ds,
                     io.join(run_dir, checkpoint_name(cfg)), trainer.state, cfg,
                     scene=scene,
                 )
-                history.save(io.join(
-                    run_dir,
-                    f"history_l{cfg.num_layers}_d{cfg.hidden_dim}"
-                    f"_n{cfg.ns_coarse + cfg.ns_fine}_ep{cfg.epochs}.json",
-                ))
+                history.save(io.join(run_dir, history_name))
         else:
             history.append(metrics)
 

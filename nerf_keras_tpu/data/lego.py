@@ -23,8 +23,11 @@ import urllib.request
 
 import numpy as np
 
-from nerf_keras_tpu.data.pipeline import RayDataset, flatten_views
-from nerf_keras_tpu.ops.rays import get_rays
+from nerf_keras_tpu.data.pipeline import (
+    RayDataset,
+    build_ray_dataset,
+    rescale_focal,
+)
 from nerf_keras_tpu.utils.image import resize_bilinear
 
 LEGO_URL = (
@@ -49,14 +52,21 @@ def find_lego_npz(path: str | None = None) -> str:
             return c
     target = os.path.expanduser(f"~/.cache/nerf_keras_tpu/{_FILENAME}")
     os.makedirs(os.path.dirname(target), exist_ok=True)
+    # Download to a temp name + atomic rename: an interrupted download at
+    # the final path would be returned as a valid cache hit forever after.
+    tmp = f"{target}.{os.getpid()}.tmp"
     try:
-        urllib.request.urlretrieve(LEGO_URL, target)
+        urllib.request.urlretrieve(LEGO_URL, tmp)
+        os.replace(tmp, target)
         return target
     except Exception as e:  # zero-egress environments
         raise FileNotFoundError(
             f"tiny_nerf_data.npz not found in {candidates} and download "
             f"failed ({e}). Place the file under $NERF_DATA_DIR or ./data."
         ) from e
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def split_data(
@@ -79,29 +89,23 @@ def prepare_lego_data(
     data = np.load(find_lego_npz(path))
     images = data["images"].astype(np.float32)
     poses = data["poses"].astype(np.float32)
-    focal = float(data["focal"])
+    src_h, src_w = images.shape[1:3]
+    # Focal scales with the resize (pipeline.rescale_focal docstring);
+    # the reference keeps the native 100x100 focal for its 25x25/50x50
+    # configs, which makes every resized config's rays span the wrong FOV.
+    focal = rescale_focal(
+        float(data["focal"]), src_h, src_w, target_height, target_width
+    )
 
     images = resize_bilinear(images, target_height, target_width)
 
     train_imgs, val_imgs, train_poses, val_poses = split_data(images, poses)
 
-    def rays_for(pose_set: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        oris, dirs = [], []
-        for pose in pose_set:
-            o, d = get_rays(target_height, target_width, focal, pose)
-            oris.append(np.asarray(o))
-            dirs.append(np.asarray(d))
-        return np.stack(oris), np.stack(dirs)
-
     near, far = 2.0, 6.0
 
     def build(imgs: np.ndarray, pose_set: np.ndarray) -> RayDataset:
-        oris, dirs = rays_for(pose_set)
-        px, o, d = flatten_views(imgs, oris, dirs)
-        return RayDataset(
-            pixels=px, origins=o, directions=d,
-            near=near, far=far, focal=focal,
-            height=target_height, width=target_width,
+        return build_ray_dataset(
+            imgs, pose_set, target_height, target_width, focal, near, far
         )
 
     return (

@@ -223,7 +223,15 @@ def _render_path_from_poses(
     ``(poses, render_poses, bds)`` — spherification modifies all three.
     """
     if spherify:
-        return spherify_poses(poses, bds)
+        poses, render_poses, bds = spherify_poses(poses, bds)
+        if len(render_poses) != n_frames:
+            # spherify_poses emits a fixed 120-pose orbit; honor the
+            # n_frames contract by even subsampling/repetition.
+            idx = np.linspace(0, len(render_poses) - 1, n_frames)
+            render_poses = np.stack(
+                [render_poses[int(round(i))] for i in idx]
+            )
+        return poses, render_poses, bds
     avg = average_pose(poses)
     up = _normalize(poses[:, :, 1].sum(axis=0))
     close, far = bds.min() * 0.9, bds.max() * 5.0
@@ -303,7 +311,9 @@ def load_llff_data(
     # Update hwf for the actual loaded resolution.
     poses[:, 0, 4] = images.shape[1]
     poses[:, 1, 4] = images.shape[2]
-    poses[:, 2, 4] = poses[:, 2, 4] / factor
+    # factor=None/0 means "raw images" (same rule as the img_dir choice
+    # above); dividing by it would TypeError / produce an inf focal.
+    poses[:, 2, 4] = poses[:, 2, 4] / (factor if factor else 1)
 
     # LLFF's [down, right, back] -> NeRF's [right, up, back]
     # (reference fern_data_utils.py:394).
@@ -356,12 +366,20 @@ def prepare_fern_data(
         basedir, factor=factor, recenter=True, bd_factor=0.75, spherify=False
     )
 
+    focal = float(poses[0, 2, 4])
     if images.shape[1:3] != (target_height, target_width):
+        from nerf_keras_tpu.data.pipeline import rescale_focal
         from nerf_keras_tpu.utils.image import resize_bilinear
 
+        # Focal scales with the resize (pipeline.rescale_focal); the
+        # reference keeps the factor-8 focal (~408 px) for its 50x75
+        # config, so its rays cover ~1/7 of each pixel's true angular
+        # extent — multi-view-inconsistent supervision.
+        src_h, src_w = images.shape[1:3]
+        focal = rescale_focal(focal, src_h, src_w,
+                              target_height, target_width)
         images = resize_bilinear(images, target_height, target_width)
 
-    focal = float(poses[0, 2, 4])
     near = float(bds.min()) * 0.9
     far = float(bds.max())
 
@@ -370,18 +388,11 @@ def prepare_fern_data(
     val_idx = np.array([i_holdout])
 
     def build(indices: np.ndarray) -> RayDataset:
-        oris, dirs = [], []
-        for i in indices:
-            o, d = get_rays(target_height, target_width, focal, poses[i, :, :4])
-            oris.append(np.asarray(o))
-            dirs.append(np.asarray(d))
-        px, o, d = flatten_views(
-            images[indices], np.stack(oris), np.stack(dirs)
-        )
-        return RayDataset(
-            pixels=px, origins=o, directions=d,
-            near=near, far=far, focal=focal,
-            height=target_height, width=target_width,
+        from nerf_keras_tpu.data.pipeline import build_ray_dataset
+
+        return build_ray_dataset(
+            images[indices], poses[indices, :, :4],
+            target_height, target_width, focal, near, far,
         )
 
     return build(train_idx), build(val_idx), (near, far), focal

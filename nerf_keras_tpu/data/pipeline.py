@@ -116,6 +116,52 @@ def flatten_views(
     )
 
 
+def rescale_focal(
+    focal: float, src_h: int, src_w: int, dst_h: int, dst_w: int
+) -> float:
+    """Focal length after resizing (src_h, src_w) images to (dst_h, dst_w).
+
+    A pixel's angular extent scales with resolution, so the focal must
+    scale with the resize ratio; a single focal is only exact for
+    isotropic resizes — the geometric-mean ratio is used for anisotropic
+    ones (the resized image is geometrically distorted either way).
+    Fixes a reference defect it applies to BOTH its loaders: images are
+    resized to the config resolution but the native-resolution focal is
+    kept (lego_data_utils.py:23 vs :29; fern_data_utils.py:477-483), so
+    rays span the wrong field of view and multi-view supervision is
+    geometrically inconsistent at any non-native resolution.
+    """
+    import math
+
+    return float(focal) * math.sqrt((dst_h / src_h) * (dst_w / src_w))
+
+
+def build_ray_dataset(
+    images: np.ndarray,
+    poses,
+    height: int,
+    width: int,
+    focal: float,
+    near: float,
+    far: float,
+) -> RayDataset:
+    """(V, H, W, 3) images + per-view camera poses -> flattened RayDataset
+    (the pose-loop -> get_rays -> flatten pipeline every loader shares)."""
+    from nerf_keras_tpu.ops.rays import get_rays
+
+    oris, dirs = [], []
+    for pose in poses:
+        o, d = get_rays(height, width, focal, pose)
+        oris.append(np.asarray(o))
+        dirs.append(np.asarray(d))
+    px, o, d = flatten_views(images, np.stack(oris), np.stack(dirs))
+    return RayDataset(
+        pixels=px, origins=o, directions=d,
+        near=near, far=far, focal=float(focal),
+        height=height, width=width,
+    )
+
+
 def dataset_to_ndc(ds: RayDataset, near_plane: float | None = None) -> RayDataset:
     """Reparameterize a forward-facing ray dataset into NDC
     (ops/rays.py:ndc_rays; NeRFConfig.ndc).  Bounds become [0, 1]: t'=0

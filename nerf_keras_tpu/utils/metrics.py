@@ -12,24 +12,6 @@ import json
 from nerf_keras_tpu.utils import io
 
 
-class MeanTracker:
-    """Streaming mean, reset per epoch (keras.metrics.Mean)."""
-
-    def __init__(self) -> None:
-        self.total = 0.0
-        self.count = 0
-
-    def update(self, value: float, n: int = 1) -> None:
-        self.total += float(value) * n
-        self.count += n
-
-    def result(self) -> float:
-        return self.total / self.count if self.count else 0.0
-
-    def reset(self) -> None:
-        self.total, self.count = 0.0, 0
-
-
 class History:
     """Per-epoch metric history with the reference's JSON schema
     (keys ``losses_coarse`` / ``losses`` / ``psnrs``, train_lego.py:179-181)."""
@@ -62,3 +44,17 @@ class History:
     def save(self, path: str) -> None:
         with io.open_file(path, "w") as f:
             json.dump(self.to_dict(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "History":
+        """Rebuild from a saved history JSON (resume continues the record
+        instead of overwriting the pre-resume epochs)."""
+        with io.open_file(path, "r") as f:
+            raw = json.load(f)
+        h = cls()
+        h.losses_coarse = list(raw.get("losses_coarse", []))
+        h.losses = list(raw.get("losses", []))
+        h.psnrs = list(raw.get("psnrs", []))
+        h.val["losses"] = list(raw.get("val_losses", []))
+        h.val["psnrs"] = list(raw.get("val_psnrs", []))
+        return h

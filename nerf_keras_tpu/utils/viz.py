@@ -63,13 +63,21 @@ def write_video(path: str, frames: list[np.ndarray], fps: int = 30) -> str:
     Falls back to an animated GIF next to ``path`` when no ffmpeg backend
     exists; returns the path actually written.
     """
+    if not frames:
+        # Fail here with a clear message: an empty list previously fell
+        # into the GIF branch and died on imgs[0] with an IndexError that
+        # masked the real problem.
+        raise ValueError(f"write_video({path!r}): no frames to encode")
     frames = [to_uint8(f) if f.dtype != np.uint8 else f for f in frames]
     try:
         import imageio.v2 as imageio
 
         imageio.mimwrite(path, frames, fps=fps, quality=7, macro_block_size=None)
         return path
-    except Exception:
+    except (ImportError, OSError, ValueError) as e:
+        # Missing ffmpeg backend (this image) or an unencodable container
+        # -> GIF fallback; anything else should surface, not degrade.
+        print(f"[nerf-tpu] mp4 encode unavailable ({e}); writing GIF")
         gif_path = path.rsplit(".", 1)[0] + ".gif"
         from PIL import Image
 

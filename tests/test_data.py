@@ -270,7 +270,10 @@ def test_prepare_lego_data_end_to_end(tmp_path):
     train, val, (near, far), focal = prepare_lego_data(th, tw, path=path)
 
     assert (near, far) == (2.0, 6.0)
-    assert focal == 25.3
+    # Focal rescales with the resize (geometric-mean ratio for the
+    # anisotropic case) — the reference keeps the native focal, giving
+    # resized configs a wrong FOV (pipeline.rescale_focal docstring).
+    assert focal == pytest.approx(25.3 * np.sqrt((th / h0) * (tw / w0)))
     # 80/20 split by index: 8 train / 2 val images, flattened per-pixel
     assert len(train) == 8 * th * tw
     assert len(val) == 2 * th * tw
@@ -416,3 +419,34 @@ def test_train_fern_ndc_end_to_end(tmp_path, capsys):
     scene = load_checkpoint_scene(str(run_dir / "nerf_l2_d16_n12_ep2.ckpt.npz"))
     assert scene["ndc"] is True or scene["ndc"] == 1
     assert scene["near"] == 0.0 and scene["far"] == 1.0
+
+
+def test_rescale_focal_preserves_fov():
+    """The rescaled focal keeps each pixel's angular extent: the half-FOV
+    of the resized camera matches the original for isotropic resizes."""
+    from nerf_keras_tpu.data.pipeline import rescale_focal
+
+    f0, h0, w0 = 138.9, 100, 100
+    f1 = rescale_focal(f0, h0, w0, 25, 25)
+    # half-FOV = atan((W/2)/f): must be equal before and after
+    np.testing.assert_allclose(
+        np.arctan((w0 / 2) / f0), np.arctan((25 / 2) / f1), rtol=1e-6
+    )
+    # identity when no resize
+    assert rescale_focal(f0, h0, w0, h0, w0) == pytest.approx(f0)
+
+
+def test_history_load_roundtrip(tmp_path):
+    from nerf_keras_tpu.utils.metrics import History
+
+    h = History()
+    h.append({"loss_coarse": 0.2, "loss": 0.1, "psnr": 11.0})
+    h.append({"loss_coarse": 0.1, "loss": 0.05, "psnr": 14.0},
+             {"loss": 0.07, "psnr": 12.0})
+    p = str(tmp_path / "hist.json")
+    h.save(p)
+    h2 = History.load(p)
+    assert h2.to_dict() == h.to_dict()
+    # appends continue the record
+    h2.append({"loss_coarse": 0.05, "loss": 0.02, "psnr": 17.0})
+    assert len(h2.losses) == 3 and h2.losses[0] == 0.1
