@@ -118,6 +118,19 @@ class NeRFConfig:
                 "(the fused kernels have no BatchNorm support); use the "
                 "XLA path for BN configs"
             )
+        if self.use_pallas and self.mesh_model > 1:
+            # Same direct-caller rationale: the Pallas path shard_maps
+            # over the data axis only, so a tensor-parallel mesh would
+            # silently mis-shard the params (Trainer has this guard too).
+            raise ValueError(
+                "use_pallas=True shards rays over 'data' only; tensor "
+                "parallelism (MESH_MODEL > 1) requires the jnp MLP path"
+            )
+        if self.mesh_data == 0 or self.mesh_data < -1:
+            raise ValueError(
+                f"MESH_DATA must be >= 1 or -1 (all devices), got "
+                f"{self.mesh_data}"
+            )
         return self
 
 

@@ -58,6 +58,20 @@ def trunk_input_dims(
     return dims
 
 
+def head_input_dim(
+    num_layers: int, hidden_dim: int, skip_layer: int, xyz_dim: int
+) -> int:
+    """Input width of the sigma/feature heads: the concatenated width when
+    the FINAL trunk layer is itself a skip layer (reference functional
+    graph, models.py:38-45).  Single source of truth — the subtlest piece
+    of architecture parity; init, the legacy variant and the Keras
+    importer all consume it."""
+    last = num_layers - 1
+    if last % skip_layer == 0 and last > 0:
+        return hidden_dim + xyz_dim
+    return hidden_dim
+
+
 def _glorot_uniform(key: jax.Array, shape: tuple[int, int]) -> jnp.ndarray:
     fan_in, fan_out = shape
     limit = (6.0 / (fan_in + fan_out)) ** 0.5
@@ -96,10 +110,7 @@ def init_nerf_params(
             layer["beta"] = jnp.zeros((hidden_dim,), dtype=jnp.float32)
         trunk.append(layer)
 
-    # If the final trunk layer is itself a skip layer, the heads consume the
-    # concatenated width (mirrors the reference's functional-graph wiring).
-    last = num_layers - 1
-    head_in = hidden_dim + xyz_dim if (last % skip_layer == 0 and last > 0) else hidden_dim
+    head_in = head_input_dim(num_layers, hidden_dim, skip_layer, xyz_dim)
 
     branch = _dense_init(keys[num_layers + 2], hidden_dim + dir_dim, hidden_dim // 2)
     if batch_norm:
@@ -199,6 +210,11 @@ def apply_nerf_mlp(
         ``[rgb_logits, sigma]``.
     """
     use_bn = "gamma" in params["trunk"][0]
+    if use_bn and bn_state is None:
+        raise ValueError(
+            "params carry BatchNorm parameters but bn_state is None — "
+            "pass init_bn_state(params) (or the trained running stats)"
+        )
     new_bn: dict | None = {"trunk": []} if use_bn else None
 
     x = x_enc
@@ -252,8 +268,7 @@ def init_simple_nerf_params(
     trunk = [
         _dense_init(keys[i], in_dim, hidden_dim) for i, in_dim in enumerate(dims)
     ]
-    last = num_layers - 1
-    head_in = hidden_dim + xyz_dim if (last % 4 == 0 and last > 0) else hidden_dim
+    head_in = head_input_dim(num_layers, hidden_dim, 4, xyz_dim)
     return {"trunk": trunk, "head": _dense_init(keys[num_layers], head_in, 4)}
 
 

@@ -6,9 +6,13 @@ Counterparts of reference data_utils.py:119-138 (``generate_t_vals``) and
 * fully key-driven: randomness is explicit per step under ``jit`` — the
   reference draws its jitter once at dataset-build time (data_utils.py:156)
   and its fine-sample uniforms through TF global RNG state;
-* ``sample_pdf`` uses ``jnp.searchsorted`` + ``take_along_axis`` (pure XLA,
-  backend-neutral) — the reference's version is the only TF-locked code in
-  its compute core (tf.searchsorted/tf.gather, data_utils.py:196-213);
+* ``sample_pdf`` is gather-free: ONE bf16 transition one-hot drives a
+  single MXU einsum (``precision=HIGHEST``, load-bearing — see the
+  in-function comment) against a stacked value matrix for all four
+  below/above lookups — the reference's version is the only TF-locked
+  code in its compute core (tf.searchsorted/tf.gather,
+  data_utils.py:196-213), and a searchsorted/take_along_axis port
+  measured ~27 ms/step of gather cost at the flagship batch;
 * shape-polymorphic over leading batch dims (the reference special-cases
   rank-2 and rank-4).
 """

@@ -49,6 +49,11 @@ def make_mesh(
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
+    if data <= 0:
+        # Only -1 means "infer"; 0 or other negatives would silently
+        # reshape into an EMPTY mesh (numpy treats any negative dim as
+        # infer) and die later with a bare ZeroDivisionError.
+        raise ValueError(f"data axis size must be >= 1 or -1, got {data}")
     if data * model > n:
         raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
     grid = np.asarray(devices[: data * model]).reshape(data, model)
@@ -127,7 +132,17 @@ def specs_to_shardings(mesh: Mesh, specs: Any) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch onto the mesh, leading dim over ``data``."""
+    """Place a host batch onto the mesh, leading dim over ``data``.
+
+    SINGLE-PROCESS only: device_put of host arrays cannot address other
+    hosts' devices.  Multi-host callers must go through
+    ``Trainer.put_batch`` (jax.make_array_from_process_local_data).
+    """
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            "shard_batch is single-process only; use Trainer.put_batch "
+            "for multi-host batch assembly"
+        )
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch

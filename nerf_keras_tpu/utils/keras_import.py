@@ -34,7 +34,7 @@ import re
 import numpy as np
 
 from nerf_keras_tpu.config import NeRFConfig
-from nerf_keras_tpu.models.mlp import trunk_input_dims
+from nerf_keras_tpu.models.mlp import head_input_dim, trunk_input_dims
 
 
 def _nat_index(name: str) -> int:
@@ -76,10 +76,7 @@ def _import_one_model(group, cfg: NeRFConfig) -> tuple[dict, dict | None]:
 
     xyz_dim, dir_dim, hidden = cfg.xyz_dim, cfg.dir_dim, cfg.hidden_dim
     dims = trunk_input_dims(n, hidden, cfg.skip_layer, xyz_dim)
-    last = n - 1
-    head_in = (
-        hidden + xyz_dim if (last % cfg.skip_layer == 0 and last > 0) else hidden
-    )
+    head_in = head_input_dim(n, hidden, cfg.skip_layer, xyz_dim)
 
     def dense_params(arrs, want_shape, what):
         w, b = arrs

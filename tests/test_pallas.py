@@ -159,12 +159,16 @@ def test_pallas_rejects_tensor_parallel():
     from nerf_keras_tpu.engine.trainer import Trainer
     from nerf_keras_tpu.parallel.mesh import make_mesh
 
-    cfg = NeRFConfig(
+    kwargs = dict(
         batch_size=32, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
         use_pallas=True, mesh_model=2,
-    ).validate()
+    )
+    # config validation catches the combination at load time ...
     with pytest.raises(ValueError, match="tensor parallelism"):
-        Trainer(cfg, 2.0, 6.0, mesh=make_mesh(4, 2))
+        NeRFConfig(**kwargs).validate()
+    # ... and the Trainer guard still covers unvalidated configs
+    with pytest.raises(ValueError, match="tensor parallelism"):
+        Trainer(NeRFConfig(**kwargs), 2.0, 6.0, mesh=make_mesh(4, 2))
 
 
 def test_need_input_grads_false_skips_encoding_cotangents(params):
