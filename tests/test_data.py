@@ -450,3 +450,35 @@ def test_history_load_roundtrip(tmp_path):
     # appends continue the record
     h2.append({"loss_coarse": 0.05, "loss": 0.02, "psnr": 17.0})
     assert len(h2.losses) == 3 and h2.losses[0] == 0.1
+
+
+def test_llff_render_path_poses_only_and_n_frames(tmp_path):
+    """load_llff_render_path reads only poses_bounds.npy and honors
+    n_frames on BOTH the spiral and the spherified branch (spherify_poses
+    emits a fixed 120-pose orbit internally)."""
+    from nerf_keras_tpu.data.llff import load_llff_render_path
+
+    rng = np.random.default_rng(5)
+    n = 6
+    poses = np.zeros((n, 3, 5))
+    for i in range(n):
+        # small random rotations: identical orientations make the
+        # spherify least-squares (parallel view dirs) singular
+        q, _ = np.linalg.qr(np.eye(3) + 0.15 * rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        down, right, back = -q[:, 1], q[:, 0], q[:, 2]
+        poses[i, :, 0] = down
+        poses[i, :, 1] = right
+        poses[i, :, 2] = back
+        poses[i, :, 3] = rng.uniform(-0.3, 0.3, 3) + [0, 0, 4.0]
+        poses[i, :, 4] = [24, 32, 30.0]
+    bds = np.stack([np.full(n, 2.0), np.full(n, 6.0)], axis=1)
+    np.save(tmp_path / "poses_bounds.npy",
+            np.concatenate([poses.reshape(n, -1), bds], axis=1))
+    # NOTE: no images/ directory on disk at all
+
+    spiral = load_llff_render_path(str(tmp_path), n_frames=17)
+    assert spiral.shape == (17, 3, 5)
+    orbit = load_llff_render_path(str(tmp_path), spherify=True, n_frames=30)
+    assert orbit.shape == (30, 3, 5)
