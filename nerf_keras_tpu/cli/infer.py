@@ -114,6 +114,19 @@ def run_inference(argv: list[str] | None = None) -> str:
                         "(speed/quality knob; training checkpoint unchanged)")
     p.add_argument("--ns-fine", type=int, default=None,
                    help="override fine samples/ray for rendering")
+    p.add_argument("--quant", type=str, default="none",
+                   choices=("none", "int8"),
+                   help="int8: calibrate on the first pose's rays and run "
+                        "both MLP passes through the int8 MXU kernel "
+                        "(~2x bf16 peak rate on v5e), gated by "
+                        "--quant-gate-db")
+    p.add_argument("--quant-gate-db", type=float, default=30.0,
+                   help="PSNR gate: the first frame renders both float and "
+                        "int8; below this PSNR(int8 vs float) the run "
+                        "falls back to the float path with a warning")
+    p.add_argument("--quant-calib-rays", type=int, default=2048,
+                   help="rays subsampled from the first pose for "
+                        "activation-scale calibration")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -199,8 +212,35 @@ def run_inference(argv: list[str] | None = None) -> str:
             args.frames, full_orbit=args.full_orbit, phi=args.phi,
             radius=args.radius,
         )
+    use_quant = False
+    if args.quant == "int8":
+        # Calibrate on the first pose's rays, then gate: render the first
+        # frame BOTH ways and require PSNR(int8 vs float) >= the gate —
+        # a silent-degradation guard the float path never needs.
+        o0, d0 = trainer.pose_rays(poses[0], cfg.height, cfg.width, focal)
+        trainer.quantize_for_inference(
+            o0, d0, calib_rays=args.quant_calib_rays
+        )
+        ref_rgb = trainer.render_image(
+            poses[0], cfg.height, cfg.width, focal, chunk=args.chunk
+        )["rgb"]
+        q_rgb = trainer.render_image(
+            poses[0], cfg.height, cfg.width, focal, chunk=args.chunk,
+            quant=True,
+        )["rgb"]
+        mse = float(np.mean((ref_rgb - q_rgb) ** 2))
+        gate_psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
+        if gate_psnr >= args.quant_gate_db:
+            use_quant = True
+            print(f"[nerf-tpu] int8 gate PASS: {gate_psnr:.1f} dB vs float "
+                  f"(gate {args.quant_gate_db:.1f})")
+        else:
+            print(f"[nerf-tpu] int8 gate FAIL: {gate_psnr:.1f} dB vs float "
+                  f"< {args.quant_gate_db:.1f}; falling back to the float "
+                  "path")
     for i, pose in enumerate(poses):
-        out = trainer.render_image(pose, cfg.height, cfg.width, focal, chunk=args.chunk)
+        out = trainer.render_image(pose, cfg.height, cfg.width, focal,
+                                   chunk=args.chunk, quant=use_quant)
         frames.append(to_uint8(out["rgb"]))
         if args.depth_video:
             depth_frames.append(to_uint8(normalize_depth(out["depth"])))

@@ -118,6 +118,8 @@ class Trainer:
         )
         self._fwd_cfg = fwd_cfg
         self._render_full_cache = None
+        self._render_q = None
+        self._qparams = None
 
     # ------------------------------------------------------------------
     def put_batch(self, batch) -> tuple:
@@ -263,6 +265,59 @@ class Trainer:
             )
         return self._render_full_cache
 
+    def quantize_for_inference(
+        self,
+        origins: np.ndarray,
+        directions: np.ndarray,
+        calib_rays: int = 2048,
+        seed: int = 0,
+    ) -> "Trainer":
+        """Calibrate + compile the int8 render path (beyond-reference:
+        the reference's inference is f32 keras, inference.py:180-268).
+
+        ``origins``/``directions``: representative rays (e.g. from a
+        render pose via :meth:`pose_rays`) — activation scales are
+        calibrated along them; a few thousand suffice.  Subsequent
+        ``render_rays(..., quant=True)`` / ``render_image(...,
+        quant=True)`` run both MLP passes int8 on the MXU (~2x bf16 peak
+        rate on v5e).  Verify accuracy with a PSNR gate before serving —
+        ``cli/infer.py --quant int8`` does this automatically.
+        """
+        from nerf_keras_tpu.engine.step import make_quant_render_fn
+        from nerf_keras_tpu.ops.quant import (
+            calibrate_render,
+            quantize_render_params,
+        )
+
+        if self.cfg.batch_norm:
+            raise ValueError(
+                "int8 inference has no BatchNorm variant; use the float "
+                "path for BN configs"
+            )
+        origins = np.asarray(origins, np.float32).reshape(-1, 3)
+        directions = np.asarray(directions, np.float32).reshape(-1, 3)
+        if origins.shape[0] > calib_rays:
+            idx = np.random.default_rng(seed).choice(
+                origins.shape[0], calib_rays, replace=False
+            )
+            origins, directions = origins[idx], directions[idx]
+        params = jax.device_get(self.state.params)
+        stats = calibrate_render(
+            params, self.cfg, self.near, self.far, origins, directions
+        )
+        qparams = quantize_render_params(params, stats, self.cfg.skip_layer)
+        self._qparams = jax.device_put(qparams, self._repl)
+        self._render_q = jax.jit(
+            make_quant_render_fn(
+                self._fwd_cfg, self.near, self.far, mesh=self.mesh
+            ),
+            in_shardings=(
+                self._repl, self._batch_sharding, self._batch_sharding
+            ),
+            out_shardings=self._repl,
+        )
+        return self
+
     def render_rays(
         self,
         origins: np.ndarray,
@@ -271,6 +326,7 @@ class Trainer:
         keys: tuple[str, ...] | None = None,
         full: bool = False,
         staged: bool = False,
+        quant: bool = False,
     ) -> dict:
         """Render a flat ray batch, chunked to bound memory.
 
@@ -284,12 +340,28 @@ class Trainer:
         host fetch is a real cost, ~10 MB per million rays per map.
         ``full=True`` (or requesting a ``weights_*``/``preds_*`` key) also
         returns compositing weights and raw MLP predictions per ray.
+        ``quant=True`` renders through the calibrated int8 path
+        (:meth:`quantize_for_inference` must have run; rgb/depth only).
         """
         if keys is not None and any(
             k.startswith(("weights_", "preds_")) for k in keys
         ):
             full = True
-        render_fn = self._render_full() if full else self._render
+        if quant:
+            if full:
+                raise ValueError(
+                    "quant=True supports rgb/depth outputs only (the int8 "
+                    "kernel does not emit weights/raw preds)"
+                )
+            if self._render_q is None:
+                raise RuntimeError(
+                    "call quantize_for_inference(...) before rendering "
+                    "with quant=True"
+                )
+            qparams = self._qparams
+            render_fn = lambda state, o, d: self._render_q(qparams, o, d)
+        else:
+            render_fn = self._render_full() if full else self._render
         n = origins.shape[0]
         # put_global_batch needs the chunk divisible by process_count as
         # well as the data mesh axis (a multi-host model-parallel mesh can
@@ -364,19 +436,13 @@ class Trainer:
             k: np.concatenate(jax.device_get(v), axis=0) for k, v in outs.items()
         }
 
-    def render_image(
-        self, pose: np.ndarray, height: int, width: int, focal: float,
-        chunk: int = 16384, include_coarse: bool = False,
-    ) -> dict:
-        """Render one full frame from a camera pose; returns HxW maps.
-
-        Strategy (measured, scripts/exp_frame.py on v5e): a host loop over
-        the jitted chunk render with per-chunk outputs left ON DEVICE and
-        one final fetch.  Dispatches pipeline on the tunnel, so the host
-        round-trip per chunk is hidden; a single-dispatch
-        ``lax.map``-over-chunks variant measured ~30% SLOWER (3.40 s vs
-        2.58 s per 800x800 frame) and was removed.
-        """
+    def pose_rays(
+        self, pose: np.ndarray, height: int, width: int, focal: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Flat ``(H*W, 3)`` rays for a camera pose, in the space the
+        renderer expects (NDC when ``cfg.ndc``).  Shared by
+        :meth:`render_image` and int8 calibration
+        (:meth:`quantize_for_inference`)."""
         from nerf_keras_tpu.ops.rays import NDC_NEAR_PLANE, get_rays, ndc_rays
 
         origins, dirs = get_rays(height, width, focal, pose)
@@ -397,11 +463,34 @@ class Trainer:
             origins, dirs = ndc_rays(
                 height, width, focal, NDC_NEAR_PLANE, origins, dirs
             )
-        origins = np.asarray(origins).reshape(-1, 3)
-        dirs = np.asarray(dirs).reshape(-1, 3)
+        return (
+            np.asarray(origins).reshape(-1, 3),
+            np.asarray(dirs).reshape(-1, 3),
+        )
+
+    def render_image(
+        self, pose: np.ndarray, height: int, width: int, focal: float,
+        chunk: int = 16384, include_coarse: bool = False,
+        quant: bool = False,
+    ) -> dict:
+        """Render one full frame from a camera pose; returns HxW maps.
+
+        Strategy (measured, scripts/exp_frame.py on v5e): a host loop over
+        the jitted chunk render with per-chunk outputs left ON DEVICE and
+        one final fetch.  Dispatches pipeline on the tunnel, so the host
+        round-trip per chunk is hidden; a single-dispatch
+        ``lax.map``-over-chunks variant measured ~30% SLOWER (3.40 s vs
+        2.58 s per 800x800 frame) and was removed.
+
+        ``quant=True``: both MLP passes run the calibrated int8 kernel
+        (requires :meth:`quantize_for_inference`).
+        """
+        origins, dirs = self.pose_rays(pose, height, width, focal)
 
         keys = None if include_coarse else ("rgb_fine", "depth_fine")
-        out = self.render_rays(origins, dirs, chunk=chunk, keys=keys)
+        out = self.render_rays(
+            origins, dirs, chunk=chunk, keys=keys, quant=quant
+        )
         result = {
             "rgb": out["rgb_fine"].reshape(height, width, 3),
             "depth": out["depth_fine"].reshape(height, width),

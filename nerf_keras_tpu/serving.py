@@ -39,6 +39,7 @@ class RenderService:
     def __init__(
         self, cfg, checkpoint: str,
         near: float | None = None, far: float | None = None,
+        quant: bool = False, quant_gate_db: float = 30.0,
     ):
         from nerf_keras_tpu.engine.trainer import Trainer
         from nerf_keras_tpu.utils.checkpoint import (
@@ -62,6 +63,32 @@ class RenderService:
         self._lock = threading.Lock()
         self.requests = 0
         self.total_render_s = 0.0
+        self.use_quant = False
+        if quant:
+            self.use_quant = self._setup_quant(quant_gate_db)
+
+    def _setup_quant(self, gate_db: float) -> bool:
+        """Calibrate the int8 render path on the default serving pose and
+        gate it against the float render (PSNR); serves float with a
+        warning if the gate fails."""
+        from nerf_keras_tpu.ops.rays import pose_spherical
+
+        pose = pose_spherical(0.0, -30.0, 4.0)
+        h, w = self.cfg.height, self.cfg.width
+        focal = self.default_focal or 1.2 * max(h, w)
+        o, d = self.trainer.pose_rays(pose, h, w, focal)
+        self.trainer.quantize_for_inference(o, d)
+        ref = self.trainer.render_image(pose, h, w, focal)["rgb"]
+        q = self.trainer.render_image(pose, h, w, focal, quant=True)["rgb"]
+        mse = float(np.mean((ref - q) ** 2))
+        psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
+        if psnr >= gate_db:
+            print(f"[nerf-tpu] serving int8: gate PASS {psnr:.1f} dB "
+                  f"(gate {gate_db:.1f})")
+            return True
+        print(f"[nerf-tpu] int8 gate FAIL: {psnr:.1f} dB < {gate_db:.1f}; "
+              "serving the float path")
+        return False
 
     def render_png(
         self, theta: float, phi: float, radius: float,
@@ -90,7 +117,8 @@ class RenderService:
             # ThreadingHTTPServer and += is not atomic under the GIL.
             t0 = time.perf_counter()
             out = self.trainer.render_image(
-                pose, height, width, focal, chunk=chunk
+                pose, height, width, focal, chunk=chunk,
+                quant=self.use_quant,
             )
             self.total_render_s += time.perf_counter() - t0
             self.requests += 1
@@ -105,6 +133,7 @@ class RenderService:
             "mean_render_s": (
                 self.total_render_s / self.requests if self.requests else 0.0
             ),
+            "quant": "int8" if self.use_quant else "none",
         }
 
 
@@ -177,6 +206,12 @@ def main(argv=None) -> None:
     p.add_argument("--port", type=int, default=8042)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--quant", type=str, default="none",
+                   choices=("none", "int8"),
+                   help="int8: serve through the calibrated int8 MXU "
+                        "kernel (PSNR-gated against the float render at "
+                        "startup)")
+    p.add_argument("--quant-gate-db", type=float, default=30.0)
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -185,7 +220,8 @@ def main(argv=None) -> None:
     maybe_enable_compilation_cache()
 
     service = RenderService(
-        load_config(args.config), args.checkpoint, args.near, args.far
+        load_config(args.config), args.checkpoint, args.near, args.far,
+        quant=args.quant == "int8", quant_gate_db=args.quant_gate_db,
     )
     server = serve(service, args.port, args.host)
     print(f"[nerf-tpu] serving {service.checkpoint} on "

@@ -157,3 +157,51 @@ def test_ndc_sidecar_overrides_config_and_orbit_guard(tmp_path):
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_quant_int8_gate_pass_renders_frames(tmp_path):
+    """--quant int8 with a permissive gate renders the video through the
+    quantized path (gate PASS printed, frames written)."""
+    from nerf_keras_tpu.cli.infer import run_inference
+
+    cfg_path = _write_config(tmp_path)
+    cfg = load_config(cfg_path)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "tiny.ckpt.npz")
+    save_checkpoint(ckpt, state, cfg)
+
+    out = str(tmp_path / "quant.mp4")
+    written = run_inference([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--frames", "2", "--chunk", "128", "--out", out,
+        "--quant", "int8", "--quant-gate-db", "0",
+        "--quant-calib-rays", "128",
+    ])
+    import os
+
+    assert os.path.exists(written) and os.path.getsize(written) > 0
+
+
+def test_quant_int8_gate_fail_falls_back(tmp_path, capsys):
+    """An unreachable gate (200 dB) must fall back to the float path and
+    still produce the video."""
+    from nerf_keras_tpu.cli.infer import run_inference
+
+    cfg_path = _write_config(tmp_path)
+    cfg = load_config(cfg_path)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "tiny.ckpt.npz")
+    save_checkpoint(ckpt, state, cfg)
+
+    out = str(tmp_path / "quant_fb.mp4")
+    written = run_inference([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--frames", "1", "--chunk", "128", "--out", out,
+        "--quant", "int8", "--quant-gate-db", "200",
+        "--quant-calib-rays", "128",
+    ])
+    captured = capsys.readouterr()
+    assert "int8 gate FAIL" in captured.out
+    import os
+
+    assert os.path.exists(written) and os.path.getsize(written) > 0

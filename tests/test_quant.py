@@ -199,6 +199,62 @@ def test_quant_kernel_vs_float_render(tiny_mlp):
     assert np.sqrt(np.mean(err**2)) < 0.05
 
 
+def _tiny_trainer():
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    cfg = NeRFConfig(
+        batch_size=64, ns_coarse=8, ns_fine=8, height=8, width=8,
+        l_xyz=4, l_dir=2, num_layers=4, hidden_dim=32, skip_layer=4,
+        compute_dtype="float32",
+    )
+    return Trainer(cfg, 2.0, 6.0), cfg
+
+
+def test_trainer_quant_render(tmp_path):
+    """Trainer-level int8 path: calibrate on a pose's rays, render the
+    frame through the quantized kernel under the 8-device CPU mesh, and
+    stay close to the float render."""
+    from nerf_keras_tpu.ops.rays import pose_spherical
+
+    trainer, cfg = _tiny_trainer()
+    pose = pose_spherical(30.0, -30.0, 4.0)
+    o, d = trainer.pose_rays(pose, cfg.height, cfg.width, 10.0)
+
+    with pytest.raises(RuntimeError, match="quantize_for_inference"):
+        trainer.render_rays(o, d, chunk=64, quant=True)
+
+    trainer.quantize_for_inference(o, d)
+    out_q = trainer.render_image(pose, cfg.height, cfg.width, 10.0,
+                                 chunk=64, quant=True)
+    out_f = trainer.render_image(pose, cfg.height, cfg.width, 10.0,
+                                 chunk=64)
+    assert out_q["rgb"].shape == (cfg.height, cfg.width, 3)
+    assert np.isfinite(out_q["rgb"]).all() and np.isfinite(out_q["depth"]).all()
+    err = np.abs(out_q["rgb"] - out_f["rgb"])
+    assert np.sqrt(np.mean(err**2)) < 0.1
+
+    with pytest.raises(ValueError, match="rgb/depth"):
+        trainer.render_rays(o, d, chunk=64, quant=True, full=True)
+
+
+def test_trainer_quant_rejects_batch_norm():
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    cfg = NeRFConfig(
+        batch_size=64, ns_coarse=4, ns_fine=4, height=8, width=8,
+        l_xyz=2, l_dir=1, num_layers=2, hidden_dim=16, batch_norm=True,
+        use_pallas=False,
+    )
+    trainer = Trainer(cfg, 2.0, 6.0)
+    with pytest.raises(ValueError, match="BatchNorm"):
+        trainer.quantize_for_inference(
+            np.zeros((8, 3), np.float32),
+            np.tile(np.float32([0, 0, -1]), (8, 1)),
+        )
+
+
 def test_calibrate_render_covers_both_passes(tiny_mlp):
     params_one, _, _ = tiny_mlp
     from nerf_keras_tpu.config import NeRFConfig

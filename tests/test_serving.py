@@ -53,3 +53,26 @@ def test_http_endpoints(service):
         assert e.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_render_service_quant(tmp_path):
+    """--quant int8 serving: calibrates at startup, gates vs float, and
+    serves PNG frames through the quantized path when the gate passes."""
+    cfg = NeRFConfig(
+        batch_size=64, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        height=8, width=8, compute_dtype="float32",
+    ).validate()
+    t = Trainer(cfg, 2.0, 6.0)
+    ckpt = str(tmp_path / "model.ckpt.npz")
+    save_checkpoint(ckpt, t.state, cfg)
+    svc = RenderService(cfg, ckpt, 2.0, 6.0, quant=True, quant_gate_db=0.0)
+    assert svc.use_quant is True
+    png = svc.render_png(theta=0.0, phi=-30.0, radius=4.0,
+                         height=8, width=8, chunk=64)
+    assert png[:4] == b"\x89PNG"
+    assert svc.stats()["quant"] == "int8"
+
+    svc_fb = RenderService(cfg, ckpt, 2.0, 6.0, quant=True,
+                           quant_gate_db=200.0)
+    assert svc_fb.use_quant is False
+    assert svc_fb.stats()["quant"] == "none"
