@@ -35,7 +35,6 @@ from nerf_keras_tpu.ops.quant import (
 )
 from nerf_keras_tpu.ops.pallas.fused_render import (
     _const_spec,
-    _default_tiles,
     _encode_consts,
     _encode_tile,
     _expand_rows,
@@ -48,6 +47,18 @@ from nerf_keras_tpu.ops.pallas.fused_render import (
     _volume_render_tile,
 )
 from nerf_keras_tpu.ops.pallas.fused_mlp import _should_interpret
+
+
+def _default_tiles_q(s: int) -> int:
+    """Measured-optimal forward point-tile budget for the int8 kernel
+    (scripts/exp_int8_ab.py --tiles, same-process sweep on v5e at 16384
+    rays): coarse (S=64) r=32 like bf16 (12.25/12.34 ms vs 13.40 at r=8);
+    fine (S=192) r=8 BEATS the bf16-optimal r=16 (32.73 ms vs 36.48 —
+    the int8 glue's extra VPU work pipelines better against smaller
+    streamed tiles)."""
+    if s <= 96:
+        return 32 * s
+    return 8 * s
 
 
 def _fwd_kernel_q(num_layers, skip_layer, r, s, dx, dd,
@@ -105,7 +116,7 @@ def render_rays_fused_quant(
     """
     b, s = t_vals.shape
     if max_tile_fwd is None:
-        max_tile_fwd, _ = _default_tiles(s)
+        max_tile_fwd = _default_tiles_q(s)
     r_fwd = _rays_per_tile(s, max_tile_fwd)
     b_pad = ((b + r_fwd - 1) // r_fwd) * r_fwd
     grid = b_pad // r_fwd
