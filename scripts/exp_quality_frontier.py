@@ -1,0 +1,124 @@
+"""Speed/quality frontier for single-chip novel-view rendering.
+
+The documented honest path to <2 s 800x800 frames on ONE v5e chip is the
+sample-count knob (`inference.py --ns-coarse/--ns-fine`) — the MLP
+weights are sample-count agnostic, so a checkpoint trained at the
+flagship 64+128 renders at reduced counts with a quantifiable PSNR cost.
+This experiment measures that frontier on a TRAINED checkpoint, float
+and int8, so users pick an operating point from data instead of folklore:
+
+for each (ns_coarse, ns_fine) x (float, int8):
+  1. render the held-out val view -> PSNR vs ground truth;
+  2. time an 800x800 frame (trainer.render_image wall time, chunk
+     16384), best-of-N with float/int8 interleaved within the combo
+     (cross-combo comparisons carry the documented ~8% tunnel drift;
+     the float-vs-int8 speedup per combo does not).
+
+Usage: python scripts/exp_quality_frontier.py --checkpoint /tmp/conv80_r3
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
+from nerf_keras_tpu.engine.trainer import Trainer
+from nerf_keras_tpu.ops.rays import pose_spherical
+from nerf_keras_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint_config,
+)
+
+
+def psnr(a, b):
+    m = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+    return float("inf") if m == 0 else -10.0 * np.log10(m)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", type=str, default="/tmp/conv80_r3")
+    ap.add_argument("--frame", type=int, default=800)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--combos", type=str, default="64+128,64+64,32+64",
+                    help="comma list of ns_coarse+ns_fine points")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    ckpt = args.checkpoint
+    if not ckpt.endswith(".npz"):
+        ckpt = latest_checkpoint(ckpt)
+    base_cfg = load_checkpoint_config(ckpt)
+    train, val, (near, far), focal = prepare_synthetic_data(
+        base_cfg.height, base_cfg.width
+    )
+    n_px = base_cfg.height * base_cfg.width
+    v_img = val.pixels[:n_px].reshape(base_cfg.height, base_cfg.width, 3)
+    v_o, v_d = val.origins[:n_px], val.directions[:n_px]
+
+    pose = pose_spherical(30.0, -30.0, 4.0)
+    h = w = args.frame
+    fr_focal = focal * h / base_cfg.height
+
+    rows = []
+    for combo in args.combos.split(","):
+        nsc, nsf = (int(x) for x in combo.split("+"))
+        cfg = dataclasses.replace(
+            base_cfg, ns_coarse=nsc, ns_fine=nsf
+        ).validate()
+        trainer = Trainer(cfg, near, far).restore(ckpt)
+        trainer.quantize_for_inference(v_o, v_d)
+
+        out_f = trainer.render_rays(v_o, v_d, keys=("rgb_fine",),
+                                    chunk=args.chunk)
+        out_q = trainer.render_rays(v_o, v_d, keys=("rgb_fine",),
+                                    chunk=args.chunk, quant=True)
+        rgb_f = out_f["rgb_fine"].reshape(v_img.shape)
+        rgb_q = out_q["rgb_fine"].reshape(v_img.shape)
+
+        times = {"float": [], "int8": []}
+        for mode in ("float", "int8"):  # compile/warm both before timing
+            trainer.render_image(pose, h, w, fr_focal, chunk=args.chunk,
+                                 quant=mode == "int8")
+        for _ in range(args.reps):
+            for mode in ("float", "int8"):
+                t0 = time.perf_counter()
+                trainer.render_image(pose, h, w, fr_focal, chunk=args.chunk,
+                                     quant=mode == "int8")
+                times[mode].append(time.perf_counter() - t0)
+
+        row = {
+            "ns_coarse": nsc, "ns_fine": nsf,
+            "psnr_float_vs_gt": psnr(rgb_f, v_img),
+            "psnr_int8_vs_gt": psnr(rgb_q, v_img),
+            "psnr_int8_vs_float": psnr(rgb_q, rgb_f),
+            "frame_s_float_best": min(times["float"]),
+            "frame_s_int8_best": min(times["int8"]),
+            "frame_times_float": [round(t, 3) for t in times["float"]],
+            "frame_times_int8": [round(t, 3) for t in times["int8"]],
+        }
+        rows.append(row)
+        print(f"{nsc}+{nsf}: float {row['psnr_float_vs_gt']:.2f} dB / "
+              f"{row['frame_s_float_best']:.3f} s | int8 "
+              f"{row['psnr_int8_vs_gt']:.2f} dB / "
+              f"{row['frame_s_int8_best']:.3f} s "
+              f"(vs-float {row['psnr_int8_vs_float']:.1f} dB)", flush=True)
+
+    res = {"frame_px": h, "chunk": args.chunk, "reps": args.reps,
+           "rows": rows}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
