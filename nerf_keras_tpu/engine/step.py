@@ -369,17 +369,37 @@ def make_quant_render_fn(
 
     pdf+union and the compositing weights stay f32 exactly as the bf16
     eval path; only the MLP arithmetic is quantized.
+
+    Without ``cfg.use_pallas`` the pass runs the XLA fallback — the SAME
+    integer pipeline (ops/quant.py:apply_nerf_mlp_quant traces the shared
+    ``quant_forward_tile``) via encode → int8 MLP → volume_render, so
+    CPU/debug renders are bit-identical to the kernel, just without the
+    in-VMEM fusion.
     """
     from jax.sharding import PartitionSpec as P
 
-    from nerf_keras_tpu.ops.pallas.quant_render import render_rays_fused_quant
     from nerf_keras_tpu.parallel.mesh import DATA_AXIS
 
-    def render_pass(qp, origins, dirs, t_vals):
-        return render_rays_fused_quant(
-            qp, origins, dirs, t_vals,
-            l_xyz=cfg.l_xyz, l_dir=cfg.l_dir, skip_layer=cfg.skip_layer,
-        )
+    if cfg.use_pallas:
+        from nerf_keras_tpu.ops.pallas.quant_render import render_rays_fused_quant
+
+        def render_pass(qp, origins, dirs, t_vals):
+            return render_rays_fused_quant(
+                qp, origins, dirs, t_vals,
+                l_xyz=cfg.l_xyz, l_dir=cfg.l_dir, skip_layer=cfg.skip_layer,
+            )
+    else:
+        from nerf_keras_tpu.ops.quant import apply_nerf_mlp_quant
+
+        def render_pass(qp, origins, dirs, t_vals):
+            points, dirs_s = sample_rays(origins, dirs, t_vals)
+            x_enc = encode_position(points, cfg.l_xyz)
+            d_enc = encode_position(dirs_s, cfg.l_dir)
+            preds = apply_nerf_mlp_quant(
+                qp, x_enc, d_enc, skip_layer=cfg.skip_layer
+            )
+            rgb, _depth, weights = volume_render(preds, t_vals)
+            return rgb, weights
 
     if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
         render_pass = jax.shard_map(

@@ -238,6 +238,40 @@ def test_trainer_quant_render(tmp_path):
         trainer.render_rays(o, d, chunk=64, quant=True, full=True)
 
 
+def test_trainer_quant_xla_fallback_matches_pallas():
+    """make_quant_render_fn dispatches on cfg.use_pallas: the XLA fallback
+    (encode → apply_nerf_mlp_quant → volume_render) must agree with the
+    Pallas quant megakernel at the trainer level — same integer pipeline,
+    only the in-kernel cos-phase encode trick differs (~1e-7), which can
+    flip a borderline int8 rounding, hence the small tolerance."""
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.ops.rays import pose_spherical
+
+    arch = dict(
+        batch_size=64, ns_coarse=8, ns_fine=8, height=8, width=8,
+        l_xyz=4, l_dir=2, num_layers=4, hidden_dim=32, skip_layer=4,
+        compute_dtype="float32",
+    )
+    tr_x = Trainer(NeRFConfig(use_pallas=False, **arch), 2.0, 6.0)
+    tr_p = Trainer(NeRFConfig(use_pallas=True, **arch), 2.0, 6.0)
+    # Same weights in both trainers.
+    tr_p.state = tr_p.state._replace(params=tr_x.state.params)
+
+    pose = pose_spherical(30.0, -30.0, 4.0)
+    o, d = tr_x.pose_rays(pose, 8, 8, 10.0)
+    tr_x.quantize_for_inference(o, d)
+    tr_p.quantize_for_inference(o, d)
+
+    out_x = tr_x.render_rays(o.reshape(-1, 3), d.reshape(-1, 3),
+                             chunk=64, quant=True)
+    out_p = tr_p.render_rays(o.reshape(-1, 3), d.reshape(-1, 3),
+                             chunk=64, quant=True)
+    for k in ("rgb_fine", "depth_fine", "rgb_coarse", "depth_coarse"):
+        np.testing.assert_allclose(out_x[k], out_p[k], atol=2e-5,
+                                   err_msg=k)
+
+
 def test_trainer_quant_rejects_batch_norm():
     from nerf_keras_tpu.config import NeRFConfig
     from nerf_keras_tpu.engine.trainer import Trainer
