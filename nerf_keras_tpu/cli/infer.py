@@ -15,6 +15,15 @@ Improvements over the reference: the checkpoint is located automatically
 (the reference hardcodes a timestamped run dir, inference.py:68-70), frames
 render through one compiled chunked function instead of an eager tf.data
 loop, and depth videos are optional output.
+
+Inference accelerations (both PSNR-gated on the first frame, falling back
+with a warning; they stack):
+
+* ``--quant int8``: both MLP passes through the calibrated int8 MXU
+  kernel (ops/quant.py);
+* ``--sampler proposal``: fine samples placed by a tiny density net
+  distilled from the trained fine model, skipping the coarse MLP pass
+  entirely (ops/proposal.py).
 """
 
 from __future__ import annotations
@@ -127,6 +136,22 @@ def run_inference(argv: list[str] | None = None) -> str:
     p.add_argument("--quant-calib-rays", type=int, default=2048,
                    help="rays subsampled from the first pose for "
                         "activation-scale calibration")
+    p.add_argument("--sampler", type=str, default="coarse",
+                   choices=("coarse", "proposal"),
+                   help="proposal: distill a tiny density net from the "
+                        "trained fine model and use it to place fine "
+                        "samples, skipping the coarse MLP pass entirely "
+                        "(ops/proposal.py; stacks with --quant int8), "
+                        "gated by --sampler-gate-db")
+    p.add_argument("--sampler-gate-db", type=float, default=30.0,
+                   help="PSNR gate: the first frame renders with both "
+                        "samplers; below this PSNR(proposal vs coarse) the "
+                        "run falls back to the coarse sampler")
+    p.add_argument("--proposal-steps", type=int, default=1500,
+                   help="distillation steps for --sampler proposal")
+    p.add_argument("--proposal-calib-poses", type=int, default=8,
+                   help="poses (evenly spaced along the render path) whose "
+                        "rays form the proposal distillation set")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -238,9 +263,40 @@ def run_inference(argv: list[str] | None = None) -> str:
             print(f"[nerf-tpu] int8 gate FAIL: {gate_psnr:.1f} dB vs float "
                   f"< {args.quant_gate_db:.1f}; falling back to the float "
                   "path")
+    use_sampler = "coarse"
+    if args.sampler == "proposal":
+        # Distill on rays from several poses along the render path (a
+        # frustum the proposal never saw is one it can only extrapolate
+        # into), then gate against the coarse sampler at the already-
+        # decided quant setting — isolating the proposal's own effect.
+        step = max(1, len(poses) // args.proposal_calib_poses)
+        calib = [trainer.pose_rays(p_, cfg.height, cfg.width, focal)
+                 for p_ in poses[::step][:args.proposal_calib_poses]]
+        o_c = np.concatenate([c[0] for c in calib], axis=0)
+        d_c = np.concatenate([c[1] for c in calib], axis=0)
+        trainer.build_proposal_sampler(o_c, d_c, steps=args.proposal_steps)
+        ref_rgb = trainer.render_image(
+            poses[0], cfg.height, cfg.width, focal, chunk=args.chunk,
+            quant=use_quant,
+        )["rgb"]
+        p_rgb = trainer.render_image(
+            poses[0], cfg.height, cfg.width, focal, chunk=args.chunk,
+            quant=use_quant, sampler="proposal",
+        )["rgb"]
+        mse = float(np.mean((ref_rgb - p_rgb) ** 2))
+        gate_psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
+        if gate_psnr >= args.sampler_gate_db:
+            use_sampler = "proposal"
+            print(f"[nerf-tpu] proposal gate PASS: {gate_psnr:.1f} dB vs "
+                  f"coarse sampler (gate {args.sampler_gate_db:.1f})")
+        else:
+            print(f"[nerf-tpu] proposal gate FAIL: {gate_psnr:.1f} dB vs "
+                  f"coarse sampler < {args.sampler_gate_db:.1f}; falling "
+                  "back to the coarse sampler")
     for i, pose in enumerate(poses):
         out = trainer.render_image(pose, cfg.height, cfg.width, focal,
-                                   chunk=args.chunk, quant=use_quant)
+                                   chunk=args.chunk, quant=use_quant,
+                                   sampler=use_sampler)
         frames.append(to_uint8(out["rgb"]))
         if args.depth_video:
             depth_frames.append(to_uint8(normalize_depth(out["depth"])))

@@ -354,6 +354,124 @@ def _make_fused_eval_forward(cfg: NeRFConfig, mesh=None) -> Callable:
     return forward
 
 
+def _make_pass_fn(cfg: NeRFConfig, mesh=None, quant: bool = False) -> Callable:
+    """One MLP render pass ``(params, origins, dirs, t_vals) -> (rgb,
+    weights)`` — Pallas megakernel or XLA per ``cfg.use_pallas``, float or
+    int8 per ``quant``, shard_map'd over the data mesh axis when it spans
+    more than one device.  ``params`` is one model's params (float) or
+    one model's qparams (int8).  Shared by the quant render path and the
+    proposal-sampler fine pass."""
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_keras_tpu.parallel.mesh import DATA_AXIS
+
+    if quant:
+        if cfg.use_pallas:
+            from nerf_keras_tpu.ops.pallas.quant_render import (
+                render_rays_fused_quant,
+            )
+
+            def render_pass(p, origins, dirs, t_vals):
+                return render_rays_fused_quant(
+                    p, origins, dirs, t_vals,
+                    l_xyz=cfg.l_xyz, l_dir=cfg.l_dir,
+                    skip_layer=cfg.skip_layer,
+                )
+        else:
+            from nerf_keras_tpu.ops.quant import apply_nerf_mlp_quant
+
+            def render_pass(p, origins, dirs, t_vals):
+                points, dirs_s = sample_rays(origins, dirs, t_vals)
+                x_enc = encode_position(points, cfg.l_xyz)
+                d_enc = encode_position(dirs_s, cfg.l_dir)
+                preds = apply_nerf_mlp_quant(
+                    p, x_enc, d_enc, skip_layer=cfg.skip_layer
+                )
+                rgb, _depth, weights = volume_render(preds, t_vals)
+                return rgb, weights
+    else:
+        compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        if cfg.use_pallas:
+            from nerf_keras_tpu.ops.pallas.fused_render import render_rays_fused
+
+            def render_pass(p, origins, dirs, t_vals):
+                return render_rays_fused(
+                    p, origins, dirs, t_vals,
+                    l_xyz=cfg.l_xyz, l_dir=cfg.l_dir,
+                    compute_dtype=compute_dtype, skip_layer=cfg.skip_layer,
+                )
+        else:
+            from nerf_keras_tpu.models.mlp import apply_nerf_mlp
+
+            def render_pass(p, origins, dirs, t_vals):
+                points, dirs_s = sample_rays(origins, dirs, t_vals)
+                x_enc = encode_position(points, cfg.l_xyz).astype(compute_dtype)
+                d_enc = encode_position(dirs_s, cfg.l_dir).astype(compute_dtype)
+                preds, _ = apply_nerf_mlp(
+                    p, x_enc, d_enc, compute_dtype=compute_dtype,
+                    skip_layer=cfg.skip_layer,
+                )
+                rgb, _depth, weights = volume_render(preds, t_vals)
+                return rgb, weights
+
+    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+        render_pass = jax.shard_map(
+            render_pass,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+    return render_pass
+
+
+def make_proposal_render_fn(
+    cfg: NeRFConfig,
+    near: float,
+    far: float,
+    mesh=None,
+    quant: bool = False,
+    prop_l_xyz: int = 4,
+) -> Callable:
+    """Build the proposal-sampled render for a flat ray batch
+    (beyond-reference; design rationale in ops/proposal.py).
+
+    Signature: ``render(pparams, fine_params, origins, dirs) -> dict``
+    with ``rgb_fine``/``depth_fine`` only — there is no coarse pass to
+    report: the tiny distilled proposal net places the fine samples
+    (~1-2 ms of auto-sharded XLA vs the 12.5-14.8 ms coarse kernel),
+    then ONE fine pass composites.  ``fine_params`` is the fine model's
+    float params, or its qparams when ``quant`` (int8 fine megakernel —
+    the two accelerations stack).
+
+    Sample layout matches the parity path exactly: ``ns_fine`` inverse-
+    CDF draws from the proposal weights at the ``ns_coarse`` centered
+    t-values, unioned with those t-values — the fine kernel sees the
+    same (B, ns_coarse + ns_fine) shape either way.
+    """
+    from nerf_keras_tpu.ops.proposal import proposal_weights
+
+    fine_pass = _make_pass_fn(cfg, mesh=mesh, quant=quant)
+
+    def render(pparams, fine_params, origins, dirs):
+        t_vals = generate_t_vals(
+            None, near, far, origins.shape[:-1], cfg.ns_coarse, "center"
+        )
+        w = proposal_weights(pparams, origins, dirs, t_vals, prop_l_xyz)
+
+        t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        t_fine = sample_pdf(None, t_mid, w, cfg.ns_fine, deterministic=True)
+        t_all = sorted_union(t_vals, t_fine)
+
+        rgb_fine, w_fine = fine_pass(fine_params, origins, dirs, t_all)
+        depth_fine = jnp.sum(w_fine * t_all, axis=-1)
+        return {"rgb_fine": rgb_fine, "depth_fine": depth_fine}
+
+    return render
+
+
 def make_quant_render_fn(
     cfg: NeRFConfig, near: float, far: float, mesh=None
 ) -> Callable:
@@ -376,39 +494,7 @@ def make_quant_render_fn(
     CPU/debug renders are bit-identical to the kernel, just without the
     in-VMEM fusion.
     """
-    from jax.sharding import PartitionSpec as P
-
-    from nerf_keras_tpu.parallel.mesh import DATA_AXIS
-
-    if cfg.use_pallas:
-        from nerf_keras_tpu.ops.pallas.quant_render import render_rays_fused_quant
-
-        def render_pass(qp, origins, dirs, t_vals):
-            return render_rays_fused_quant(
-                qp, origins, dirs, t_vals,
-                l_xyz=cfg.l_xyz, l_dir=cfg.l_dir, skip_layer=cfg.skip_layer,
-            )
-    else:
-        from nerf_keras_tpu.ops.quant import apply_nerf_mlp_quant
-
-        def render_pass(qp, origins, dirs, t_vals):
-            points, dirs_s = sample_rays(origins, dirs, t_vals)
-            x_enc = encode_position(points, cfg.l_xyz)
-            d_enc = encode_position(dirs_s, cfg.l_dir)
-            preds = apply_nerf_mlp_quant(
-                qp, x_enc, d_enc, skip_layer=cfg.skip_layer
-            )
-            rgb, _depth, weights = volume_render(preds, t_vals)
-            return rgb, weights
-
-    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
-        render_pass = jax.shard_map(
-            render_pass,
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            check_vma=False,
-        )
+    render_pass = _make_pass_fn(cfg, mesh=mesh, quant=True)
 
     def render(qparams, origins, dirs):
         t_vals = generate_t_vals(

@@ -120,6 +120,10 @@ class Trainer:
         self._render_full_cache = None
         self._render_q = None
         self._qparams = None
+        self._render_p = None
+        self._render_pq = None
+        self._pparams = None
+        self._prop_l_xyz = None
 
     # ------------------------------------------------------------------
     def put_batch(self, batch) -> tuple:
@@ -318,6 +322,131 @@ class Trainer:
         )
         return self
 
+    def build_proposal_sampler(
+        self,
+        origins: np.ndarray,
+        directions: np.ndarray,
+        *,
+        calib_rays: int = 65536,
+        steps: int = 1500,
+        batch: int = 16384,
+        hidden: int = 64,
+        depth: int = 3,
+        l_xyz: int = 4,
+        lr: float = 2e-3,
+        under_weight: float = 4.0,
+        seed: int = 0,
+    ) -> "Trainer":
+        """Distill the trained fine model's density into a tiny proposal
+        net and compile the proposal-sampled render (beyond-reference;
+        design rationale in ops/proposal.py: the coarse pass exists at
+        inference only to place fine samples, and a ~60x-cheaper MXU
+        matmul chain places them from the fine model's own field).
+
+        ``origins``/``directions``: representative rays — pass rays from
+        SEVERAL poses covering the render trajectory (e.g. a few orbit
+        frames via :meth:`pose_rays`); a frustum the proposal never saw
+        is a frustum it can only extrapolate into.  Subsequent
+        ``render_rays(..., sampler="proposal")`` / ``render_image(...,
+        sampler="proposal")`` skip the coarse MLP entirely; combine with
+        ``quant=True`` (after :meth:`quantize_for_inference`) to stack
+        the int8 fine kernel on top.  Verify with a PSNR gate before
+        serving — ``cli/infer.py --sampler proposal`` does this
+        automatically.
+        """
+        from nerf_keras_tpu.engine.step import make_proposal_render_fn
+        from nerf_keras_tpu.models.mlp import apply_nerf_sigma
+        from nerf_keras_tpu.ops.encoding import encode_position
+        from nerf_keras_tpu.ops.proposal import distill_proposal
+
+        if self.cfg.batch_norm:
+            raise ValueError(
+                "the proposal sampler has no BatchNorm variant; use the "
+                "coarse sampler for BN configs"
+            )
+        if self.cfg.ns_fine <= 0:
+            raise ValueError(
+                "the proposal sampler places fine samples; ns_fine must "
+                "be positive"
+            )
+        origins = np.asarray(origins, np.float32).reshape(-1, 3)
+        directions = np.asarray(directions, np.float32).reshape(-1, 3)
+        if origins.shape[0] > calib_rays:
+            idx = np.random.default_rng(seed).choice(
+                origins.shape[0], calib_rays, replace=False
+            )
+            origins, directions = origins[idx], directions[idx]
+
+        # Host copy of the fine params: the distillation jit must not
+        # capture mesh-committed arrays (single-device scan).
+        params = jax.device_get(self.state.params)
+        cdt = (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+
+        def sigma_fn(pts):
+            x_enc = encode_position(pts, self.cfg.l_xyz).astype(cdt)
+            return apply_nerf_sigma(
+                params["fine"], x_enc, compute_dtype=cdt,
+                skip_layer=self.cfg.skip_layer,
+            )
+
+        pparams, final_loss = distill_proposal(
+            jax.random.PRNGKey(seed), sigma_fn, origins, directions,
+            self.near, self.far, l_xyz=l_xyz, hidden=hidden, depth=depth,
+            steps=steps, batch=batch, lr=lr, under_weight=under_weight,
+        )
+        self._distill_loss = final_loss
+        self._pparams = jax.device_put(pparams, self._repl)
+        self._prop_l_xyz = l_xyz
+        self._render_pq = None  # quant variant re-jits lazily
+        self._render_p = jax.jit(
+            make_proposal_render_fn(
+                self._fwd_cfg, self.near, self.far, mesh=self.mesh,
+                quant=False, prop_l_xyz=l_xyz,
+            ),
+            in_shardings=(
+                self._repl, self._state_shardings.params["fine"],
+                self._batch_sharding, self._batch_sharding,
+            ),
+            out_shardings=self._repl,
+        )
+        return self
+
+    def _proposal_render_fn(self, quant: bool):
+        """Resolve the compiled proposal render for render_rays."""
+        from nerf_keras_tpu.engine.step import make_proposal_render_fn
+
+        if self._pparams is None:
+            raise RuntimeError(
+                "call build_proposal_sampler(...) before rendering with "
+                "sampler='proposal'"
+            )
+        pparams = self._pparams
+        if not quant:
+            fine = self.state.params["fine"]
+            return lambda state, o, d: self._render_p(pparams, fine, o, d)
+        if self._qparams is None:
+            raise RuntimeError(
+                "call quantize_for_inference(...) before rendering with "
+                "sampler='proposal' and quant=True"
+            )
+        if self._render_pq is None:
+            self._render_pq = jax.jit(
+                make_proposal_render_fn(
+                    self._fwd_cfg, self.near, self.far, mesh=self.mesh,
+                    quant=True, prop_l_xyz=self._prop_l_xyz,
+                ),
+                in_shardings=(
+                    self._repl, self._repl,
+                    self._batch_sharding, self._batch_sharding,
+                ),
+                out_shardings=self._repl,
+            )
+        qfine = self._qparams["fine"]
+        return lambda state, o, d: self._render_pq(pparams, qfine, o, d)
+
     def render_rays(
         self,
         origins: np.ndarray,
@@ -327,6 +456,7 @@ class Trainer:
         full: bool = False,
         staged: bool = False,
         quant: bool = False,
+        sampler: str = "coarse",
     ) -> dict:
         """Render a flat ray batch, chunked to bound memory.
 
@@ -342,12 +472,33 @@ class Trainer:
         returns compositing weights and raw MLP predictions per ray.
         ``quant=True`` renders through the calibrated int8 path
         (:meth:`quantize_for_inference` must have run; rgb/depth only).
+        ``sampler="proposal"`` places fine samples with the distilled
+        proposal net instead of the coarse MLP
+        (:meth:`build_proposal_sampler` must have run; fine outputs only,
+        composable with ``quant=True``).
         """
         if keys is not None and any(
             k.startswith(("weights_", "preds_")) for k in keys
         ):
             full = True
-        if quant:
+        if sampler not in ("coarse", "proposal"):
+            raise ValueError(
+                f"sampler must be 'coarse' or 'proposal', got {sampler!r}"
+            )
+        if sampler == "proposal":
+            if full:
+                raise ValueError(
+                    "sampler='proposal' renders rgb/depth fine only (there "
+                    "is no coarse pass, and the fused fine kernel does not "
+                    "emit weights/raw preds)"
+                )
+            if keys is not None and any(k.endswith("_coarse") for k in keys):
+                raise ValueError(
+                    "sampler='proposal' has no coarse outputs (the coarse "
+                    "MLP pass is replaced by the proposal net)"
+                )
+            render_fn = self._proposal_render_fn(quant)
+        elif quant:
             if full:
                 raise ValueError(
                     "quant=True supports rgb/depth outputs only (the int8 "
@@ -471,7 +622,7 @@ class Trainer:
     def render_image(
         self, pose: np.ndarray, height: int, width: int, focal: float,
         chunk: int = 16384, include_coarse: bool = False,
-        quant: bool = False,
+        quant: bool = False, sampler: str = "coarse",
     ) -> dict:
         """Render one full frame from a camera pose; returns HxW maps.
 
@@ -484,12 +635,20 @@ class Trainer:
 
         ``quant=True``: both MLP passes run the calibrated int8 kernel
         (requires :meth:`quantize_for_inference`).
+        ``sampler="proposal"``: fine samples placed by the distilled
+        proposal net (requires :meth:`build_proposal_sampler`; no coarse
+        outputs — composes with ``quant``).
         """
+        if sampler == "proposal" and include_coarse:
+            raise ValueError(
+                "sampler='proposal' has no coarse outputs"
+            )
         origins, dirs = self.pose_rays(pose, height, width, focal)
 
         keys = None if include_coarse else ("rgb_fine", "depth_fine")
         out = self.render_rays(
-            origins, dirs, chunk=chunk, keys=keys, quant=quant
+            origins, dirs, chunk=chunk, keys=keys, quant=quant,
+            sampler=sampler,
         )
         result = {
             "rgb": out["rgb_fine"].reshape(height, width, 3),

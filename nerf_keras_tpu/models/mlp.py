@@ -243,6 +243,44 @@ def apply_nerf_mlp(
     return preds, new_bn
 
 
+def apply_nerf_sigma(
+    params: Params,
+    x_enc: jnp.ndarray,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    skip_layer: int = 4,
+    bn_state: BNState = None,
+) -> jnp.ndarray:
+    """Density-only evaluation: trunk + sigma head, no view branch.
+
+    Sigma is direction-independent by construction (the head reads the
+    trunk output BEFORE the direction concat — reference models.py:41-47),
+    so callers that only need density (proposal-sampler distillation,
+    occupancy probes) can skip the feature/branch/rgb matmuls entirely.
+    BatchNorm models run in inference mode (running stats).
+
+    Returns raw ``(...,)`` float32 sigma logits (pre-relu, matching
+    ``preds[..., 3]`` of :func:`apply_nerf_mlp`).
+    """
+    use_bn = "gamma" in params["trunk"][0]
+    if use_bn and bn_state is None:
+        raise ValueError(
+            "params carry BatchNorm parameters but bn_state is None — "
+            "pass the trained running stats"
+        )
+    x = x_enc
+    for i, layer in enumerate(params["trunk"]):
+        h = _dense(x, layer, compute_dtype)
+        if use_bn:
+            h, _ = _batch_norm(h, layer, bn_state["trunk"][i], False)
+        h = jnp.maximum(h, 0.0)
+        if i % skip_layer == 0 and i > 0:
+            x = jnp.concatenate([h, x_enc.astype(h.dtype)], axis=-1)
+        else:
+            x = h
+    return _dense(x, params["sigma"], compute_dtype)[..., 0].astype(jnp.float32)
+
+
 def param_count(params: Params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
 

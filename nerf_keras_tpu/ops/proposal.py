@@ -1,0 +1,193 @@
+"""Distilled proposal sampler: replace the inference-time coarse pass.
+
+Beyond-reference capability.  In the reference renderer (and our parity
+path) the coarse MLP exists at inference ONLY to place the fine samples:
+its weights feed the inverse-CDF draw and its rgb is discarded
+(reference inference.py:224-268 renders ``rgb_fine``).  That placement
+signal does not need an 8x256 MLP — a tiny density net distilled from
+the TRAINED fine model predicts the same compositing-weight profile at
+~60x fewer FLOPs, so the whole coarse pass (12.5-14.8 ms per 16384-ray
+chunk on v5e) collapses to ~1-2 ms of MXU work.
+
+Why an MLP and not an occupancy grid (NerfAcc / Instant-NGP style —
+https://arxiv.org/pdf/2305.04966, https://arxiv.org/pdf/2201.05989):
+on TPU a res^3 sigma table needs one random HBM gather per march sample,
+and XLA gathers measured SLOWER than the coarse pass they would replace
+(16.5 ms for 16384x64 nearest lookups at res=128 vs the 14.8 ms coarse
+kernel — scripts/probe_grid_gather.py).  A tiny matmul chain rides the
+MXU instead; this is the sample-field idea of NeuSample
+(https://arxiv.org/pdf/2111.15552) / the proposal MLP of Mip-NeRF 360,
+reshaped for TPU: batched, static shapes, bf16 dots.
+
+Distillation is post-training and inference-only (like int8 quant,
+ops/quant.py): targets come from the trained fine model's density head
+along representative rays, so the proposal approximates the EXACT field
+the fine pass will composite — arguably a better placement signal than
+the parity path's independently-trained coarse model.  The loss is
+asymmetric: underestimating density near surfaces loses fine samples
+(visible error), overestimating merely wastes a few on empty space, so
+under-predictions are penalized ``under_weight``-fold.
+
+Accuracy is gated, not assumed: ``inference.py --sampler proposal``
+renders the first frame with both samplers and falls back below the
+PSNR gate, exactly like ``--quant int8``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_keras_tpu.ops.encoding import encode_position
+from nerf_keras_tpu.ops.rays import sample_rays
+from nerf_keras_tpu.ops.volume import volume_render
+
+ProposalParams = dict
+
+
+def init_proposal(
+    key: jax.Array, l_xyz: int = 4, hidden: int = 64, depth: int = 3
+) -> ProposalParams:
+    """Tiny density net: ``depth`` glorot dense layers (relu between) on
+    Fourier-encoded positions, scalar output.  No skip concat — at this
+    depth the encoding never washes out."""
+    dims = [3 + 6 * l_xyz] + [hidden] * (depth - 1) + [1]
+    keys = jax.random.split(key, depth)
+    layers = []
+    for k, d_in, d_out in zip(keys, dims[:-1], dims[1:]):
+        scale = jnp.sqrt(6.0 / (d_in + d_out))
+        layers.append({
+            "w": jax.random.uniform(k, (d_in, d_out), jnp.float32,
+                                    -scale, scale),
+            "b": jnp.zeros((d_out,), jnp.float32),
+        })
+    return {"layers": layers}
+
+
+def apply_proposal(
+    params: ProposalParams, x_enc: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Raw proposal output on encoded positions -> ``(...,)`` f32.
+
+    The net regresses ``log1p(relu(sigma))`` (see :func:`distill_proposal`);
+    use :func:`proposal_sigma` for the density itself.  bf16 dots are fine
+    on the render path — the output only shapes a sampling PDF, and TPU
+    XLA would bf16-truncate f32 dots anyway (CLAUDE.md trap; precision
+    does not matter here, unlike sample_pdf's selector matmuls).
+    """
+    h = x_enc.astype(compute_dtype)
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        h = h @ layer["w"].astype(compute_dtype) + layer["b"].astype(compute_dtype)
+        if i < n - 1:
+            h = jnp.maximum(h, 0.0)
+    return h[..., 0].astype(jnp.float32)
+
+
+def proposal_sigma(
+    params: ProposalParams, pts: jnp.ndarray, l_xyz: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Density at points: ``expm1(relu(net(enc(pts))))`` — inverse of the
+    ``log1p`` target transform, clamped nonnegative."""
+    raw = apply_proposal(params, encode_position(pts, l_xyz), compute_dtype)
+    return jnp.expm1(jnp.maximum(raw, 0.0))
+
+
+def proposal_weights(
+    params: ProposalParams,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_vals: jnp.ndarray,
+    l_xyz: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Compositing weights along rays from the proposal density alone.
+
+    Plain XLA (auto-shards under jit like sample_pdf — no shard_map
+    needed): the tiny matmul chain is ~60x fewer FLOPs than the coarse
+    MLP it replaces.  Reuses ops/volume.py's exact compositing numerics
+    via a zero-rgb preds tensor, so the downstream inverse-CDF sees
+    weights with identical semantics to the coarse pass.
+    """
+    pts, _ = sample_rays(origins, directions, t_vals)
+    sigma = proposal_sigma(params, pts, l_xyz, compute_dtype)
+    preds = jnp.concatenate(
+        [jnp.zeros(sigma.shape + (3,), jnp.float32), sigma[..., None]],
+        axis=-1,
+    )
+    _, _, weights = volume_render(preds, t_vals)
+    return weights
+
+
+def distill_proposal(
+    key: jax.Array,
+    sigma_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    near: float,
+    far: float,
+    *,
+    l_xyz: int = 4,
+    hidden: int = 64,
+    depth: int = 3,
+    steps: int = 1500,
+    batch: int = 16384,
+    lr: float = 2e-3,
+    under_weight: float = 4.0,
+) -> tuple[ProposalParams, float]:
+    """Distill the trained model's density into the tiny proposal net.
+
+    ``sigma_fn(pts (N, 3)) -> raw sigma logits (N,)`` — built by the
+    Trainer from the FINE params (models/mlp.py:apply_nerf_sigma).
+    Training points are sampled exactly where rendering will query:
+    random (ray, t) pairs from the caller's representative rays
+    (same calibration-ray contract as int8 quant) with t ~ U(near, far).
+    Target is ``log1p(relu(sigma))`` — compresses the unbounded density
+    range so the MSE is not dominated by the few enormous-sigma voxels;
+    under-predictions are penalized ``under_weight``-fold (missing mass
+    starves fine samples; excess mass only wastes them on empty space).
+
+    The whole optimization is ONE jitted ``lax.scan`` — a single device
+    dispatch (~seconds on v5e), no host loop.
+
+    Returns ``(params, final_loss)``.
+    """
+    origins = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
+    directions = jnp.asarray(directions, jnp.float32).reshape(-1, 3)
+    n_rays = origins.shape[0]
+
+    k_init, k_scan = jax.random.split(key)
+    params = init_proposal(k_init, l_xyz=l_xyz, hidden=hidden, depth=depth)
+    opt = optax.adam(lr)
+
+    def loss_fn(p, pts, target):
+        pred = apply_proposal(p, encode_position(pts, l_xyz))
+        err = pred - target
+        w = jnp.where(err < 0, under_weight, 1.0)
+        return jnp.mean(w * err * err)
+
+    def step(carry, k):
+        p, opt_state = carry
+        k_ray, k_t = jax.random.split(k)
+        idx = jax.random.randint(k_ray, (batch,), 0, n_rays)
+        t = jax.random.uniform(k_t, (batch,), jnp.float32, near, far)
+        pts = origins[idx] + directions[idx] * t[:, None]
+        target = jnp.log1p(jnp.maximum(sigma_fn(pts), 0.0))
+        loss, grads = jax.value_and_grad(loss_fn)(p, pts, target)
+        updates, opt_state = opt.update(grads, opt_state)
+        return (optax.apply_updates(p, updates), opt_state), loss
+
+    @jax.jit
+    def run(p):
+        (p, _), losses = jax.lax.scan(
+            step, (p, opt.init(p)), jax.random.split(k_scan, steps)
+        )
+        return p, losses[-1]
+
+    params, final_loss = run(params)
+    return params, float(final_loss)
