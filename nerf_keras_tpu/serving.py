@@ -40,6 +40,8 @@ class RenderService:
         self, cfg, checkpoint: str,
         near: float | None = None, far: float | None = None,
         quant: bool = False, quant_gate_db: float = 30.0,
+        sampler: str = "coarse", sampler_gate_db: float = 30.0,
+        proposal_steps: int = 1500,
     ):
         from nerf_keras_tpu.engine.trainer import Trainer
         from nerf_keras_tpu.utils.checkpoint import (
@@ -66,6 +68,11 @@ class RenderService:
         self.use_quant = False
         if quant:
             self.use_quant = self._setup_quant(quant_gate_db)
+        self.use_sampler = "coarse"
+        if sampler == "proposal":
+            self.use_sampler = self._setup_proposal(
+                sampler_gate_db, proposal_steps
+            )
 
     def _setup_quant(self, gate_db: float) -> bool:
         """Calibrate the int8 render path on the default serving pose and
@@ -89,6 +96,42 @@ class RenderService:
         print(f"[nerf-tpu] int8 gate FAIL: {psnr:.1f} dB < {gate_db:.1f}; "
               "serving the float path")
         return False
+
+    def _setup_proposal(self, gate_db: float, steps: int) -> str:
+        """Distill the proposal sampler (ops/proposal.py) on rays from an
+        orbit of serving poses and gate it against the coarse-sampled
+        render at the already-decided quant setting."""
+        from nerf_keras_tpu.ops.rays import pose_spherical
+
+        h, w = self.cfg.height, self.cfg.width
+        focal = self.default_focal or 1.2 * max(h, w)
+        calib = [
+            self.trainer.pose_rays(
+                pose_spherical(theta, -30.0, 4.0), h, w, focal
+            )
+            for theta in range(0, 360, 45)
+        ]
+        self.trainer.build_proposal_sampler(
+            np.concatenate([c[0] for c in calib], axis=0),
+            np.concatenate([c[1] for c in calib], axis=0),
+            steps=steps,
+        )
+        pose = pose_spherical(0.0, -30.0, 4.0)
+        ref = self.trainer.render_image(
+            pose, h, w, focal, quant=self.use_quant
+        )["rgb"]
+        p = self.trainer.render_image(
+            pose, h, w, focal, quant=self.use_quant, sampler="proposal"
+        )["rgb"]
+        mse = float(np.mean((ref - p) ** 2))
+        psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
+        if psnr >= gate_db:
+            print(f"[nerf-tpu] serving proposal sampler: gate PASS "
+                  f"{psnr:.1f} dB (gate {gate_db:.1f})")
+            return "proposal"
+        print(f"[nerf-tpu] proposal gate FAIL: {psnr:.1f} dB < "
+              f"{gate_db:.1f}; serving the coarse sampler")
+        return "coarse"
 
     def render_png(
         self, theta: float, phi: float, radius: float,
@@ -118,7 +161,7 @@ class RenderService:
             t0 = time.perf_counter()
             out = self.trainer.render_image(
                 pose, height, width, focal, chunk=chunk,
-                quant=self.use_quant,
+                quant=self.use_quant, sampler=self.use_sampler,
             )
             self.total_render_s += time.perf_counter() - t0
             self.requests += 1
@@ -134,6 +177,7 @@ class RenderService:
                 self.total_render_s / self.requests if self.requests else 0.0
             ),
             "quant": "int8" if self.use_quant else "none",
+            "sampler": self.use_sampler,
         }
 
 
@@ -212,6 +256,13 @@ def main(argv=None) -> None:
                         "kernel (PSNR-gated against the float render at "
                         "startup)")
     p.add_argument("--quant-gate-db", type=float, default=30.0)
+    p.add_argument("--sampler", type=str, default="coarse",
+                   choices=("coarse", "proposal"),
+                   help="proposal: serve with the distilled proposal "
+                        "sampler (skips the coarse MLP pass; PSNR-gated "
+                        "against the coarse-sampled render at startup)")
+    p.add_argument("--sampler-gate-db", type=float, default=30.0)
+    p.add_argument("--proposal-steps", type=int, default=1500)
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -222,6 +273,8 @@ def main(argv=None) -> None:
     service = RenderService(
         load_config(args.config), args.checkpoint, args.near, args.far,
         quant=args.quant == "int8", quant_gate_db=args.quant_gate_db,
+        sampler=args.sampler, sampler_gate_db=args.sampler_gate_db,
+        proposal_steps=args.proposal_steps,
     )
     server = serve(service, args.port, args.host)
     print(f"[nerf-tpu] serving {service.checkpoint} on "

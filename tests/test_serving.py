@@ -76,3 +76,27 @@ def test_render_service_quant(tmp_path):
                            quant_gate_db=200.0)
     assert svc_fb.use_quant is False
     assert svc_fb.stats()["quant"] == "none"
+
+
+def test_render_service_proposal(tmp_path):
+    """--sampler proposal serving: distills at startup, gates vs the
+    coarse sampler, serves through the proposal path on pass and falls
+    back on an impossible gate."""
+    cfg = NeRFConfig(
+        batch_size=64, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        height=8, width=8, compute_dtype="float32",
+    ).validate()
+    t = Trainer(cfg, 2.0, 6.0)
+    ckpt = str(tmp_path / "model.ckpt.npz")
+    save_checkpoint(ckpt, t.state, cfg)
+    svc = RenderService(cfg, ckpt, 2.0, 6.0, sampler="proposal",
+                        sampler_gate_db=0.0, proposal_steps=40)
+    assert svc.use_sampler == "proposal"
+    png = svc.render_png(theta=0.0, phi=-30.0, radius=4.0,
+                         height=8, width=8, chunk=64)
+    assert png[:4] == b"\x89PNG"
+    assert svc.stats()["sampler"] == "proposal"
+
+    svc_fb = RenderService(cfg, ckpt, 2.0, 6.0, sampler="proposal",
+                           sampler_gate_db=200.0, proposal_steps=40)
+    assert svc_fb.use_sampler == "coarse"
