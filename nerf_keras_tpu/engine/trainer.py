@@ -175,6 +175,21 @@ class Trainer:
 
         return tuple(put(x) for x in batch)
 
+    def _invalidate_derived(self) -> None:
+        """Drop weight-DERIVED inference state when the weights change.
+
+        int8 scales are calibrated against, and the proposal net is
+        distilled from, specific weights — carrying them across a
+        restore/replace would silently serve stale accelerations for the
+        new model.  Callers re-run quantize_for_inference /
+        build_proposal_sampler after installing weights."""
+        self._qparams = None
+        self._render_q = None
+        self._pparams = None
+        self._render_p = None
+        self._render_pq = None
+        self._prop_l_xyz = None
+
     def restore(self, path: str) -> "Trainer":
         """Load a checkpoint into this trainer with the correct shardings.
 
@@ -188,6 +203,7 @@ class Trainer:
             load_checkpoint(path, jax.device_get(self.state)),
             self._state_shardings,
         )
+        self._invalidate_derived()
         return self
 
     def replace_params(self, params, bn=None) -> "Trainer":
@@ -197,12 +213,17 @@ class Trainer:
             self.state._replace(params=params, bn=bn),
             self._state_shardings,
         )
+        self._invalidate_derived()
         return self
 
     def train_step(self, batch, key: jax.Array | None = None):
         """One optimization step; returns metrics dict of scalars (device)."""
         key = self.train_key if key is None else key
         self.state, metrics = self._train_step(self.state, batch, key)
+        if self._qparams is not None or self._pparams is not None:
+            # Weight-derived inference state (int8 scales, proposal net)
+            # is a snapshot of the weights it was built from.
+            self._invalidate_derived()
         return metrics
 
     def eval_step(self, batch):

@@ -169,6 +169,40 @@ def test_trainer_proposal_render_and_guards():
     assert np.sqrt(np.mean(err_q**2)) < 0.05
 
 
+def test_weight_change_invalidates_derived_state(tmp_path):
+    """restore / replace_params / train_step install NEW weights; the
+    int8 calibration and proposal distillation built from the OLD ones
+    must not silently survive."""
+    from nerf_keras_tpu.ops.rays import pose_spherical
+    from nerf_keras_tpu.utils.checkpoint import save_checkpoint
+
+    trainer, cfg = _tiny_trainer()
+    pose = pose_spherical(30.0, -30.0, 4.0)
+    o, d = trainer.pose_rays(pose, cfg.height, cfg.width, 10.0)
+    ckpt = str(tmp_path / "model.ckpt.npz")
+    save_checkpoint(ckpt, trainer.state, cfg)
+
+    trainer.build_proposal_sampler(o, d, steps=10, batch=64)
+    trainer.quantize_for_inference(o, d)
+    trainer.render_rays(o, d, chunk=64, sampler="proposal", quant=True)
+
+    trainer.restore(ckpt)
+    with pytest.raises(RuntimeError, match="build_proposal_sampler"):
+        trainer.render_rays(o, d, chunk=64, sampler="proposal")
+    with pytest.raises(RuntimeError, match="quantize_for_inference"):
+        trainer.render_rays(o, d, chunk=64, quant=True)
+
+    trainer.build_proposal_sampler(o, d, steps=10, batch=64)
+    batch = trainer.put_batch((
+        np.zeros((cfg.batch_size, 3), np.float32),
+        np.tile(np.float32([0, 0, 4.0]), (cfg.batch_size, 1)),
+        np.tile(np.float32([0, 0, -1.0]), (cfg.batch_size, 1)),
+    ))
+    trainer.train_step(batch)
+    with pytest.raises(RuntimeError, match="build_proposal_sampler"):
+        trainer.render_rays(o, d, chunk=64, sampler="proposal")
+
+
 def test_trainer_proposal_rejects_bad_configs():
     trainer, _ = _tiny_trainer(batch_norm=True, use_pallas=False)
     o = np.zeros((8, 3), np.float32)
