@@ -24,6 +24,9 @@ with a warning; they stack):
 * ``--sampler proposal``: fine samples placed by a tiny density net
   distilled from the trained fine model, skipping the coarse MLP pass
   entirely (ops/proposal.py).
+
+``--infer-cache <path>`` persists both artifacts keyed to the weights
+(utils/infer_cache.py) so repeat runs skip the rebuild.
 """
 
 from __future__ import annotations
@@ -152,6 +155,11 @@ def run_inference(argv: list[str] | None = None) -> str:
     p.add_argument("--proposal-calib-poses", type=int, default=8,
                    help="poses (evenly spaced along the render path) whose "
                         "rays form the proposal distillation set")
+    p.add_argument("--infer-cache", type=str, default=None,
+                   help="path to an .infer.npz artifact cache: int8 "
+                        "tables / the distilled proposal net are reloaded "
+                        "from it when it matches the checkpoint weights "
+                        "(sha256-gated), else rebuilt and saved there")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -237,15 +245,33 @@ def run_inference(argv: list[str] | None = None) -> str:
             args.frames, full_orbit=args.full_orbit, phi=args.phi,
             radius=args.radius,
         )
+    if args.infer_cache:
+        # Reuse weight-matched artifacts (sha256-gated); a stale file is
+        # ignored and overwritten by the fresh build below.
+        import os as _os
+
+        from nerf_keras_tpu.utils.infer_cache import StaleArtifactsError
+
+        if _os.path.exists(args.infer_cache):
+            try:
+                trainer.load_inference_artifacts(args.infer_cache)
+                print(f"[nerf-tpu] loaded inference artifacts from "
+                      f"{args.infer_cache}")
+            except StaleArtifactsError as e:
+                print(f"[nerf-tpu] ignoring artifact cache: {e}")
+    cache_pre = (trainer.quant_ready, trainer.proposal_ready)
     use_quant = False
     if args.quant == "int8":
         # Calibrate on the first pose's rays, then gate: render the first
         # frame BOTH ways and require PSNR(int8 vs float) >= the gate —
         # a silent-degradation guard the float path never needs.
-        o0, d0 = trainer.pose_rays(poses[0], cfg.height, cfg.width, focal)
-        trainer.quantize_for_inference(
-            o0, d0, calib_rays=args.quant_calib_rays
-        )
+        if not trainer.quant_ready:  # else: loaded from --infer-cache
+            o0, d0 = trainer.pose_rays(
+                poses[0], cfg.height, cfg.width, focal
+            )
+            trainer.quantize_for_inference(
+                o0, d0, calib_rays=args.quant_calib_rays
+            )
         ref_rgb = trainer.render_image(
             poses[0], cfg.height, cfg.width, focal, chunk=args.chunk
         )["rgb"]
@@ -269,12 +295,15 @@ def run_inference(argv: list[str] | None = None) -> str:
         # frustum the proposal never saw is one it can only extrapolate
         # into), then gate against the coarse sampler at the already-
         # decided quant setting — isolating the proposal's own effect.
-        step = max(1, len(poses) // args.proposal_calib_poses)
-        calib = [trainer.pose_rays(p_, cfg.height, cfg.width, focal)
-                 for p_ in poses[::step][:args.proposal_calib_poses]]
-        o_c = np.concatenate([c[0] for c in calib], axis=0)
-        d_c = np.concatenate([c[1] for c in calib], axis=0)
-        trainer.build_proposal_sampler(o_c, d_c, steps=args.proposal_steps)
+        if not trainer.proposal_ready:  # else: loaded from --infer-cache
+            step = max(1, len(poses) // args.proposal_calib_poses)
+            calib = [trainer.pose_rays(p_, cfg.height, cfg.width, focal)
+                     for p_ in poses[::step][:args.proposal_calib_poses]]
+            o_c = np.concatenate([c[0] for c in calib], axis=0)
+            d_c = np.concatenate([c[1] for c in calib], axis=0)
+            trainer.build_proposal_sampler(
+                o_c, d_c, steps=args.proposal_steps
+            )
         ref_rgb = trainer.render_image(
             poses[0], cfg.height, cfg.width, focal, chunk=args.chunk,
             quant=use_quant,
@@ -293,6 +322,12 @@ def run_inference(argv: list[str] | None = None) -> str:
             print(f"[nerf-tpu] proposal gate FAIL: {gate_psnr:.1f} dB vs "
                   f"coarse sampler < {args.sampler_gate_db:.1f}; falling "
                   "back to the coarse sampler")
+    if args.infer_cache and (
+        (trainer.quant_ready, trainer.proposal_ready) != cache_pre
+        and (trainer.quant_ready or trainer.proposal_ready)
+    ):
+        trainer.save_inference_artifacts(args.infer_cache)
+        print(f"[nerf-tpu] saved inference artifacts to {args.infer_cache}")
     for i, pose in enumerate(poses):
         out = trainer.render_image(pose, cfg.height, cfg.width, focal,
                                    chunk=args.chunk, quant=use_quant,

@@ -308,7 +308,6 @@ class Trainer:
         rate on v5e).  Verify accuracy with a PSNR gate before serving —
         ``cli/infer.py --quant int8`` does this automatically.
         """
-        from nerf_keras_tpu.engine.step import make_quant_render_fn
         from nerf_keras_tpu.ops.quant import (
             calibrate_render,
             quantize_render_params,
@@ -331,6 +330,13 @@ class Trainer:
             params, self.cfg, self.near, self.far, origins, directions
         )
         qparams = quantize_render_params(params, stats, self.cfg.skip_layer)
+        self._install_quant(qparams)
+        return self
+
+    def _install_quant(self, qparams) -> None:
+        """Put quantized params on device and jit the int8 render."""
+        from nerf_keras_tpu.engine.step import make_quant_render_fn
+
         self._qparams = jax.device_put(qparams, self._repl)
         self._render_q = jax.jit(
             make_quant_render_fn(
@@ -341,7 +347,6 @@ class Trainer:
             ),
             out_shardings=self._repl,
         )
-        return self
 
     def build_proposal_sampler(
         self,
@@ -375,7 +380,6 @@ class Trainer:
         serving — ``cli/infer.py --sampler proposal`` does this
         automatically.
         """
-        from nerf_keras_tpu.engine.step import make_proposal_render_fn
         from nerf_keras_tpu.models.mlp import apply_nerf_sigma
         from nerf_keras_tpu.ops.encoding import encode_position
         from nerf_keras_tpu.ops.proposal import distill_proposal
@@ -419,6 +423,13 @@ class Trainer:
             steps=steps, batch=batch, lr=lr, under_weight=under_weight,
         )
         self._distill_loss = final_loss
+        self._install_proposal(pparams, l_xyz)
+        return self
+
+    def _install_proposal(self, pparams, l_xyz: int) -> None:
+        """Put proposal params on device and jit the proposal render."""
+        from nerf_keras_tpu.engine.step import make_proposal_render_fn
+
         self._pparams = jax.device_put(pparams, self._repl)
         self._prop_l_xyz = l_xyz
         self._render_pq = None  # quant variant re-jits lazily
@@ -433,6 +444,85 @@ class Trainer:
             ),
             out_shardings=self._repl,
         )
+
+    @property
+    def quant_ready(self) -> bool:
+        """True if the int8 render path is calibrated for CURRENT weights."""
+        return self._qparams is not None
+
+    @property
+    def proposal_ready(self) -> bool:
+        """True if a proposal net is distilled from the CURRENT weights."""
+        return self._pparams is not None
+
+    def infer_digest(self) -> str:
+        """Digest of the weights + the config fields the derived
+        inference artifacts (int8 tables, proposal net) are functions of;
+        keys the on-disk artifact cache (utils/infer_cache.py)."""
+        from nerf_keras_tpu.utils.infer_cache import params_digest
+
+        return params_digest(
+            jax.device_get(self.state.params),
+            extra={
+                "skip_layer": self.cfg.skip_layer,
+                "l_xyz": self.cfg.l_xyz,
+                "l_dir": self.cfg.l_dir,
+                "compute_dtype": self.cfg.compute_dtype,
+            },
+        )
+
+    def save_inference_artifacts(self, path: str) -> "Trainer":
+        """Persist whatever int8/proposal state is built, keyed to the
+        current weights, so a later process (e.g. a restarted server)
+        skips the ~20 s rebuild via :meth:`load_inference_artifacts`."""
+        from nerf_keras_tpu.utils.infer_cache import save_artifacts
+
+        if self._qparams is None and self._pparams is None:
+            raise RuntimeError(
+                "nothing to save: run quantize_for_inference and/or "
+                "build_proposal_sampler first"
+            )
+        save_artifacts(
+            path,
+            self.infer_digest(),
+            pparams=(
+                jax.device_get(self._pparams)
+                if self._pparams is not None else None
+            ),
+            prop_l_xyz=self._prop_l_xyz,
+            distill_loss=getattr(self, "_distill_loss", None),
+            qparams=(
+                jax.device_get(self._qparams)
+                if self._qparams is not None else None
+            ),
+        )
+        return self
+
+    def load_inference_artifacts(self, path: str) -> "Trainer":
+        """Install artifacts written by :meth:`save_inference_artifacts`.
+
+        Raises :class:`~nerf_keras_tpu.utils.infer_cache.StaleArtifactsError`
+        if they were derived from different weights or config — a stale
+        acceleration is never silently installed (the cross-process twin
+        of :meth:`_invalidate_derived`)."""
+        from nerf_keras_tpu.utils.infer_cache import load_artifacts
+
+        if self.cfg.batch_norm:
+            raise ValueError(
+                "inference artifacts have no BatchNorm variant; use the "
+                "float coarse path for BN configs"
+            )
+        art = load_artifacts(path, self.infer_digest())
+        if "qparams" in art:
+            self._install_quant(art["qparams"])
+        if "pparams" in art:
+            if self.cfg.ns_fine <= 0:
+                raise ValueError(
+                    "the proposal sampler places fine samples; ns_fine "
+                    "must be positive"
+                )
+            self._distill_loss = art.get("distill_loss")
+            self._install_proposal(art["pparams"], art["prop_l_xyz"])
         return self
 
     def _proposal_render_fn(self, quant: bool):

@@ -41,13 +41,15 @@ class RenderService:
         near: float | None = None, far: float | None = None,
         quant: bool = False, quant_gate_db: float = 30.0,
         sampler: str = "coarse", sampler_gate_db: float = 30.0,
-        proposal_steps: int = 1500,
+        proposal_steps: int = 1500, infer_cache: str | None = None,
     ):
         from nerf_keras_tpu.engine.trainer import Trainer
+        from nerf_keras_tpu.utils import io as nio
         from nerf_keras_tpu.utils.checkpoint import (
             latest_checkpoint,
             load_checkpoint_scene,
         )
+        from nerf_keras_tpu.utils.infer_cache import StaleArtifactsError
 
         if not checkpoint.endswith(".npz"):
             found = latest_checkpoint(checkpoint)
@@ -65,6 +67,19 @@ class RenderService:
         self._lock = threading.Lock()
         self.requests = 0
         self.total_render_s = 0.0
+        # Artifact cache: int8 tables + distilled proposal net are pure
+        # functions of the checkpoint weights (utils/infer_cache.py) —
+        # a restart reuses them instead of paying the ~20 s rebuild.  A
+        # digest mismatch (new weights) is IGNORED with a notice, and the
+        # fresh build below overwrites the file.
+        if infer_cache and nio.exists(infer_cache):
+            try:
+                self.trainer.load_inference_artifacts(infer_cache)
+                print(f"[nerf-tpu] loaded inference artifacts from "
+                      f"{infer_cache}")
+            except StaleArtifactsError as e:
+                print(f"[nerf-tpu] ignoring artifact cache: {e}")
+        pre = (self.trainer.quant_ready, self.trainer.proposal_ready)
         self.use_quant = False
         if quant:
             self.use_quant = self._setup_quant(quant_gate_db)
@@ -73,6 +88,10 @@ class RenderService:
             self.use_sampler = self._setup_proposal(
                 sampler_gate_db, proposal_steps
             )
+        post = (self.trainer.quant_ready, self.trainer.proposal_ready)
+        if infer_cache and post != pre and any(post):
+            self.trainer.save_inference_artifacts(infer_cache)
+            print(f"[nerf-tpu] saved inference artifacts to {infer_cache}")
 
     def _setup_quant(self, gate_db: float) -> bool:
         """Calibrate the int8 render path on the default serving pose and
@@ -83,8 +102,9 @@ class RenderService:
         pose = pose_spherical(0.0, -30.0, 4.0)
         h, w = self.cfg.height, self.cfg.width
         focal = self.default_focal or 1.2 * max(h, w)
-        o, d = self.trainer.pose_rays(pose, h, w, focal)
-        self.trainer.quantize_for_inference(o, d)
+        if not self.trainer.quant_ready:  # else: loaded from infer_cache
+            o, d = self.trainer.pose_rays(pose, h, w, focal)
+            self.trainer.quantize_for_inference(o, d)
         ref = self.trainer.render_image(pose, h, w, focal)["rgb"]
         q = self.trainer.render_image(pose, h, w, focal, quant=True)["rgb"]
         mse = float(np.mean((ref - q) ** 2))
@@ -105,17 +125,18 @@ class RenderService:
 
         h, w = self.cfg.height, self.cfg.width
         focal = self.default_focal or 1.2 * max(h, w)
-        calib = [
-            self.trainer.pose_rays(
-                pose_spherical(theta, -30.0, 4.0), h, w, focal
+        if not self.trainer.proposal_ready:  # else: loaded from infer_cache
+            calib = [
+                self.trainer.pose_rays(
+                    pose_spherical(theta, -30.0, 4.0), h, w, focal
+                )
+                for theta in range(0, 360, 45)
+            ]
+            self.trainer.build_proposal_sampler(
+                np.concatenate([c[0] for c in calib], axis=0),
+                np.concatenate([c[1] for c in calib], axis=0),
+                steps=steps,
             )
-            for theta in range(0, 360, 45)
-        ]
-        self.trainer.build_proposal_sampler(
-            np.concatenate([c[0] for c in calib], axis=0),
-            np.concatenate([c[1] for c in calib], axis=0),
-            steps=steps,
-        )
         pose = pose_spherical(0.0, -30.0, 4.0)
         ref = self.trainer.render_image(
             pose, h, w, focal, quant=self.use_quant
@@ -263,6 +284,12 @@ def main(argv=None) -> None:
                         "against the coarse-sampled render at startup)")
     p.add_argument("--sampler-gate-db", type=float, default=30.0)
     p.add_argument("--proposal-steps", type=int, default=1500)
+    p.add_argument("--infer-cache", type=str, default=None,
+                   help="path to an .infer.npz artifact cache: int8 "
+                        "tables and the distilled proposal net are "
+                        "reloaded from it when it matches the checkpoint "
+                        "weights (sha256-gated), else rebuilt and saved "
+                        "there — a restart skips the ~20 s rebuild")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -274,7 +301,7 @@ def main(argv=None) -> None:
         load_config(args.config), args.checkpoint, args.near, args.far,
         quant=args.quant == "int8", quant_gate_db=args.quant_gate_db,
         sampler=args.sampler, sampler_gate_db=args.sampler_gate_db,
-        proposal_steps=args.proposal_steps,
+        proposal_steps=args.proposal_steps, infer_cache=args.infer_cache,
     )
     server = serve(service, args.port, args.host)
     print(f"[nerf-tpu] serving {service.checkpoint} on "
