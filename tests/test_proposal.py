@@ -203,6 +203,34 @@ def test_weight_change_invalidates_derived_state(tmp_path):
         trainer.render_rays(o, d, chunk=64, sampler="proposal")
 
 
+def test_proposal_sampler_ndc_config():
+    """NDC configs distill and render through the proposal sampler in the
+    SAME space the fine model sees: pose_rays emits NDC rays and the
+    distillation samples t ~ U(0, 1) along them — a world-space distill
+    against an NDC-trained field would silently mis-place every sample."""
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    cfg = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        l_xyz=4, l_dir=2, compute_dtype="float32", ndc=True,
+    ).validate()
+    t = Trainer(cfg, 0.0, 1.0)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    o, d = t.pose_rays(pose, 8, 10, 12.0)
+    # NDC rays: every origin is projected onto the z=-1 near plane
+    # (world-space origins would all be the camera center [0, 0, 4]).
+    np.testing.assert_allclose(np.asarray(o)[:, 2], -1.0, atol=1e-6)
+
+    t.build_proposal_sampler(o, d, steps=120, batch=512)
+    out_p = t.render_rays(o, d, chunk=32, sampler="proposal")
+    out_c = t.render_rays(o, d, chunk=32)
+    assert np.isfinite(out_p["rgb_fine"]).all()
+    err = np.asarray(out_p["rgb_fine"]) - np.asarray(out_c["rgb_fine"])
+    assert np.sqrt(np.mean(err**2)) < 0.05
+
+
 def test_trainer_proposal_rejects_bad_configs():
     trainer, _ = _tiny_trainer(batch_norm=True, use_pallas=False)
     o = np.zeros((8, 3), np.float32)
