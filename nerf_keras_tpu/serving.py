@@ -9,6 +9,7 @@ for smoke-serving a model from a TPU VM:
         --checkpoint models/<run> --port 8042
 
     GET /render?theta=30&phi=-30&radius=4&width=200&height=200  -> PNG
+    GET /render?...&map=depth        -> normalized depth map as PNG
     GET /healthz                                                -> 200 ok
     GET /stats                                                  -> JSON
 
@@ -157,12 +158,15 @@ class RenderService:
     def render_png(
         self, theta: float, phi: float, radius: float,
         height: int, width: int, chunk: int = 16384,
-        focal: float | None = None,
+        focal: float | None = None, map_name: str = "rgb",
     ) -> bytes:
         from PIL import Image
 
         from nerf_keras_tpu.ops.rays import pose_spherical
-        from nerf_keras_tpu.utils.image import to_uint8
+        from nerf_keras_tpu.utils.image import normalize_depth, to_uint8
+
+        if map_name not in ("rgb", "depth"):
+            raise ValueError(f"unknown map {map_name!r} (rgb|depth)")
 
         pose = pose_spherical(theta, phi, radius)
         if focal is None:
@@ -186,8 +190,12 @@ class RenderService:
             )
             self.total_render_s += time.perf_counter() - t0
             self.requests += 1
+        img = (
+            to_uint8(out["rgb"]) if map_name == "rgb"
+            else to_uint8(normalize_depth(out["depth"]))
+        )
         buf = io.BytesIO()
-        Image.fromarray(to_uint8(out["rgb"])).save(buf, format="PNG")
+        Image.fromarray(img).save(buf, format="PNG")
         return buf.getvalue()
 
     def stats(self) -> dict:
@@ -240,6 +248,7 @@ def _make_handler(service: RenderService):
                         width=int(f("width", service.cfg.width)),
                         chunk=int(f("chunk", 16384)),
                         focal=float(q["focal"][0]) if "focal" in q else None,
+                        map_name=q.get("map", ["rgb"])[0],
                     )
                 except Exception as e:  # surface render errors as 500s
                     self._send(500, str(e).encode(), "text/plain")

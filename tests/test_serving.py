@@ -33,6 +33,15 @@ def test_render_service_direct(service):
     assert service.stats()["requests"] == 1
 
 
+def test_render_depth_map(service):
+    png = service.render_png(theta=30.0, phi=-30.0, radius=4.0,
+                             height=8, width=8, chunk=64, map_name="depth")
+    assert png[:4] == b"\x89PNG"
+    with pytest.raises(ValueError, match="unknown map"):
+        service.render_png(theta=0.0, phi=-30.0, radius=4.0,
+                           height=8, width=8, chunk=64, map_name="acc")
+
+
 def test_http_endpoints(service):
     server = serve(service, port=0)  # ephemeral port
     port = server.server_address[1]
