@@ -248,11 +248,10 @@ def run_inference(argv: list[str] | None = None) -> str:
     if args.infer_cache:
         # Reuse weight-matched artifacts (sha256-gated); a stale file is
         # ignored and overwritten by the fresh build below.
-        import os as _os
-
+        from nerf_keras_tpu.utils import io as nio
         from nerf_keras_tpu.utils.infer_cache import StaleArtifactsError
 
-        if _os.path.exists(args.infer_cache):
+        if nio.exists(args.infer_cache):
             try:
                 trainer.load_inference_artifacts(args.infer_cache)
                 print(f"[nerf-tpu] loaded inference artifacts from "
