@@ -216,6 +216,25 @@ def run_inference(argv: list[str] | None = None) -> str:
         cfg = dataclasses.replace(cfg, ndc=bool(scene["ndc"]))
         print(f"[nerf-tpu] checkpoint sidecar sets ndc={cfg.ndc} "
               f"(overrides the config)")
+    # The sidecar's TRAIN_SAMPLER (+ proposal-net arch) determines the
+    # checkpoint's STATE TREE ({'proposal','fine'} vs {'coarse','fine'}):
+    # restoring across a mismatch would die on an opaque template error,
+    # so the sidecar wins here too.
+    if ckpt is not None:
+        from nerf_keras_tpu.utils import io as nio
+        from nerf_keras_tpu.utils.checkpoint import load_checkpoint_config
+
+        if nio.exists(ckpt + ".config.json"):
+            side = load_checkpoint_config(ckpt)
+            arch = ("train_sampler", "prop_l_xyz", "prop_hidden", "prop_depth")
+            if any(getattr(side, f) != getattr(cfg, f) for f in arch):
+                import dataclasses
+
+                cfg = dataclasses.replace(
+                    cfg, **{f: getattr(side, f) for f in arch}
+                ).validate()
+                print(f"[nerf-tpu] checkpoint sidecar sets train_sampler="
+                      f"{cfg.train_sampler} (overrides the config)")
     print(f"[nerf-tpu] scene: near={near:.3f} far={far:.3f} "
           f"focal={focal:.2f}"
           + ("" if scene else " (no sidecar; Lego-scene defaults)"))
@@ -227,6 +246,12 @@ def run_inference(argv: list[str] | None = None) -> str:
     else:
         from nerf_keras_tpu.utils.keras_import import import_reference_weights
 
+        if cfg.train_sampler == "proposal":
+            raise SystemExit(
+                "--reference-weights carries a coarse+fine pair; it cannot "
+                "load into a TRAIN_SAMPLER='proposal' config (no coarse "
+                "model) — use the default coarse config for parity renders"
+            )
         params, bn = import_reference_weights(args.reference_weights, cfg)
         trainer.replace_params(params, bn)
         print(f"[nerf-tpu] imported reference weights {args.reference_weights}")
@@ -289,7 +314,13 @@ def run_inference(argv: list[str] | None = None) -> str:
                   f"< {args.quant_gate_db:.1f}; falling back to the float "
                   "path")
     use_sampler = "coarse"
-    if args.sampler == "proposal":
+    if args.sampler == "proposal" and trainer.online_proposal:
+        # TRAIN_SAMPLER='proposal' checkpoint: the in-state proposal net
+        # already places samples on EVERY render (there is no coarse
+        # sampler to gate against) — nothing to distill.
+        print("[nerf-tpu] proposal-trained checkpoint: renders already "
+              "use the in-state proposal net")
+    elif args.sampler == "proposal":
         # Distill on rays from several poses along the render path (a
         # frustum the proposal never saw is one it can only extrapolate
         # into), then gate against the coarse sampler at the already-

@@ -70,6 +70,22 @@ class NeRFConfig:
     #         forward-facing (LLFF) captures, absent from the reference
     #         (SURVEY.md §2.2).  Off by default to preserve reference
     #         parity; only meaningful for forward-facing datasets.
+    train_sampler: str = "coarse"  # 'coarse' | 'proposal'
+    #   'coarse': reference-parity training — an independent full-size
+    #         coarse MLP places the fine samples and contributes an rgb
+    #         loss (reference models.py:151-176).
+    #   'proposal': beyond-reference — a tiny density net (Mip-NeRF-360-
+    #         style proposal MLP, trained ONLINE by distilling the fine
+    #         pass's compositing weights) places the fine samples instead.
+    #         Removes the whole 8x256 coarse pass (~25% of the step's MLP
+    #         FLOPs) and the checkpoint serves without post-training
+    #         distillation.  Requires stop_pdf_gradient (the proposal is
+    #         trained by its distillation loss, not through the CDF draw)
+    #         and has no BatchNorm variant.
+    prop_l_xyz: int = 4  # proposal net positional-encoding octaves
+    prop_hidden: int = 64  # proposal net hidden width
+    prop_depth: int = 3  # proposal net dense-layer count
+    prop_loss_mult: float = 1.0  # weight of the online distillation loss
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
@@ -126,6 +142,34 @@ class NeRFConfig:
                 "use_pallas=True shards rays over 'data' only; tensor "
                 "parallelism (MESH_MODEL > 1) requires the jnp MLP path"
             )
+        if self.train_sampler not in ("coarse", "proposal"):
+            raise ValueError(
+                f"unknown train_sampler: {self.train_sampler!r} "
+                "(expected 'coarse' or 'proposal')"
+            )
+        if self.train_sampler == "proposal":
+            if not self.stop_pdf_gradient:
+                raise ValueError(
+                    "TRAIN_SAMPLER='proposal' requires STOP_PDF_GRADIENT: "
+                    "the proposal net is trained by its distillation loss, "
+                    "not through the inverse-CDF draw"
+                )
+            if self.batch_norm:
+                raise ValueError(
+                    "TRAIN_SAMPLER='proposal' has no BatchNorm variant; "
+                    "use the coarse sampler for BN configs"
+                )
+            if self.ns_fine <= 0:
+                raise ValueError(
+                    "TRAIN_SAMPLER='proposal' places fine samples; "
+                    "NS_FINE must be positive"
+                )
+            if min(self.prop_l_xyz, self.prop_hidden) < 1 or self.prop_depth < 2:
+                raise ValueError(
+                    "proposal net needs PROP_L_XYZ/PROP_HIDDEN >= 1 and "
+                    f"PROP_DEPTH >= 2; got l_xyz={self.prop_l_xyz} "
+                    f"hidden={self.prop_hidden} depth={self.prop_depth}"
+                )
         if self.mesh_data == 0 or self.mesh_data < -1:
             raise ValueError(
                 f"MESH_DATA must be >= 1 or -1 (all devices), got "
@@ -157,6 +201,11 @@ _KEY_MAP = {
     "USE_PALLAS": "use_pallas",
     "STOP_PDF_GRADIENT": "stop_pdf_gradient",
     "NDC": "ndc",
+    "TRAIN_SAMPLER": "train_sampler",
+    "PROP_L_XYZ": "prop_l_xyz",
+    "PROP_HIDDEN": "prop_hidden",
+    "PROP_DEPTH": "prop_depth",
+    "PROP_LOSS_MULT": "prop_loss_mult",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",
     "SEED": "seed",

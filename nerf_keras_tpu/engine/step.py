@@ -60,7 +60,11 @@ def make_optimizer(cfg: NeRFConfig) -> optax.GradientTransformation:
 
 def init_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
     """Initialize coarse+fine MLPs (two independent instances, as the
-    reference builds at train_lego.py:115-134) plus Adam state."""
+    reference builds at train_lego.py:115-134) plus Adam state.
+
+    With ``cfg.train_sampler == 'proposal'`` the coarse MLP is replaced
+    by the tiny proposal net (``{'proposal': ..., 'fine': ...}`` — online
+    Mip-NeRF-360-style training, beyond-reference; config docstring)."""
     k_coarse, k_fine = jax.random.split(key)
     kwargs = dict(
         num_layers=cfg.num_layers,
@@ -70,6 +74,19 @@ def init_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
         l_dir=cfg.l_dir,
         batch_norm=cfg.batch_norm,
     )
+    if cfg.train_sampler == "proposal":
+        from nerf_keras_tpu.ops.proposal import init_proposal
+
+        # Config validation rejects batch_norm in proposal mode.
+        params = {
+            "proposal": init_proposal(
+                k_coarse, l_xyz=cfg.prop_l_xyz, hidden=cfg.prop_hidden,
+                depth=cfg.prop_depth,
+            ),
+            "fine": init_nerf_params(k_fine, **kwargs),
+        }
+        opt_state = make_optimizer(cfg).init(params)
+        return TrainState(params, None, opt_state, jnp.zeros((), jnp.int32))
     params = {
         "coarse": init_nerf_params(k_coarse, **kwargs),
         "fine": init_nerf_params(k_fine, **kwargs),
@@ -536,7 +553,54 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
     optimizer = make_optimizer(cfg)
     fused_render = bool(cfg.use_pallas) and cfg.stop_pdf_gradient
 
-    if fused_render:
+    if cfg.train_sampler == "proposal":
+        # Online proposal-sampler training (beyond-reference; config
+        # docstring): the tiny proposal net places the fine samples and is
+        # trained jointly by distilling the fine pass's (detached)
+        # compositing-weight histogram — the 8x256 coarse MLP (~25% of
+        # the step's MLP FLOPs, reference models.py:151-165) disappears
+        # from the step.  The fine pass runs the same megakernel/XLA path
+        # as the parity trainer; the proposal chain is plain XLA (tiny
+        # matmuls auto-shard under jit like sample_pdf).
+        from nerf_keras_tpu.ops.proposal import (
+            binned_fine_weights,
+            interlevel_loss,
+            proposal_weights,
+        )
+
+        fine_pass = _make_pass_fn(cfg, mesh=mesh)
+
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
+            w_prop = proposal_weights(
+                params["proposal"], origins, dirs, t_vals, cfg.prop_l_xyz
+            )
+            # The CDF draw consumes detached weights (config validation
+            # requires stop_pdf_gradient in this mode): the proposal
+            # learns from its distillation loss below, never through the
+            # clamped inverse-CDF interpolation.
+            t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+            t_fine = sample_pdf(
+                key_pdf, t_mid, jax.lax.stop_gradient(w_prop), cfg.ns_fine,
+                deterministic=key_pdf is None,
+            )
+            t_all = sorted_union(t_vals, t_fine)
+
+            rgb_fine, w_fine = fine_pass(params["fine"], origins, dirs, t_all)
+            loss_fine = mse(images, rgb_fine)
+            # Detached target (the Pallas path already stop-gradients its
+            # weights output; the jnp path needs it explicit): the fine
+            # model must never be pulled toward the proposal.
+            target = binned_fine_weights(
+                t_all, jax.lax.stop_gradient(w_fine), t_vals
+            )
+            loss_prop = interlevel_loss(w_prop, target)
+            loss = loss_fine + cfg.prop_loss_mult * loss_prop
+            # loss_prop rides the 'loss_coarse' metric slot: there is no
+            # coarse rgb loss in this mode, and keeping the reference's
+            # history keys lets every consumer (History, panels, CLI
+            # prints) work unchanged.
+            return loss, (loss_prop, loss_fine, rgb_fine, bn)
+    elif fused_render:
         fwd_fused = _make_fused_train_forward(cfg, mesh)
 
         def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
@@ -591,6 +655,43 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
     (~1.5x the XLA path's forward throughput on v5e, see
     :func:`_make_fused_eval_forward`); the math is identical.
     """
+    if cfg.train_sampler == "proposal":
+        from nerf_keras_tpu.ops.proposal import (
+            binned_fine_weights,
+            interlevel_loss,
+            proposal_weights,
+        )
+
+        fine_pass = _make_pass_fn(cfg, mesh=mesh)
+
+        def eval_step_proposal(state: TrainState, batch):
+            images, origins, dirs = batch
+            t_vals = generate_t_vals(
+                None, near, far, images.shape[:-1], cfg.ns_coarse, "center"
+            )
+            w_prop = proposal_weights(
+                state.params["proposal"], origins, dirs, t_vals,
+                cfg.prop_l_xyz,
+            )
+            t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+            t_fine = sample_pdf(None, t_mid, w_prop, cfg.ns_fine,
+                                deterministic=True)
+            t_all = sorted_union(t_vals, t_fine)
+            rgb_fine, w_fine = fine_pass(
+                state.params["fine"], origins, dirs, t_all
+            )
+            return {
+                # No coarse rgb exists; the slot reports the distillation
+                # loss (how well the proposal tracks the fine histogram).
+                "loss_coarse": interlevel_loss(
+                    w_prop, binned_fine_weights(t_all, w_fine, t_vals)
+                ),
+                "loss": mse(images, rgb_fine),
+                "psnr": psnr(images, rgb_fine),
+            }
+
+        return eval_step_proposal
+
     if cfg.use_pallas:
         fwd_fused = _make_fused_eval_forward(cfg, mesh)
 
@@ -644,7 +745,30 @@ def make_render_fn(
     With ``cfg.use_pallas`` (and not ``full`` — raw preds only exist on
     the jnp path) each pass renders through the fused forward kernel
     (:func:`_make_fused_eval_forward`; ~1.5x the XLA path on v5e).
+
+    Proposal-trained configs (``cfg.train_sampler == 'proposal'``) render
+    through the in-state proposal net — fine outputs only (there is no
+    coarse model), so ``full`` raises.
     """
+    if cfg.train_sampler == "proposal":
+        if full:
+            raise ValueError(
+                "full=True is unavailable for TRAIN_SAMPLER='proposal' "
+                "checkpoints: there is no coarse pass, and the proposal "
+                "render emits rgb/depth fine only"
+            )
+        inner = make_proposal_render_fn(
+            cfg, near, far, mesh=mesh, prop_l_xyz=cfg.prop_l_xyz
+        )
+
+        def render_proposal(state: TrainState, origins, dirs):
+            return inner(
+                state.params["proposal"], state.params["fine"],
+                origins, dirs,
+            )
+
+        return render_proposal
+
     if cfg.use_pallas and not full:
         fwd_fused = _make_fused_eval_forward(cfg, mesh)
 

@@ -61,6 +61,10 @@ class Trainer:
                 "(mesh_model > 1) requires the jnp MLP path"
             )
         self.cfg = cfg
+        # Online proposal-sampler training (config docstring): the state
+        # carries {'proposal', 'fine'} instead of {'coarse', 'fine'} and
+        # every render places samples with the in-state proposal net.
+        self._online_proposal = cfg.train_sampler == "proposal"
         self.near = float(near)
         self.far = float(far)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_data, cfg.mesh_model)
@@ -310,6 +314,7 @@ class Trainer:
         """
         from nerf_keras_tpu.ops.quant import (
             calibrate_render,
+            calibrate_render_proposal,
             quantize_render_params,
         )
 
@@ -326,18 +331,49 @@ class Trainer:
             )
             origins, directions = origins[idx], directions[idx]
         params = jax.device_get(self.state.params)
-        stats = calibrate_render(
-            params, self.cfg, self.near, self.far, origins, directions
-        )
+        if self._online_proposal:
+            # No coarse MLP exists: calibrate the fine net at the t-unions
+            # the float in-state proposal places (the proposal net itself
+            # stays float — its matmuls are ~60x smaller than the fine's).
+            stats = calibrate_render_proposal(
+                params, self.cfg, self.near, self.far, origins, directions
+            )
+        else:
+            stats = calibrate_render(
+                params, self.cfg, self.near, self.far, origins, directions
+            )
         qparams = quantize_render_params(params, stats, self.cfg.skip_layer)
         self._install_quant(qparams)
         return self
 
     def _install_quant(self, qparams) -> None:
         """Put quantized params on device and jit the int8 render."""
-        from nerf_keras_tpu.engine.step import make_quant_render_fn
+        from nerf_keras_tpu.engine.step import (
+            make_proposal_render_fn,
+            make_quant_render_fn,
+        )
 
         self._qparams = jax.device_put(qparams, self._repl)
+        if self._online_proposal:
+            # int8 fine pass under the in-state (float) proposal sampler:
+            # same compiled shape as the distilled proposal+quant path.
+            inner = jax.jit(
+                make_proposal_render_fn(
+                    self._fwd_cfg, self.near, self.far, mesh=self.mesh,
+                    quant=True, prop_l_xyz=self.cfg.prop_l_xyz,
+                ),
+                in_shardings=(
+                    self._state_shardings.params["proposal"], self._repl,
+                    self._batch_sharding, self._batch_sharding,
+                ),
+                out_shardings=self._repl,
+            )
+
+            def render_q(state, o, d):
+                return inner(state.params["proposal"], self._qparams["fine"], o, d)
+
+            self._render_q = render_q
+            return
         self._render_q = jax.jit(
             make_quant_render_fn(
                 self._fwd_cfg, self.near, self.far, mesh=self.mesh
@@ -384,6 +420,13 @@ class Trainer:
         from nerf_keras_tpu.ops.encoding import encode_position
         from nerf_keras_tpu.ops.proposal import distill_proposal
 
+        if self._online_proposal:
+            raise ValueError(
+                "TRAIN_SAMPLER='proposal' checkpoints already carry their "
+                "proposal net in the train state — every render uses it; "
+                "post-training distillation is only for coarse-trained "
+                "models"
+            )
         if self.cfg.batch_norm:
             raise ValueError(
                 "the proposal sampler has no BatchNorm variant; use the "
@@ -451,9 +494,17 @@ class Trainer:
         return self._qparams is not None
 
     @property
+    def online_proposal(self) -> bool:
+        """True for TRAIN_SAMPLER='proposal' models: the proposal net
+        lives in the train state and every render path uses it."""
+        return self._online_proposal
+
+    @property
     def proposal_ready(self) -> bool:
-        """True if a proposal net is distilled from the CURRENT weights."""
-        return self._pparams is not None
+        """True if proposal-sampled rendering is available: always for
+        proposal-TRAINED models (the net lives in the train state), else
+        once a net is distilled from the CURRENT weights."""
+        return self._online_proposal or self._pparams is not None
 
     def infer_digest(self) -> str:
         """Digest of the weights + the config fields the derived
@@ -596,7 +647,31 @@ class Trainer:
             raise ValueError(
                 f"sampler must be 'coarse' or 'proposal', got {sampler!r}"
             )
-        if sampler == "proposal":
+        if self._online_proposal:
+            # Proposal-trained model: EVERY render places samples with the
+            # in-state proposal net — the default path already is the
+            # proposal render, so sampler='proposal' is a no-op alias and
+            # coarse outputs don't exist.
+            if full:
+                raise ValueError(
+                    "full=True is unavailable for TRAIN_SAMPLER='proposal' "
+                    "checkpoints (no coarse pass; fine rgb/depth only)"
+                )
+            if keys is not None and any(k.endswith("_coarse") for k in keys):
+                raise ValueError(
+                    "TRAIN_SAMPLER='proposal' checkpoints have no coarse "
+                    "outputs"
+                )
+            if quant:
+                if self._render_q is None:
+                    raise RuntimeError(
+                        "call quantize_for_inference(...) before rendering "
+                        "with quant=True"
+                    )
+                render_fn = self._render_q
+            else:
+                render_fn = self._render
+        elif sampler == "proposal":
             if full:
                 raise ValueError(
                     "sampler='proposal' renders rgb/depth fine only (there "
@@ -750,9 +825,10 @@ class Trainer:
         proposal net (requires :meth:`build_proposal_sampler`; no coarse
         outputs — composes with ``quant``).
         """
-        if sampler == "proposal" and include_coarse:
+        if include_coarse and (sampler == "proposal" or self._online_proposal):
             raise ValueError(
-                "sampler='proposal' has no coarse outputs"
+                "no coarse outputs: the proposal sampler replaces the "
+                "coarse pass"
             )
         origins, dirs = self.pose_rays(pose, height, width, focal)
 

@@ -124,6 +124,57 @@ def proposal_weights(
     return weights
 
 
+def binned_fine_weights(
+    t_all: jnp.ndarray, w_fine: jnp.ndarray, t_vals: jnp.ndarray
+) -> jnp.ndarray:
+    """Aggregate fine-pass compositing weights into the coarse sample bins.
+
+    ``t_vals (..., J)`` are the proposal-level sample positions (ascending);
+    bin ``j`` covers ``[t_vals[j], t_vals[j+1])``, the last bin extends to
+    infinity — matching ops/volume.py's interval semantics (delta_j =
+    t_{j+1} - t_j, terminal 1e10).  Each fine sample at ``t_all (..., S)``
+    contributes its weight ``w_fine`` to the bin containing it; fine
+    samples at exactly a bin edge (the union re-uses t_vals verbatim)
+    land in that bin.
+
+    TPU-first formulation: exact 0/1 membership from two broadcast
+    compares, contracted on the MXU (``precision=HIGHEST`` — TPU would
+    otherwise bf16-truncate the f32 weights; CLAUDE.md trap) instead of a
+    searchsorted/segment_sum gather chain.
+
+    Returns ``(..., J)`` binned weights (sums to ``sum(w_fine)`` per ray).
+    """
+    ge = (t_all[..., :, None] >= t_vals[..., None, :]).astype(jnp.float32)
+    member = ge - jnp.concatenate(
+        [ge[..., 1:], jnp.zeros_like(ge[..., :1])], axis=-1
+    )
+    return jnp.einsum(
+        "...sj,...s->...j", member, w_fine,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def interlevel_loss(
+    w_prop: jnp.ndarray, w_target: jnp.ndarray, eps: float = 1e-3
+) -> jnp.ndarray:
+    """One-sided histogram distillation loss (Mip-NeRF 360 eq. 13 shape,
+    https://arxiv.org/pdf/2111.12077 — reshaped to our aligned-bin case).
+
+    Penalizes the proposal only where it UNDER-covers the (detached) fine
+    mass: excess proposal mass merely wastes a few fine samples on empty
+    space, but missing mass starves the surface of them — the same
+    asymmetry :func:`distill_proposal` applies offline.  The ``1/(w_prop
+    + eps)`` weighting makes under-coverage of near-empty proposal bins
+    expensive relative to slight under-coverage of already-heavy ones.
+
+    Both inputs are per-ray bin histograms over the SAME partition
+    (``w_target`` from :func:`binned_fine_weights`); callers detach
+    ``w_target``.  Returns a scalar (sum over bins, mean over rays).
+    """
+    excess = jnp.maximum(w_target - w_prop, 0.0)
+    return jnp.mean(jnp.sum(excess * excess / (w_prop + eps), axis=-1))
+
+
 def distill_proposal(
     key: jax.Array,
     sigma_fn: Callable[[jnp.ndarray], jnp.ndarray],

@@ -391,9 +391,50 @@ def calibrate_render(
     return {"coarse": stats_c, "fine": stats_f}
 
 
+def calibrate_render_proposal(
+    params: dict,
+    cfg,
+    near: float,
+    far: float,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+) -> dict:
+    """Calibration stats for a PROPOSAL-trained model (train_sampler=
+    'proposal'): there is no coarse MLP — fine activations are calibrated
+    at the t-union the float proposal net places, mirroring the online
+    render pipeline (engine/step.py make_render_fn proposal branch).
+    The proposal net itself stays float: its ~60x-smaller matmuls are not
+    worth quantizing.  Returns ``{'fine': stats}``.
+    """
+    from nerf_keras_tpu.ops.proposal import proposal_weights
+
+    origins = jnp.asarray(origins, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    t_vals = generate_t_vals(
+        None, near, far, origins.shape[:-1], cfg.ns_coarse, "center"
+    )
+    w = proposal_weights(
+        params["proposal"], origins, directions, t_vals, cfg.prop_l_xyz
+    )
+    t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+    t_fine = sample_pdf(None, t_mid, w, cfg.ns_fine, deterministic=True)
+    t_all = sorted_union(t_vals, t_fine)
+
+    points_f, dirs_f = sample_rays(origins, directions, t_all)
+    xf_enc = encode_position(points_f, cfg.l_xyz)
+    df_enc = encode_position(dirs_f, cfg.l_dir)
+    return {
+        "fine": mlp_calibration_absmax(
+            params["fine"], xf_enc, df_enc, cfg.skip_layer
+        )
+    }
+
+
 def quantize_render_params(params: dict, stats: dict, skip_layer: int = 4) -> dict:
-    """Quantize the coarse+fine pair from :func:`calibrate_render` stats."""
+    """Quantize the models present in the :func:`calibrate_render` /
+    :func:`calibrate_render_proposal` stats (coarse+fine, or fine only
+    for proposal-trained checkpoints)."""
     return {
         name: quantize_mlp(params[name], stats[name], skip_layer)
-        for name in ("coarse", "fine")
+        for name in stats
     }

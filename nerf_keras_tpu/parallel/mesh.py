@@ -70,7 +70,8 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def nerf_param_shardings(mesh: Mesh, params: Any) -> Any:
-    """PartitionSpec pytree for a {'coarse': ..., 'fine': ...} param tree.
+    """PartitionSpec pytree for a {'coarse': ..., 'fine': ...} param tree
+    (or {'proposal': ..., 'fine': ...} when train_sampler='proposal').
 
     With ``model == 1`` everything is replicated.  With ``model > 1`` the
     trunk alternates column-/row-parallel; heads follow the trunk's final
@@ -93,6 +94,12 @@ def nerf_param_shardings(mesh: Mesh, params: Any) -> Any:
         return P(MODEL_AXIS, None) if tp > 1 and w.shape[0] % tp == 0 else P()
 
     def one_mlp(mlp: dict) -> dict:
+        if "layers" in mlp:
+            # Tiny proposal net (ops/proposal.py; train_sampler='proposal'):
+            # ~30 KB of params — replicate everywhere, its matmuls are
+            # negligible and replication avoids any collective in the
+            # sampling chain.
+            return jax.tree_util.tree_map(lambda _: P(), mlp)
         out: dict = {"trunk": []}
         for i, layer in enumerate(mlp["trunk"]):
             # Megatron-style alternation: even layers column-split (sharded

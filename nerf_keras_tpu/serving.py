@@ -85,7 +85,12 @@ class RenderService:
         if quant:
             self.use_quant = self._setup_quant(quant_gate_db)
         self.use_sampler = "coarse"
-        if sampler == "proposal":
+        if sampler == "proposal" and self.trainer.online_proposal:
+            # TRAIN_SAMPLER='proposal' checkpoint: every render already
+            # uses the in-state proposal net; nothing to distill or gate.
+            print("[nerf-tpu] proposal-trained checkpoint: renders "
+                  "already use the in-state proposal net")
+        elif sampler == "proposal":
             self.use_sampler = self._setup_proposal(
                 sampler_gate_db, proposal_steps
             )

@@ -1,0 +1,231 @@
+"""Online proposal-sampler TRAINING tests (TRAIN_SAMPLER='proposal').
+
+Beyond-reference mode (config docstring): the tiny proposal net replaces
+the 8x256 coarse MLP inside the train step and is optimized jointly by
+distilling the fine pass's compositing-weight histogram (Mip-NeRF-360-
+style interlevel loss, ops/proposal.py).  Runs on the virtual 8-device
+CPU mesh — trainer-level cases exercise the sharded {'proposal','fine'}
+param tree end-to-end.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_keras_tpu.config import NeRFConfig, config_from_dict, to_reference_json
+from nerf_keras_tpu.ops.proposal import binned_fine_weights, interlevel_loss
+
+
+def _tiny_cfg(**over):
+    kw = dict(
+        batch_size=64, ns_coarse=8, ns_fine=8, height=8, width=8,
+        l_xyz=4, l_dir=2, num_layers=4, hidden_dim=32, skip_layer=4,
+        compute_dtype="float32", train_sampler="proposal",
+        prop_l_xyz=2, prop_hidden=16, prop_depth=2,
+    )
+    kw.update(over)
+    return NeRFConfig(**kw).validate()
+
+
+def _tiny_trainer(**over):
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    cfg = _tiny_cfg(**over)
+    return Trainer(cfg, 2.0, 6.0), cfg
+
+
+def _batch(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.uniform(size=(n, 3)).astype(np.float32)
+    o = np.tile(np.array([0, 0, 4.0], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return imgs, o, d
+
+
+# ---------------------------------------------------------------- ops
+
+
+def test_binned_fine_weights_matches_numpy(rng):
+    """One-hot-einsum binning == a numpy searchsorted re-derivation."""
+    B, J, S = 5, 6, 13
+    t_vals = np.sort(rng.uniform(2.0, 6.0, (B, J)), axis=-1).astype(np.float32)
+    t_extra = rng.uniform(2.0, 6.0, (B, S - J)).astype(np.float32)
+    # The union contains the bin edges themselves (as sorted_union yields).
+    t_all = np.sort(np.concatenate([t_vals, t_extra], -1), -1).astype(np.float32)
+    w = rng.uniform(0.0, 0.2, (B, S)).astype(np.float32)
+
+    got = np.asarray(binned_fine_weights(
+        jnp.asarray(t_all), jnp.asarray(w), jnp.asarray(t_vals)
+    ))
+
+    want = np.zeros((B, J), np.float32)
+    for b in range(B):
+        # bin j covers [t_vals[j], t_vals[j+1]); last bin extends to inf
+        idx = np.searchsorted(t_vals[b], t_all[b], side="right") - 1
+        for s in range(S):
+            if idx[s] >= 0:
+                want[b, idx[s]] += w[b, s]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # mass below the first edge is dropped, everything else conserved
+    kept = t_all >= t_vals[:, :1]
+    np.testing.assert_allclose(
+        got.sum(-1), (w * kept).sum(-1), atol=1e-6
+    )
+
+
+def test_interlevel_loss_one_sided():
+    """Zero when the proposal covers the target; positive when it
+    under-covers; over-coverage alone is free."""
+    target = jnp.array([[0.1, 0.5, 0.1]])
+    covered = jnp.array([[0.2, 0.6, 0.2]])
+    assert float(interlevel_loss(covered, target)) == 0.0
+    under = jnp.array([[0.2, 0.1, 0.2]])
+    assert float(interlevel_loss(under, target)) > 0.0
+    # gradient pulls the under-covering bin UP and leaves covered bins alone
+    g = jax.grad(lambda w: interlevel_loss(w, target))(under)
+    assert float(g[0, 1]) < 0.0
+    assert float(g[0, 0]) == 0.0 and float(g[0, 2]) == 0.0
+
+
+# ------------------------------------------------------------- config
+
+
+def test_config_validation_and_roundtrip():
+    with pytest.raises(ValueError, match="STOP_PDF_GRADIENT"):
+        _tiny_cfg(stop_pdf_gradient=False)
+    with pytest.raises(ValueError, match="BatchNorm"):
+        _tiny_cfg(batch_norm=True)
+    with pytest.raises(ValueError, match="NS_FINE"):
+        _tiny_cfg(ns_fine=0)
+    with pytest.raises(ValueError, match="train_sampler"):
+        _tiny_cfg(train_sampler="grid")
+    with pytest.raises(ValueError, match="PROP_DEPTH"):
+        _tiny_cfg(prop_depth=1)
+
+    cfg = _tiny_cfg()
+    raw = to_reference_json(cfg)
+    assert raw["TRAIN_SAMPLER"] == "proposal"
+    assert config_from_dict(raw) == cfg
+
+
+# ------------------------------------------------------------ training
+
+
+def test_online_train_step_learns():
+    """Both losses decrease and BOTH param subtrees receive updates."""
+    trainer, _ = _tiny_trainer()
+    assert set(trainer.state.params) == {"proposal", "fine"}
+    batch = trainer.put_batch(_batch())
+    p0 = jax.device_get(trainer.state.params)
+
+    m0 = trainer.train_step(batch)
+    for _ in range(15):
+        m = trainer.train_step(batch)
+
+    assert float(m["loss"]) < float(m0["loss"])
+    assert float(m["loss_coarse"]) < float(m0["loss_coarse"])  # distill loss
+    p1 = jax.device_get(trainer.state.params)
+    for name in ("proposal", "fine"):
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), p0[name], p1[name]
+        )
+        assert max(jax.tree_util.tree_leaves(moved)) > 0.0, name
+
+
+def test_online_eval_and_render():
+    trainer, cfg = _tiny_trainer()
+    imgs, o, d = _batch()
+    trainer.train_step(trainer.put_batch((imgs, o, d)))
+
+    ev = trainer.eval_step(trainer.put_global_batch((imgs, o, d)))
+    assert set(ev) == {"loss", "loss_coarse", "psnr"}
+    assert all(np.isfinite(float(v)) for v in ev.values())
+
+    out = trainer.render_rays(o, d, chunk=64)
+    assert sorted(out) == ["depth_fine", "rgb_fine"]
+    assert np.isfinite(out["rgb_fine"]).all()
+    # sampler='proposal' is an alias for the (already-proposal) default
+    alias = trainer.render_rays(o, d, chunk=64, sampler="proposal")
+    np.testing.assert_allclose(alias["rgb_fine"], out["rgb_fine"])
+
+    with pytest.raises(ValueError, match="no coarse pass"):
+        trainer.render_rays(o, d, chunk=64, full=True)
+    with pytest.raises(ValueError, match="no coarse"):
+        trainer.render_rays(o, d, chunk=64, keys=("rgb_coarse",))
+    with pytest.raises(ValueError, match="proposal net in the train state"):
+        trainer.build_proposal_sampler(o, d)
+
+
+def test_online_checkpoint_roundtrip(tmp_path):
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.utils.checkpoint import save_checkpoint
+
+    trainer, cfg = _tiny_trainer()
+    imgs, o, d = _batch()
+    for _ in range(3):
+        trainer.train_step(trainer.put_batch((imgs, o, d)))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, trainer.state, cfg,
+                    scene={"near": 2.0, "far": 6.0, "focal": 10.0, "ndc": False})
+
+    restored = Trainer(cfg, 2.0, 6.0).restore(path)
+    np.testing.assert_allclose(
+        trainer.render_rays(o, d, chunk=64)["rgb_fine"],
+        restored.render_rays(o, d, chunk=64)["rgb_fine"],
+    )
+    # training continues bit-identically from the restored optimizer state
+    m_a = trainer.train_step(trainer.put_batch((imgs, o, d)))
+    m_b = restored.train_step(restored.put_batch((imgs, o, d)))
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), abs=1e-7)
+
+
+def test_online_quant_render():
+    """int8 fine pass under the in-state proposal sampler."""
+    trainer, cfg = _tiny_trainer()
+    imgs, o, d = _batch()
+    for _ in range(5):
+        trainer.train_step(trainer.put_batch((imgs, o, d)))
+
+    with pytest.raises(RuntimeError, match="quantize_for_inference"):
+        trainer.render_rays(o, d, chunk=64, quant=True)
+    trainer.quantize_for_inference(o, d)
+    assert set(trainer._qparams) == {"fine"}  # proposal net stays float
+    q = trainer.render_rays(o, d, chunk=64, quant=True)
+    f = trainer.render_rays(o, d, chunk=64)
+    err = np.sqrt(np.mean((q["rgb_fine"] - f["rgb_fine"]) ** 2))
+    assert err < 0.05
+    # weight-derived state invalidates on weight change, as for coarse mode
+    trainer.train_step(trainer.put_batch((imgs, o, d)))
+    with pytest.raises(RuntimeError, match="quantize_for_inference"):
+        trainer.render_rays(o, d, chunk=64, quant=True)
+
+
+def test_online_pallas_interpret_matches_xla():
+    """The proposal-mode train step must agree between the XLA fine pass
+    and the Pallas (interpret on CPU) megakernel fine pass."""
+    tr_x, cfg = _tiny_trainer(use_pallas=False, sampling_mode="center")
+    tr_p, _ = _tiny_trainer(use_pallas=True, sampling_mode="center")
+    # Host round-trip: device_put of an already-matching sharding ALIASES
+    # the buffers, and tr_x's donated train_step would delete tr_p's state.
+    tr_p.state = jax.device_put(
+        jax.device_get(tr_x.state), tr_p._state_shardings
+    )
+
+    batch = _batch()
+    key = jax.random.PRNGKey(3)
+    m_x = tr_x.train_step(tr_x.put_batch(batch), key)
+    m_p = tr_p.train_step(tr_p.put_batch(batch), key)
+    assert float(m_x["loss"]) == pytest.approx(float(m_p["loss"]), rel=1e-4)
+    assert float(m_x["loss_coarse"]) == pytest.approx(
+        float(m_p["loss_coarse"]), rel=1e-3, abs=1e-5
+    )
+
+
+def test_proposal_ready_property():
+    trainer, _ = _tiny_trainer()
+    assert trainer.proposal_ready  # in-state net, no distillation needed
