@@ -33,7 +33,7 @@ import time
 
 def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
               full: bool, platform: str | None = None,
-              degraded: bool = False) -> dict:
+              degraded: bool = False, train_sampler: str = "coarse") -> dict:
     if platform:
         import jax
 
@@ -56,6 +56,7 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         hidden_dim=256,
         compute_dtype="bfloat16",
         use_pallas=use_pallas,
+        train_sampler=train_sampler,
     ).validate()
 
     n_dev = jax.device_count()
@@ -136,6 +137,13 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         "vs_baseline": round(rays_per_sec_per_chip / 1e6, 4),
         "backend": jax.default_backend(),
     }
+    if train_sampler != "coarse":
+        # machine-detectable marker: a different TRAINING ALGORITHM than
+        # the reference-parity coarse+fine step the official series
+        # (BENCH_r*.json) measures — 1.24x faster at matched quality
+        # (docs/PERF.md round-3 online proposal section), but not
+        # comparable row-to-row with the parity numbers.
+        result["train_sampler"] = train_sampler
     if degraded:
         # machine-detectable marker: this is a reduced-workload fallback
         # number from a degraded environment, NOT the flagship TPU series
@@ -161,6 +169,13 @@ def main() -> None:
                    help="seconds allowed for the guarded pallas run")
     p.add_argument("--platform", type=str, default=None,
                    help="pin a JAX platform (e.g. 'cpu') before backend init")
+    p.add_argument("--train-sampler", choices=["coarse", "proposal"],
+                   default="coarse",
+                   help="'proposal': bench the online proposal-sampler "
+                        "train step (no coarse MLP; 1.24x, docs/PERF.md) "
+                        "instead of the reference-parity coarse+fine step. "
+                        "The JSON line is marked train_sampler=proposal — "
+                        "the official series stays on the parity step")
     p.add_argument("--_child", choices=["pallas", "xla"], default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("--_degraded", action="store_true", help=argparse.SUPPRESS)
@@ -173,7 +188,8 @@ def main() -> None:
         mode = args._child or args.kernel
         result = run_bench(mode == "pallas", args.steps, args.warmup,
                            args.batch_size, args.full, platform=args.platform,
-                           degraded=args._degraded)
+                           degraded=args._degraded,
+                           train_sampler=args.train_sampler)
         print(json.dumps(result))
         return
 
@@ -197,6 +213,8 @@ def main() -> None:
             str(batch_size if batch_size is not None else args.batch_size),
         ] + (["--full"] if full else []) \
           + (["--platform", platform] if platform else []) \
+          + (["--train-sampler", args.train_sampler]
+             if args.train_sampler != "coarse" else []) \
           + (["--_degraded"] if degraded else [])
         try:
             proc = subprocess.run(

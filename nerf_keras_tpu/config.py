@@ -86,6 +86,11 @@ class NeRFConfig:
     prop_hidden: int = 64  # proposal net hidden width
     prop_depth: int = 3  # proposal net dense-layer count
     prop_loss_mult: float = 1.0  # weight of the online distillation loss
+    prop_explore: float = 0.03  # uniform fraction mixed into the TRAINING
+    #         CDF draw (never the loss, never eval/render): keeps fine
+    #         samples flowing everywhere while the proposal sharpens —
+    #         without it a flagship run showed a transient collapse
+    #         (docs/PERF.md online-proposal section).  0 disables.
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
@@ -164,6 +169,11 @@ class NeRFConfig:
                     "TRAIN_SAMPLER='proposal' places fine samples; "
                     "NS_FINE must be positive"
                 )
+            if not 0.0 <= self.prop_explore < 1.0:
+                raise ValueError(
+                    "PROP_EXPLORE is the uniform fraction of the training "
+                    f"draw; need 0 <= e < 1, got {self.prop_explore}"
+                )
             if min(self.prop_l_xyz, self.prop_hidden) < 1 or self.prop_depth < 2:
                 raise ValueError(
                     "proposal net needs PROP_L_XYZ/PROP_HIDDEN >= 1 and "
@@ -206,6 +216,7 @@ _KEY_MAP = {
     "PROP_HIDDEN": "prop_hidden",
     "PROP_DEPTH": "prop_depth",
     "PROP_LOSS_MULT": "prop_loss_mult",
+    "PROP_EXPLORE": "prop_explore",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",
     "SEED": "seed",

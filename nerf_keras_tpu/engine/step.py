@@ -578,9 +578,23 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             # requires stop_pdf_gradient in this mode): the proposal
             # learns from its distillation loss below, never through the
             # clamped inverse-CDF interpolation.
+            w_draw = jax.lax.stop_gradient(w_prop)
+            if cfg.prop_explore > 0.0:
+                # Exploration floor (TRAINING draw only): mix a uniform
+                # fraction into the draw distribution so a momentarily
+                # collapsed proposal can't starve whole regions of fine
+                # samples — without it a 40-epoch flagship run showed a
+                # transient loss blowup once the proposal sharpened
+                # (docs/PERF.md online-proposal section).  The LOSS still
+                # sees the raw w_prop: exploration must not teach the
+                # proposal to hedge.
+                e = cfg.prop_explore
+                w_draw = (1.0 - e) * w_draw + e * jnp.mean(
+                    w_draw, axis=-1, keepdims=True
+                )
             t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
             t_fine = sample_pdf(
-                key_pdf, t_mid, jax.lax.stop_gradient(w_prop), cfg.ns_fine,
+                key_pdf, t_mid, w_draw, cfg.ns_fine,
                 deterministic=key_pdf is None,
             )
             t_all = sorted_union(t_vals, t_fine)

@@ -106,6 +106,10 @@ def test_config_validation_and_roundtrip():
         _tiny_cfg(train_sampler="grid")
     with pytest.raises(ValueError, match="PROP_DEPTH"):
         _tiny_cfg(prop_depth=1)
+    with pytest.raises(ValueError, match="PROP_EXPLORE"):
+        _tiny_cfg(prop_explore=1.0)
+    with pytest.raises(ValueError, match="PROP_EXPLORE"):
+        _tiny_cfg(prop_explore=-0.1)
 
     cfg = _tiny_cfg()
     raw = to_reference_json(cfg)
@@ -224,6 +228,46 @@ def test_online_pallas_interpret_matches_xla():
     assert float(m_x["loss_coarse"]) == pytest.approx(
         float(m_p["loss_coarse"]), rel=1e-3, abs=1e-5
     )
+
+
+def test_explore_floor_training_only():
+    """PROP_EXPLORE perturbs the TRAINING draw (different fine-sample
+    placement -> different loss) but never eval/render."""
+    imgs, o, d = _batch()
+    key = jax.random.PRNGKey(5)
+    losses, renders = [], []
+    for e in (0.0, 0.5):
+        tr, _ = _tiny_trainer(prop_explore=e)
+        m = tr.train_step(tr.put_batch((imgs, o, d)), key)
+        losses.append(float(m["loss"]))
+        # re-init to identical params for the render comparison
+        tr2, _ = _tiny_trainer(prop_explore=e)
+        renders.append(tr2.render_rays(o, d, chunk=64)["rgb_fine"])
+    assert losses[0] != losses[1]
+    np.testing.assert_allclose(renders[0], renders[1], atol=0)
+
+
+def test_online_training_ndc_config():
+    """Online proposal training in NDC space: the proposal net sees the
+    SAME (NDC) rays and t in [0, 1] as the fine model — training must
+    learn and renders stay finite (mirrors the offline sampler's NDC
+    test, tests/test_proposal.py)."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    trainer = Trainer(_tiny_cfg(ndc=True), 0.0, 1.0)  # NDC depth domain
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    o, d = trainer.pose_rays(pose, 8, 8, 12.0)
+    np.testing.assert_allclose(np.asarray(o)[:, 2], -1.0, atol=1e-6)
+    imgs = np.random.default_rng(0).uniform(size=(64, 3)).astype(np.float32)
+
+    m0 = trainer.train_step(trainer.put_batch((imgs, o, d)))
+    for _ in range(10):
+        m = trainer.train_step(trainer.put_batch((imgs, o, d)))
+    assert float(m["loss"]) < float(m0["loss"])
+    out = trainer.render_rays(o, d, chunk=64)
+    assert np.isfinite(out["rgb_fine"]).all()
 
 
 def test_proposal_ready_property():
