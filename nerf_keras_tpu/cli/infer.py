@@ -226,7 +226,12 @@ def run_inference(argv: list[str] | None = None) -> str:
 
         if nio.exists(ckpt + ".config.json"):
             side = load_checkpoint_config(ckpt)
-            arch = ("train_sampler", "prop_l_xyz", "prop_hidden", "prop_depth")
+            # prop_union rides along: it fixes the RENDER sample layout a
+            # proposal-trained checkpoint was validated at (no state-tree
+            # impact, but a union render of a union-free-trained model
+            # would silently change the serving cost/quality point).
+            arch = ("train_sampler", "prop_l_xyz", "prop_hidden",
+                    "prop_depth", "prop_union")
             if any(getattr(side, f) != getattr(cfg, f) for f in arch):
                 import dataclasses
 

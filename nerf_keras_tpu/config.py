@@ -91,6 +91,13 @@ class NeRFConfig:
     #         samples flowing everywhere while the proposal sharpens —
     #         without it a flagship run showed a transient collapse
     #         (docs/PERF.md online-proposal section).  0 disables.
+    prop_union: bool = True  # True: the fine pass evaluates the union of
+    #         the NS_COARSE bin centers and the NS_FINE placed samples —
+    #         the parity path's (NS_COARSE + NS_FINE) sample layout.
+    #         False (Mip-NeRF-360 style): the fine net sees ONLY the
+    #         NS_FINE proposal-placed samples (~33% fewer fine-pass
+    #         FLOPs at flagship counts); PROP_EXPLORE keeps coverage.
+    #         Only meaningful with TRAIN_SAMPLER='proposal'.
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
@@ -146,6 +153,11 @@ class NeRFConfig:
             raise ValueError(
                 "use_pallas=True shards rays over 'data' only; tensor "
                 "parallelism (MESH_MODEL > 1) requires the jnp MLP path"
+            )
+        if not self.prop_union and self.train_sampler != "proposal":
+            raise ValueError(
+                "PROP_UNION=false only applies to TRAIN_SAMPLER='proposal' "
+                "(the parity path always unions coarse and fine samples)"
             )
         if self.train_sampler not in ("coarse", "proposal"):
             raise ValueError(
@@ -217,6 +229,7 @@ _KEY_MAP = {
     "PROP_DEPTH": "prop_depth",
     "PROP_LOSS_MULT": "prop_loss_mult",
     "PROP_EXPLORE": "prop_explore",
+    "PROP_UNION": "prop_union",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",
     "SEED": "seed",

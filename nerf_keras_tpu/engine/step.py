@@ -451,6 +451,7 @@ def make_proposal_render_fn(
     mesh=None,
     quant: bool = False,
     prop_l_xyz: int = 4,
+    union: bool = True,
 ) -> Callable:
     """Build the proposal-sampled render for a flat ray batch
     (beyond-reference; design rationale in ops/proposal.py).
@@ -466,7 +467,10 @@ def make_proposal_render_fn(
     Sample layout matches the parity path exactly: ``ns_fine`` inverse-
     CDF draws from the proposal weights at the ``ns_coarse`` centered
     t-values, unioned with those t-values — the fine kernel sees the
-    same (B, ns_coarse + ns_fine) shape either way.
+    same (B, ns_coarse + ns_fine) shape either way.  With ``union=False``
+    (online ``PROP_UNION=false`` configs) the fine kernel sees ONLY the
+    ``ns_fine`` placed samples — Mip-NeRF-360 layout, ~33% fewer
+    fine-pass FLOPs at flagship counts.
     """
     from nerf_keras_tpu.ops.proposal import proposal_weights
 
@@ -480,7 +484,10 @@ def make_proposal_render_fn(
 
         t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
         t_fine = sample_pdf(None, t_mid, w, cfg.ns_fine, deterministic=True)
-        t_all = sorted_union(t_vals, t_fine)
+        if union:
+            t_all = sorted_union(t_vals, t_fine)
+        else:
+            t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
 
         rgb_fine, w_fine = fine_pass(fine_params, origins, dirs, t_all)
         depth_fine = jnp.sum(w_fine * t_all, axis=-1)
@@ -597,7 +604,13 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
                 key_pdf, t_mid, w_draw, cfg.ns_fine,
                 deterministic=key_pdf is None,
             )
-            t_all = sorted_union(t_vals, t_fine)
+            if cfg.prop_union:
+                t_all = sorted_union(t_vals, t_fine)
+            else:
+                # Mip-NeRF-360 layout: the fine net sees ONLY the placed
+                # samples (the draws are monotone in u but u is random in
+                # training — sort for the compositing deltas).
+                t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
 
             rgb_fine, w_fine = fine_pass(params["fine"], origins, dirs, t_all)
             loss_fine = mse(images, rgb_fine)
@@ -607,6 +620,23 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             target = binned_fine_weights(
                 t_all, jax.lax.stop_gradient(w_fine), t_vals
             )
+            if not cfg.prop_union:
+                # Union-free target is a HIGH-VARIANCE estimate: bins get
+                # mass only where samples landed, and an isolated
+                # exploration sample carries a huge compositing delta —
+                # measured as 1-2 dB val loss and transient collapses
+                # (docs/PERF.md).  A [1/4, 1/2, 1/4] dilation along the
+                # bins (Mip-NeRF 360's histogram blur) spreads each
+                # sample's mass to its neighbours, cutting the spike
+                # variance while preserving total mass (edge bins keep
+                # their outward quarter).
+                left = jnp.concatenate(
+                    [target[..., :1], target[..., :-1]], axis=-1
+                )
+                right = jnp.concatenate(
+                    [target[..., 1:], target[..., -1:]], axis=-1
+                )
+                target = 0.25 * left + 0.5 * target + 0.25 * right
             loss_prop = interlevel_loss(w_prop, target)
             loss = loss_fine + cfg.prop_loss_mult * loss_prop
             # loss_prop rides the 'loss_coarse' metric slot: there is no
@@ -690,7 +720,10 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
             t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
             t_fine = sample_pdf(None, t_mid, w_prop, cfg.ns_fine,
                                 deterministic=True)
-            t_all = sorted_union(t_vals, t_fine)
+            if cfg.prop_union:
+                t_all = sorted_union(t_vals, t_fine)
+            else:
+                t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
             rgb_fine, w_fine = fine_pass(
                 state.params["fine"], origins, dirs, t_all
             )
@@ -772,7 +805,8 @@ def make_render_fn(
                 "render emits rgb/depth fine only"
             )
         inner = make_proposal_render_fn(
-            cfg, near, far, mesh=mesh, prop_l_xyz=cfg.prop_l_xyz
+            cfg, near, far, mesh=mesh, prop_l_xyz=cfg.prop_l_xyz,
+            union=cfg.prop_union,
         )
 
         def render_proposal(state: TrainState, origins, dirs):

@@ -361,6 +361,7 @@ class Trainer:
                 make_proposal_render_fn(
                     self._fwd_cfg, self.near, self.far, mesh=self.mesh,
                     quant=True, prop_l_xyz=self.cfg.prop_l_xyz,
+                    union=self.cfg.prop_union,
                 ),
                 in_shardings=(
                     self._state_shardings.params["proposal"], self._repl,

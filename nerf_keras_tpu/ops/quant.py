@@ -418,7 +418,10 @@ def calibrate_render_proposal(
     )
     t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
     t_fine = sample_pdf(None, t_mid, w, cfg.ns_fine, deterministic=True)
-    t_all = sorted_union(t_vals, t_fine)
+    if cfg.prop_union:
+        t_all = sorted_union(t_vals, t_fine)
+    else:  # PROP_UNION=false: calibrate at the fine-only sample layout
+        t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
 
     points_f, dirs_f = sample_rays(origins, directions, t_all)
     xf_enc = encode_position(points_f, cfg.l_xyz)

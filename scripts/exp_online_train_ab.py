@@ -51,6 +51,9 @@ def main() -> None:
     )
     cfg_c = NeRFConfig(**flagship).validate()
     cfg_p = NeRFConfig(train_sampler="proposal", **flagship).validate()
+    cfg_u = NeRFConfig(
+        train_sampler="proposal", prop_union=False, **flagship
+    ).validate()
     near, far = 2.0, 6.0
 
     rng = np.random.default_rng(0)
@@ -61,7 +64,8 @@ def main() -> None:
     batch = tuple(jax.device_put(x) for x in (images, origins, dirs))
 
     variants = []
-    for tag, cfg in (("coarse ", cfg_c), ("proposal", cfg_p)):
+    for tag, cfg in (("coarse  ", cfg_c), ("proposal", cfg_p),
+                     ("no-union", cfg_u)):
         state = jax.device_put(init_train_state(jax.random.PRNGKey(0), cfg))
         step = jax.jit(make_train_step(cfg, near, far))
         variants.append((tag, step, state))
@@ -87,14 +91,18 @@ def main() -> None:
             print(f"round {r} [{tag}] {ms:8.2f} ms "
                   f"({b / ms:6.1f} Krays/s)", flush=True)
 
-    ms_c, ms_p = best["coarse "], best["proposal"]
+    ms_c, ms_p = best["coarse  "], best["proposal"]
+    ms_u = best["no-union"]
     result = {
         "batch": b,
         "coarse_ms": round(ms_c, 2),
         "proposal_ms": round(ms_p, 2),
+        "proposal_nounion_ms": round(ms_u, 2),
         "coarse_krays": round(b / ms_c, 1),
         "proposal_krays": round(b / ms_p, 1),
+        "proposal_nounion_krays": round(b / ms_u, 1),
         "speedup": round(ms_c / ms_p, 3),
+        "speedup_nounion": round(ms_c / ms_u, 3),
         "backend": jax.default_backend(),
         "rounds": args.rounds,
         "note": "best-of-rounds, interleaved same-process",

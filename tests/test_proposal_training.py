@@ -110,6 +110,8 @@ def test_config_validation_and_roundtrip():
         _tiny_cfg(prop_explore=1.0)
     with pytest.raises(ValueError, match="PROP_EXPLORE"):
         _tiny_cfg(prop_explore=-0.1)
+    with pytest.raises(ValueError, match="PROP_UNION"):
+        NeRFConfig(prop_union=False).validate()  # needs proposal mode
 
     cfg = _tiny_cfg()
     raw = to_reference_json(cfg)
@@ -228,6 +230,48 @@ def test_online_pallas_interpret_matches_xla():
     assert float(m_x["loss_coarse"]) == pytest.approx(
         float(m_p["loss_coarse"]), rel=1e-3, abs=1e-5
     )
+
+
+def test_union_free_train_eval_render_quant():
+    """PROP_UNION=false: the fine pass sees only the NS_FINE placed
+    samples (Mip-NeRF-360 layout) — training learns, eval is finite,
+    renders are finite, and the int8 path composes."""
+    trainer, cfg = _tiny_trainer(prop_union=False)
+    imgs, o, d = _batch()
+    m0 = trainer.train_step(trainer.put_batch((imgs, o, d)))
+    for _ in range(15):
+        m = trainer.train_step(trainer.put_batch((imgs, o, d)))
+    assert float(m["loss"]) < float(m0["loss"])
+
+    ev = trainer.eval_step(trainer.put_global_batch((imgs, o, d)))
+    assert all(np.isfinite(float(v)) for v in ev.values())
+
+    out = trainer.render_rays(o, d, chunk=64)
+    assert np.isfinite(out["rgb_fine"]).all()
+    # depth must be ordered sanely (sorted t_all; no union edges)
+    assert (np.asarray(out["depth_fine"]) >= 0).all()
+
+    trainer.quantize_for_inference(o, d)
+    q = trainer.render_rays(o, d, chunk=64, quant=True)
+    err = np.sqrt(np.mean((q["rgb_fine"] - out["rgb_fine"]) ** 2))
+    assert err < 0.05
+
+
+def test_union_free_pallas_interpret_matches_xla():
+    tr_x, cfg = _tiny_trainer(
+        use_pallas=False, sampling_mode="center", prop_union=False
+    )
+    tr_p, _ = _tiny_trainer(
+        use_pallas=True, sampling_mode="center", prop_union=False
+    )
+    tr_p.state = jax.device_put(
+        jax.device_get(tr_x.state), tr_p._state_shardings
+    )
+    batch = _batch()
+    key = jax.random.PRNGKey(3)
+    m_x = tr_x.train_step(tr_x.put_batch(batch), key)
+    m_p = tr_p.train_step(tr_p.put_batch(batch), key)
+    assert float(m_x["loss"]) == pytest.approx(float(m_p["loss"]), rel=1e-4)
 
 
 def test_explore_floor_training_only():
