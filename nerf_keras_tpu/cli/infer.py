@@ -216,30 +216,14 @@ def run_inference(argv: list[str] | None = None) -> str:
         cfg = dataclasses.replace(cfg, ndc=bool(scene["ndc"]))
         print(f"[nerf-tpu] checkpoint sidecar sets ndc={cfg.ndc} "
               f"(overrides the config)")
-    # The sidecar's TRAIN_SAMPLER (+ proposal-net arch) determines the
-    # checkpoint's STATE TREE ({'proposal','fine'} vs {'coarse','fine'}):
-    # restoring across a mismatch would die on an opaque template error,
-    # so the sidecar wins here too.
-    if ckpt is not None:
-        from nerf_keras_tpu.utils import io as nio
-        from nerf_keras_tpu.utils.checkpoint import load_checkpoint_config
+    # Sidecar fields that are load-bearing at render time (state-tree
+    # arch, EMA routing) win over the passed config; the LR schedule is
+    # neutralized — resolve_infer_config docstring has the full rationale.
+    from nerf_keras_tpu.utils.checkpoint import resolve_infer_config
 
-        if nio.exists(ckpt + ".config.json"):
-            side = load_checkpoint_config(ckpt)
-            # prop_union rides along: it fixes the RENDER sample layout a
-            # proposal-trained checkpoint was validated at (no state-tree
-            # impact, but a union render of a union-free-trained model
-            # would silently change the serving cost/quality point).
-            arch = ("train_sampler", "prop_l_xyz", "prop_hidden",
-                    "prop_depth", "prop_union")
-            if any(getattr(side, f) != getattr(cfg, f) for f in arch):
-                import dataclasses
-
-                cfg = dataclasses.replace(
-                    cfg, **{f: getattr(side, f) for f in arch}
-                ).validate()
-                print(f"[nerf-tpu] checkpoint sidecar sets train_sampler="
-                      f"{cfg.train_sampler} (overrides the config)")
+    cfg, notes = resolve_infer_config(cfg, ckpt)
+    for note in notes:
+        print(f"[nerf-tpu] {note}")
     print(f"[nerf-tpu] scene: near={near:.3f} far={far:.3f} "
           f"focal={focal:.2f}"
           + ("" if scene else " (no sidecar; Lego-scene defaults)"))

@@ -158,6 +158,20 @@ def run_training(
     print(f"[nerf-tpu] rays: train={len(train_ds)} val={len(val_ds)} "
           f"near={near:.3f} far={far:.3f} focal={focal:.2f}")
 
+    if cfg.lr_final is not None and cfg.lr_decay_steps == 0:
+        # Resolve the LR-decay horizon (LR_DECAY_STEPS=0 = auto) to the
+        # full schedule: epochs * steps-per-epoch, with the same per-host
+        # drop-remainder batch accounting as the epoch loop below.  Must
+        # happen before the Trainer builds its optimizer.
+        import dataclasses as _dc
+
+        _, _pc = process_info()
+        _local = max(1, cfg.batch_size // max(1, _pc))
+        _spe = max(1, len(train_ds) // _local)
+        cfg = _dc.replace(cfg, lr_decay_steps=cfg.epochs * _spe)
+        print(f"[nerf-tpu] lr decay: {cfg.learning_rate} -> {cfg.lr_final} "
+              f"over {cfg.lr_decay_steps} steps")
+
     trainer = Trainer(cfg, near, far)
     if args.resume:
         trainer.restore(args.resume)

@@ -98,6 +98,24 @@ class NeRFConfig:
     #         NS_FINE proposal-placed samples (~33% fewer fine-pass
     #         FLOPs at flagship counts); PROP_EXPLORE keeps coverage.
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
+    lr_final: float | None = None  # enables exponential learning-rate decay
+    #         from LEARNING_RATE down to LR_FINAL over LR_DECAY_STEPS
+    #         optimizer steps (the original NeRF's lrate_decay treatment;
+    #         the reference trains at a constant Keras-default LR for its
+    #         whole schedule).  None (default) = constant LR, reference
+    #         parity.  Measured motivation: constant-LR flagship runs
+    #         wobble/collapse late on the synthetic holdout
+    #         (docs/PERF.md 80-epoch close-out).
+    lr_decay_steps: int = 0  # horizon of the decay above, in optimizer
+    #         steps.  0 = auto: the train CLI fills in epochs *
+    #         steps-per-epoch once the dataset size is known; building an
+    #         optimizer directly with LR_FINAL set and no horizon raises.
+    ema_decay: float = 0.0  # exponential moving average of the params,
+    #         updated every step (ema = d*ema + (1-d)*params) and used for
+    #         ALL eval/render/serving paths when enabled; the raw params
+    #         keep training.  0 (default) disables — reference parity.
+    #         Standard stabilizer for noisy NeRF holdout evals (e.g.
+    #         Instant-NGP); the EMA is checkpointed alongside the params.
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
@@ -192,6 +210,22 @@ class NeRFConfig:
                     f"PROP_DEPTH >= 2; got l_xyz={self.prop_l_xyz} "
                     f"hidden={self.prop_hidden} depth={self.prop_depth}"
                 )
+        if self.lr_final is not None:
+            if not 0.0 < self.lr_final <= self.learning_rate:
+                raise ValueError(
+                    "LR_FINAL is the decayed floor of the schedule; need "
+                    f"0 < LR_FINAL <= LEARNING_RATE, got {self.lr_final} "
+                    f"vs {self.learning_rate}"
+                )
+        if self.lr_decay_steps < 0:
+            raise ValueError(
+                f"LR_DECAY_STEPS must be >= 0 (0 = auto), got "
+                f"{self.lr_decay_steps}"
+            )
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(
+                f"EMA_DECAY must be in [0, 1), got {self.ema_decay}"
+            )
         if self.mesh_data == 0 or self.mesh_data < -1:
             raise ValueError(
                 f"MESH_DATA must be >= 1 or -1 (all devices), got "
@@ -230,6 +264,9 @@ _KEY_MAP = {
     "PROP_LOSS_MULT": "prop_loss_mult",
     "PROP_EXPLORE": "prop_explore",
     "PROP_UNION": "prop_union",
+    "LR_FINAL": "lr_final",
+    "LR_DECAY_STEPS": "lr_decay_steps",
+    "EMA_DECAY": "ema_decay",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",
     "SEED": "seed",
@@ -280,7 +317,7 @@ def to_reference_json(cfg: NeRFConfig) -> dict:
     out = {}
     for field in dataclasses.fields(cfg):
         value = getattr(cfg, field.name)
-        if field.name in ("test_batch_size", "eval_every") and value is None:
+        if field.name in ("test_batch_size", "eval_every", "lr_final") and value is None:
             continue
         out[inv[field.name]] = value
     return out

@@ -51,11 +51,37 @@ class TrainState(NamedTuple):
     bn: dict | None  # {'coarse': bn_state, 'fine': bn_state} or None
     opt_state: Any
     step: jnp.ndarray  # scalar int32
+    ema: dict | None = None  # EMA shadow of params (cfg.ema_decay > 0);
+    #   updated each train step, consumed by every eval/render path
+    #   (Trainer._eval_state).  Last field with a default so existing
+    #   positional constructions and pre-EMA checkpoints stay valid.
 
 
 def make_optimizer(cfg: NeRFConfig) -> optax.GradientTransformation:
-    """Adam with Keras-default epsilon=1e-7 (reference train_lego.py:149)."""
-    return optax.adam(cfg.learning_rate, eps=1e-7)
+    """Adam with Keras-default epsilon=1e-7 (reference train_lego.py:149).
+
+    With ``cfg.lr_final`` set, the LR follows an exponential decay from
+    ``learning_rate`` to ``lr_final`` over ``lr_decay_steps`` optimizer
+    steps (then stays at the floor) — the original NeRF's lrate schedule,
+    absent from the reference (it trains its whole run at the Keras
+    default constant LR, train_lego.py:149).  The schedule reads Adam's
+    own step count, so checkpoint resume continues the decay correctly.
+    """
+    if cfg.lr_final is None:
+        return optax.adam(cfg.learning_rate, eps=1e-7)
+    if cfg.lr_decay_steps <= 0:
+        raise ValueError(
+            "LR_FINAL is set but LR_DECAY_STEPS is unresolved (0): the "
+            "train CLI fills it with epochs * steps-per-epoch; direct "
+            "callers must pass an explicit positive horizon"
+        )
+    schedule = optax.exponential_decay(
+        init_value=cfg.learning_rate,
+        transition_steps=cfg.lr_decay_steps,
+        decay_rate=cfg.lr_final / cfg.learning_rate,
+        end_value=cfg.lr_final,
+    )
+    return optax.adam(schedule, eps=1e-7)
 
 
 def init_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
@@ -86,7 +112,10 @@ def init_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
             "fine": init_nerf_params(k_fine, **kwargs),
         }
         opt_state = make_optimizer(cfg).init(params)
-        return TrainState(params, None, opt_state, jnp.zeros((), jnp.int32))
+        return TrainState(
+            params, None, opt_state, jnp.zeros((), jnp.int32),
+            ema=_init_ema(cfg, params),
+        )
     params = {
         "coarse": init_nerf_params(k_coarse, **kwargs),
         "fine": init_nerf_params(k_fine, **kwargs),
@@ -95,7 +124,21 @@ def init_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
     if cfg.batch_norm:
         bn = {name: init_bn_state(p) for name, p in params.items()}
     opt_state = make_optimizer(cfg).init(params)
-    return TrainState(params, bn, opt_state, jnp.zeros((), jnp.int32))
+    return TrainState(
+        params, bn, opt_state, jnp.zeros((), jnp.int32),
+        ema=_init_ema(cfg, params),
+    )
+
+
+def _init_ema(cfg: NeRFConfig, params: dict) -> dict | None:
+    """EMA shadow initialized to a COPY of the initial params (no
+    zero-init/debias: the shadow must be a valid model from step 0 so
+    early evals and emergency checkpoints work).  A copy, not an alias —
+    the jitted train step donates the state, and aliased leaves would be
+    donated twice."""
+    if cfg.ema_decay <= 0.0:
+        return None
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
 
 
 def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -678,12 +721,19 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
         )(state.params, state.bn, key_pdf, t_vals, images, origins, dirs)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if cfg.ema_decay > 0.0:
+            d = cfg.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema, params
+            )
+        else:
+            ema = state.ema
         metrics = {
             "loss_coarse": loss_coarse,
             "loss": loss_fine,
             "psnr": psnr(images, rgb_fine),
         }
-        return TrainState(params, new_bn, opt_state, state.step + 1), metrics
+        return TrainState(params, new_bn, opt_state, state.step + 1, ema), metrics
 
     return train_step
 

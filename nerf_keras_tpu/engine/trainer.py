@@ -89,6 +89,8 @@ class Trainer:
                 lambda _: repl, state.opt_state
             ),
             step=repl,
+            # The EMA shadow mirrors the params, so it shards like them.
+            ema=self._param_shardings if state.ema is not None else None,
         )
         self._batch_sharding = batch_sharding(self.mesh)
         self._repl = repl
@@ -212,13 +214,34 @@ class Trainer:
 
     def replace_params(self, params, bn=None) -> "Trainer":
         """Install externally-built params (e.g. imported reference
-        weights) with the correct shardings."""
+        weights) with the correct shardings.  With EMA enabled the shadow
+        resets to the new params — averaging across unrelated weights
+        would serve a nonsense model."""
+        ema = self.state.ema
+        if ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params
+            )
         self.state = jax.device_put(
-            self.state._replace(params=params, bn=bn),
+            self.state._replace(params=params, bn=bn, ema=ema),
             self._state_shardings,
         )
         self._invalidate_derived()
         return self
+
+    def _eval_state(self) -> TrainState:
+        """The state every eval/render/serving path consumes: with
+        EMA_DECAY set, the params slot carries the EMA shadow (same pytree
+        structure, so the compiled steps and shardings are unchanged);
+        otherwise the raw training state."""
+        if self.state.ema is None:
+            return self.state
+        return self.state._replace(params=self.state.ema)
+
+    @property
+    def eval_params(self) -> dict:
+        """Params used for eval/render/derived artifacts (EMA if enabled)."""
+        return self._eval_state().params
 
     def train_step(self, batch, key: jax.Array | None = None):
         """One optimization step; returns metrics dict of scalars (device)."""
@@ -231,7 +254,7 @@ class Trainer:
         return metrics
 
     def eval_step(self, batch):
-        return self._eval_step(self.state, batch)
+        return self._eval_step(self._eval_state(), batch)
 
     def train_epoch(
         self,
@@ -330,7 +353,7 @@ class Trainer:
                 origins.shape[0], calib_rays, replace=False
             )
             origins, directions = origins[idx], directions[idx]
-        params = jax.device_get(self.state.params)
+        params = jax.device_get(self.eval_params)
         if self._online_proposal:
             # No coarse MLP exists: calibrate the fine net at the t-unions
             # the float in-state proposal places (the proposal net itself
@@ -448,7 +471,7 @@ class Trainer:
 
         # Host copy of the fine params: the distillation jit must not
         # capture mesh-committed arrays (single-device scan).
-        params = jax.device_get(self.state.params)
+        params = jax.device_get(self.eval_params)
         cdt = (
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
             else jnp.float32
@@ -514,7 +537,7 @@ class Trainer:
         from nerf_keras_tpu.utils.infer_cache import params_digest
 
         return params_digest(
-            jax.device_get(self.state.params),
+            jax.device_get(self.eval_params),
             extra={
                 "skip_layer": self.cfg.skip_layer,
                 "l_xyz": self.cfg.l_xyz,
@@ -588,7 +611,7 @@ class Trainer:
             )
         pparams = self._pparams
         if not quant:
-            fine = self.state.params["fine"]
+            fine = self.eval_params["fine"]
             return lambda state, o, d: self._render_p(pparams, fine, o, d)
         if self._qparams is None:
             raise RuntimeError(
@@ -754,7 +777,7 @@ class Trainer:
                     (origins[start:start + chunk],
                      directions[start:start + chunk])
                 )
-            res = render_fn(self.state, o_dev, d_dev)
+            res = render_fn(self._eval_state(), o_dev, d_dev)
             # Keep chunk outputs on device and START their device->host
             # transfer asynchronously: the copies overlap the remaining
             # chunks' compute, so the end-of-frame fetch — ~0.3-0.5 s of

@@ -49,6 +49,7 @@ class RenderService:
         from nerf_keras_tpu.utils.checkpoint import (
             latest_checkpoint,
             load_checkpoint_scene,
+            resolve_infer_config,
         )
         from nerf_keras_tpu.utils.infer_cache import StaleArtifactsError
 
@@ -62,6 +63,12 @@ class RenderService:
         near = near if near is not None else scene.get("near", 2.0)
         far = far if far is not None else scene.get("far", 6.0)
         self.default_focal = scene.get("focal")
+        # Render-time-load-bearing sidecar fields (state-tree arch, EMA
+        # routing) win over the passed config; the LR schedule is
+        # neutralized — resolve_infer_config docstring.
+        cfg, notes = resolve_infer_config(cfg, checkpoint)
+        for note in notes:
+            print(f"[nerf-tpu] {note}")
         self.trainer = Trainer(cfg, near, far).restore(checkpoint)
         self.checkpoint = checkpoint
         self.cfg = cfg

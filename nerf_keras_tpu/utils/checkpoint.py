@@ -105,7 +105,13 @@ def load_checkpoint(path: str, template_state):
     for tree_path, leaf in leaves_with_paths:
         key = jax.tree_util.keystr(tree_path)
         if key not in data:
-            raise KeyError(f"checkpoint at {path} missing leaf {key}")
+            # Forward-compat: enabling EMA_DECAY on a resume of a pre-EMA
+            # checkpoint — seed the shadow from the stored params (the
+            # same initialization a fresh EMA run uses).
+            if key.startswith(".ema") and ".params" + key[4:] in data:
+                key = ".params" + key[4:]
+            else:
+                raise KeyError(f"checkpoint at {path} missing leaf {key}")
         arr = data[key]
         if arr.shape != np.shape(leaf):
             raise ValueError(
@@ -121,6 +127,54 @@ def load_checkpoint_config(path: str) -> NeRFConfig:
         raw = json.load(f)
     raw.pop("SCENE", None)
     return config_from_dict(raw)
+
+
+def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig, list[str]]:
+    """Reconcile a user config with a checkpoint's sidecar for INFERENCE.
+
+    Three classes of sidecar field are load-bearing at render time and win
+    over the passed config (returned notes say when they did):
+
+    * ``train_sampler`` + proposal-net arch (+ ``prop_union``): they fix
+      the checkpoint's STATE TREE ({'proposal','fine'} vs
+      {'coarse','fine'}) — restoring across a mismatch dies on an opaque
+      template error;
+    * ``ema_decay``: decides WHICH weights serve — an EMA-trained
+      checkpoint restored without the shadow in the template would
+      silently render the raw online params;
+    * the LR schedule is NEUTRALIZED (``lr_final=None``): the optimizer is
+      never stepped at inference, a scheduled one can't even build with an
+      unresolved auto horizon, and a constant-LR template restores from
+      scheduled checkpoints unchanged (the extra schedule-count leaf in
+      the file is ignored).
+
+    Shared by ``cli/infer.py`` and the render server.
+    """
+    import dataclasses
+
+    notes: list[str] = []
+    if path is not None and io.exists(path + ".config.json"):
+        side = load_checkpoint_config(path)
+        arch = ("train_sampler", "prop_l_xyz", "prop_hidden", "prop_depth",
+                "prop_union")
+        if any(getattr(side, f) != getattr(cfg, f) for f in arch):
+            cfg = dataclasses.replace(
+                cfg, **{f: getattr(side, f) for f in arch}
+            ).validate()
+            notes.append(
+                f"checkpoint sidecar sets train_sampler={cfg.train_sampler} "
+                "(overrides the config)"
+            )
+        if side.ema_decay != cfg.ema_decay:
+            cfg = dataclasses.replace(cfg, ema_decay=side.ema_decay)
+            if cfg.ema_decay > 0:
+                notes.append(
+                    f"checkpoint sidecar sets ema_decay={cfg.ema_decay}: "
+                    "rendering the EMA weights"
+                )
+    if cfg.lr_final is not None:
+        cfg = dataclasses.replace(cfg, lr_final=None, lr_decay_steps=0)
+    return cfg, notes
 
 
 def load_checkpoint_scene(path: str) -> dict | None:

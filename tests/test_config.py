@@ -122,3 +122,52 @@ def test_resolve_eval_batch():
         resolve_eval_batch(4096, 5, 8)
     with pytest.raises(ValueError, match="val split"):
         resolve_eval_batch(4096, 7, 1, proc_count=8)
+
+
+def test_lr_and_ema_validation():
+    """LR_FINAL/LR_DECAY_STEPS/EMA_DECAY bounds (beyond-reference knobs)."""
+    import dataclasses
+
+    base = NeRFConfig(batch_size=32, ns_coarse=4, ns_fine=4)
+    base.validate()
+    # defaults are reference-parity: constant LR, no EMA
+    assert base.lr_final is None and base.ema_decay == 0.0
+
+    dataclasses.replace(
+        base, lr_final=base.learning_rate / 10, lr_decay_steps=100
+    ).validate()
+    with pytest.raises(ValueError, match="LR_FINAL"):
+        dataclasses.replace(base, lr_final=0.0).validate()
+    with pytest.raises(ValueError, match="LR_FINAL"):
+        dataclasses.replace(base, lr_final=base.learning_rate * 2).validate()
+    with pytest.raises(ValueError, match="LR_DECAY_STEPS"):
+        dataclasses.replace(base, lr_decay_steps=-1).validate()
+    with pytest.raises(ValueError, match="EMA_DECAY"):
+        dataclasses.replace(base, ema_decay=1.0).validate()
+    with pytest.raises(ValueError, match="EMA_DECAY"):
+        dataclasses.replace(base, ema_decay=-0.1).validate()
+
+
+def test_lr_ema_json_roundtrip(tmp_path):
+    """The new keys load from reference-style JSON and survive the sidecar
+    round-trip; LR_FINAL=None is omitted like the other nullable keys."""
+    import json
+
+    from nerf_keras_tpu.config import to_reference_json
+
+    cfg = NeRFConfig(
+        batch_size=32, ns_coarse=4, ns_fine=4, lr_final=5e-5,
+        lr_decay_steps=1000, ema_decay=0.99,
+    ).validate()
+    d = to_reference_json(cfg)
+    assert d["LR_FINAL"] == 5e-5
+    assert d["LR_DECAY_STEPS"] == 1000
+    assert d["EMA_DECAY"] == 0.99
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(d))
+    cfg2 = load_config(str(p))
+    assert cfg2 == cfg
+
+    assert "LR_FINAL" not in to_reference_json(
+        NeRFConfig(batch_size=32, ns_coarse=4, ns_fine=4)
+    )

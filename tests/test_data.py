@@ -482,3 +482,43 @@ def test_llff_render_path_poses_only_and_n_frames(tmp_path):
     assert spiral.shape == (17, 3, 5)
     orbit = load_llff_render_path(str(tmp_path), spherify=True, n_frames=30)
     assert orbit.shape == (30, 3, 5)
+
+
+@pytest.mark.slow
+def test_train_cli_autofills_lr_decay_horizon(tmp_path, capsys):
+    """LR_DECAY_STEPS=0 (auto) resolves to epochs * steps-per-epoch in the
+    train CLI, and the resolved horizon lands in the checkpoint sidecar so
+    resume/inference rebuild the same optimizer."""
+    import json as _json
+
+    from nerf_keras_tpu.cli.train import run_training
+    from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps({
+        "BATCH_SIZE": 128, "NS_COARSE": 4, "NS_FINE": 8, "HEIGHT": 16,
+        "WIDTH": 16, "L_XYZ": 4, "L_DIR": 2, "NUM_LAYERS": 2,
+        "HIDDEN_DIM": 16, "SKIP_LAYER": 1, "EPOCHS": 2,
+        "LEARNING_RATE": 0.002, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 2,
+        "LR_FINAL": 2e-5, "EMA_DECAY": 0.9,
+    }))
+    run_dir = tmp_path / "run"
+
+    def prepare(height, width, data_dir=None):
+        return prepare_synthetic_data(height, width)
+
+    trainer = run_training(
+        prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path), "--run-dir", str(run_dir)],
+    )
+    steps = int(trainer.state.step)
+    assert trainer.cfg.lr_decay_steps == steps  # 2 epochs fully decayed
+    assert trainer.state.ema is not None
+    out = capsys.readouterr().out
+    assert "lr decay: 0.002 -> 2e-05" in out, out
+    sidecars = list(run_dir.glob("*.ckpt.npz.config.json"))
+    assert sidecars, list(run_dir.iterdir())
+    side = _json.loads(sidecars[0].read_text())
+    assert side["LR_DECAY_STEPS"] == steps
+    assert side["EMA_DECAY"] == 0.9

@@ -545,3 +545,196 @@ def test_trainer_restore_roundtrip(tmp_path):
         np.asarray(t1.state.params["coarse"]["trunk"][0]["w"]),
         np.asarray(t2.state.params["coarse"]["trunk"][0]["w"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# LR schedule + EMA (beyond-reference training-quality knobs; the reference
+# trains at a constant Keras-default LR and evals the raw online params,
+# train_lego.py:149 / models.py:88-120)
+# ---------------------------------------------------------------------------
+
+
+def test_lr_schedule_decays_to_floor():
+    """LR_FINAL enables exponential decay from LEARNING_RATE to LR_FINAL
+    over LR_DECAY_STEPS, then holds the floor; the schedule lives inside
+    the optimizer so resume continues it from Adam's own step count."""
+    import dataclasses
+
+    import optax
+
+    cfg = dataclasses.replace(
+        CFG, learning_rate=1e-3, lr_final=1e-5, lr_decay_steps=100
+    ).validate()
+    sched = optax.exponential_decay(
+        init_value=1e-3, transition_steps=100, decay_rate=1e-2,
+        end_value=1e-5,
+    )
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100)), 1e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(500)), 1e-5, rtol=1e-6)  # floor
+
+    # The scheduled optimizer's step size shrinks with the count while the
+    # constant one's doesn't: apply identical grads at count 0 and count 99.
+    from nerf_keras_tpu.engine.step import make_optimizer
+
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+    st = opt.init(params)
+    up0, st = opt.update(grads, st, params)
+    for _ in range(99):
+        _, st = opt.update(grads, st, params)
+    up99, _ = opt.update(grads, st, params)
+    ratio = float(jnp.abs(up99["w"]).mean() / jnp.abs(up0["w"]).mean())
+    assert ratio < 0.05, ratio  # ~1e-2 up to Adam moment drift
+
+    # Unresolved horizon must raise, not silently train constant.
+    bad = dataclasses.replace(cfg, lr_decay_steps=0)
+    with pytest.raises(ValueError, match="LR_DECAY_STEPS"):
+        make_optimizer(bad)
+
+
+def _ema_cfg():
+    import dataclasses
+
+    return dataclasses.replace(
+        CFG, batch_size=16, ema_decay=0.9, use_pallas=False
+    ).validate()
+
+
+def test_ema_recurrence_and_eval_routing():
+    """state.ema follows ema = d*ema + (1-d)*params exactly, and ALL
+    eval/render paths consume the EMA shadow, not the online params."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = _ema_cfg()
+    tr = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(8, 1))
+    assert tr.state.ema is not None
+    batch = _fake_batch(jax.random.PRNGKey(3), n=16)
+
+    p0 = jax.device_get(tr.state.params)
+    # EMA starts as a copy of the initial params (valid model at step 0).
+    np.testing.assert_array_equal(
+        np.asarray(p0["fine"]["trunk"][0]["w"]),
+        np.asarray(tr.state.ema["fine"]["trunk"][0]["w"]),
+    )
+    tr.train_step(tr.put_batch(batch))
+    p1 = jax.device_get(tr.state.params)
+    ref = jax.tree_util.tree_map(lambda a, b: 0.9 * a + 0.1 * b, p0, p1)
+    err = max(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                ref,
+                jax.device_get(tr.state.ema),
+            )
+        )
+    )
+    assert err < 1e-6, err
+
+    # eval_step and render_rays must ride the EMA: zeroing the shadow
+    # changes their outputs even though the online params are untouched.
+    ev1 = float(tr.eval_step(tr.put_global_batch(batch))["loss"])
+    r1 = tr.render_rays(
+        np.asarray(batch[1]), np.asarray(batch[2]), chunk=16,
+        keys=("rgb_fine",),
+    )["rgb_fine"]
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, tr.state.ema)
+    tr.state = tr.state._replace(ema=zeros)
+    ev2 = float(tr.eval_step(tr.put_global_batch(batch))["loss"])
+    r2 = tr.render_rays(
+        np.asarray(batch[1]), np.asarray(batch[2]), chunk=16,
+        keys=("rgb_fine",),
+    )["rgb_fine"]
+    assert ev1 != ev2
+    assert np.abs(r1 - r2).max() > 0
+
+
+def test_ema_checkpoint_roundtrip_and_pre_ema_fallback(tmp_path):
+    """The EMA shadow is checkpointed with the state; resuming a PRE-EMA
+    checkpoint with EMA_DECAY newly enabled seeds the shadow from the
+    stored params instead of failing."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+    from nerf_keras_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = _ema_cfg()
+    tr = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(8, 1))
+    tr.train_step(tr.put_batch(_fake_batch(jax.random.PRNGKey(3), n=16)))
+    path = str(tmp_path / "s.ckpt.npz")
+    save_checkpoint(path, tr.state, cfg)
+
+    tr2 = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(8, 1), seed=7).restore(path)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(tr.state.ema["fine"]["trunk"][0]["w"])),
+        np.asarray(jax.device_get(tr2.state.ema["fine"]["trunk"][0]["w"])),
+    )
+
+    # Strip the .ema leaves to simulate a checkpoint from before the
+    # feature existed.
+    data = dict(np.load(path))
+    old = {k: v for k, v in data.items() if not k.startswith(".ema")}
+    path_old = str(tmp_path / "old.ckpt.npz")
+    np.savez(path_old, **old)
+    st = load_checkpoint(path_old, jax.device_get(tr.state))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        st.ema, st.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_ema_replace_params_resets_shadow():
+    """Installing external weights resets the EMA shadow to them —
+    averaging across unrelated weights would serve a nonsense model."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = _ema_cfg()
+    tr = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(8, 1))
+    for _ in range(3):
+        tr.train_step(tr.put_batch(_fake_batch(jax.random.PRNGKey(3), n=16)))
+    new = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.ones_like(np.asarray(x))),
+        jax.device_get(tr.state.params),
+    )
+    tr.replace_params(new)
+    np.testing.assert_array_equal(
+        np.asarray(tr.state.ema["fine"]["trunk"][0]["w"]),
+        np.asarray(tr.state.params["fine"]["trunk"][0]["w"]),
+    )
+
+
+def test_ema_with_online_proposal_state():
+    """EMA composes with TRAIN_SAMPLER='proposal' ({'proposal','fine'}
+    params): the shadow covers the proposal net too, so eval/serving see
+    a consistently averaged sampler+field pair."""
+    import dataclasses
+
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(
+        _ema_cfg(), train_sampler="proposal", prop_l_xyz=2, prop_hidden=8,
+        prop_depth=2,
+    ).validate()
+    tr = Trainer(cfg, 2.0, 6.0, mesh=make_mesh(8, 1))
+    assert set(tr.state.ema) == {"proposal", "fine"}
+    batch = _fake_batch(jax.random.PRNGKey(5), n=16)
+    p0 = jax.device_get(tr.state.params)
+    tr.train_step(tr.put_batch(batch))
+    p1 = jax.device_get(tr.state.params)
+    ref = jax.tree_util.tree_map(lambda a, b: 0.9 * a + 0.1 * b, p0, p1)
+    err = max(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                ref,
+                jax.device_get(tr.state.ema),
+            )
+        )
+    )
+    assert err < 1e-6, err
+    float(tr.eval_step(tr.put_global_batch(batch))["psnr"])  # compiles+runs

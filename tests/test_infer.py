@@ -205,3 +205,36 @@ def test_quant_int8_gate_fail_falls_back(tmp_path, capsys):
     import os
 
     assert os.path.exists(written) and os.path.getsize(written) > 0
+
+
+def test_resolve_infer_config_adopts_sidecar_ema_and_neutralizes_lr(tmp_path):
+    """The shared infer-config reconciler (cli/infer.py + serving.py):
+    sidecar ema_decay wins (EMA checkpoints must render the shadow), and
+    the LR schedule is neutralized at inference."""
+    import dataclasses
+
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.utils.checkpoint import resolve_infer_config
+
+    trained = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        compute_dtype="float32", use_pallas=False, ema_decay=0.99,
+        lr_final=1e-5, lr_decay_steps=50,
+    ).validate()
+    state = init_train_state(jax.random.PRNGKey(0), trained)
+    path = str(tmp_path / "e.ckpt.npz")
+    save_checkpoint(path, state, trained)
+
+    user = dataclasses.replace(trained, ema_decay=0.0, lr_final=None,
+                               lr_decay_steps=0)
+    cfg, notes = resolve_infer_config(user, path)
+    assert cfg.ema_decay == 0.99
+    assert any("ema" in n for n in notes)
+    # lr neutralization: a config with an unresolved auto horizon must not
+    # crash the inference Trainer build
+    user2 = dataclasses.replace(trained, lr_final=1e-5, lr_decay_steps=0)
+    cfg2, _ = resolve_infer_config(user2, None)
+    assert cfg2.lr_final is None and cfg2.lr_decay_steps == 0
+    from nerf_keras_tpu.engine.step import make_optimizer
+
+    make_optimizer(cfg2)  # builds
