@@ -98,6 +98,15 @@ class NeRFConfig:
     #         NS_FINE proposal-placed samples (~33% fewer fine-pass
     #         FLOPs at flagship counts); PROP_EXPLORE keeps coverage.
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
+    distortion_loss_mult: float = 0.0  # weight of Mip-NeRF 360's
+    #         distortion regularizer on the FINE pass's compositing
+    #         weights (ops/volume.distortion_loss): pulls each ray's mass
+    #         into one compact cluster (anti-floater / anti-background-
+    #         collapse).  0 (default) disables — reference parity (the
+    #         reference has no geometry regularizer).  Requires the XLA
+    #         train path (USE_PALLAS=false): the fused megakernel's
+    #         backward covers the rgb outputs only, so weight-gradients
+    #         through it are stopped.
     lr_final: float | None = None  # enables exponential learning-rate decay
     #         from LEARNING_RATE down to LR_FINAL over LR_DECAY_STEPS
     #         optimizer steps (the original NeRF's lrate_decay treatment;
@@ -210,6 +219,18 @@ class NeRFConfig:
                     f"PROP_DEPTH >= 2; got l_xyz={self.prop_l_xyz} "
                     f"hidden={self.prop_hidden} depth={self.prop_depth}"
                 )
+        if self.distortion_loss_mult < 0:
+            raise ValueError(
+                f"DISTORTION_LOSS_MULT must be >= 0, got "
+                f"{self.distortion_loss_mult}"
+            )
+        if self.distortion_loss_mult > 0 and self.use_pallas:
+            raise ValueError(
+                "DISTORTION_LOSS_MULT needs weight-gradients, which the "
+                "fused Pallas backward does not produce (rgb only); use "
+                "USE_PALLAS=false (the Trainer auto-resolves this when "
+                "USE_PALLAS is left unset)"
+            )
         if self.lr_final is not None:
             if not 0.0 < self.lr_final <= self.learning_rate:
                 raise ValueError(
@@ -264,6 +285,7 @@ _KEY_MAP = {
     "PROP_LOSS_MULT": "prop_loss_mult",
     "PROP_EXPLORE": "prop_explore",
     "PROP_UNION": "prop_union",
+    "DISTORTION_LOSS_MULT": "distortion_loss_mult",
     "LR_FINAL": "lr_final",
     "LR_DECAY_STEPS": "lr_decay_steps",
     "EMA_DECAY": "ema_decay",

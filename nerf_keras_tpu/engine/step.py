@@ -30,6 +30,7 @@ import optax
 from nerf_keras_tpu.config import NeRFConfig
 from nerf_keras_tpu.models.mlp import apply_nerf_mlp, init_bn_state, init_nerf_params
 from nerf_keras_tpu.ops import (
+    distortion_loss,
     encode_position,
     generate_t_vals,
     sample_pdf,
@@ -215,7 +216,9 @@ def _mlp_fn(cfg: NeRFConfig, mesh=None) -> Callable:
     return run
 
 
-def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
+def make_forward_pass(
+    cfg: NeRFConfig, mesh=None, return_t_fine: bool = False
+) -> Callable:
     """Build the coarse→fine forward pass (reference models.py:151-176).
 
     Returned signature:
@@ -223,6 +226,11 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
           -> ((rgb_coarse, rgb_fine), (depth_coarse, depth_fine),
               (weights_coarse, weights_fine), (preds_coarse, preds_fine)),
              new_bn
+
+    ``return_t_fine=True`` appends the fine pass's sorted t-union as a
+    third element (the distortion regularizer pairs it with
+    ``weights_fine``; keeping the default arity stable spares every other
+    caller).
     """
     mlp = _mlp_fn(cfg, mesh)
     # Encodings are stored in the compute dtype on BOTH paths: the MLP
@@ -279,6 +287,8 @@ def make_forward_pass(cfg: NeRFConfig, mesh=None) -> Callable:
         )
         if bn["coarse"] is None:
             new_bn = None
+        if return_t_fine:
+            return outputs, new_bn, t_all
         return outputs, new_bn
 
     return forward
@@ -682,6 +692,13 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
                 target = 0.25 * left + 0.5 * target + 0.25 * right
             loss_prop = interlevel_loss(w_prop, target)
             loss = loss_fine + cfg.prop_loss_mult * loss_prop
+            if cfg.distortion_loss_mult > 0.0:
+                # Undetached w_fine: distortion needs gradients into the
+                # fine density head (config validation keeps this off the
+                # Pallas path, whose weights output is stop-gradiented).
+                loss = loss + cfg.distortion_loss_mult * distortion_loss(
+                    t_all, w_fine, near, far
+                )
             # loss_prop rides the 'loss_coarse' metric slot: there is no
             # coarse rgb loss in this mode, and keeping the reference's
             # history keys lets every consumer (History, panels, CLI
@@ -698,16 +715,23 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             loss_fine = mse(images, rgb_fine)
             return loss_coarse + loss_fine, (loss_coarse, loss_fine, rgb_fine, bn)
     else:
-        forward = make_forward_pass(cfg, mesh)
+        want_dist = cfg.distortion_loss_mult > 0.0
+        forward = make_forward_pass(cfg, mesh, return_t_fine=want_dist)
 
         def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
-            outputs, new_bn = forward(
-                params, bn, key_pdf, origins, dirs, t_vals, True
-            )
+            res = forward(params, bn, key_pdf, origins, dirs, t_vals, True)
+            outputs, new_bn = res[0], res[1]
             (rgb_coarse, rgb_fine) = outputs[0]
             loss_coarse = mse(images, rgb_coarse)
             loss_fine = mse(images, rgb_fine)
             loss = loss_coarse + loss_fine
+            if want_dist:
+                # Fine-pass weights carry gradients on this (jnp) path;
+                # the regularizer rides the fine pass only (Mip-NeRF 360
+                # applies it to the final level).
+                loss = loss + cfg.distortion_loss_mult * distortion_loss(
+                    res[2], outputs[2][1], near, far
+                )
             return loss, (loss_coarse, loss_fine, rgb_fine, new_bn)
 
     def train_step(state: TrainState, batch, key: jax.Array):

@@ -15,7 +15,7 @@ from nerf_keras_tpu.ops.rays import (
     get_rotation_phi,
     get_rotation_theta,
 )
-from nerf_keras_tpu.ops.volume import volume_render
+from nerf_keras_tpu.ops.volume import distortion_loss, volume_render
 from nerf_keras_tpu.ops.sampling import generate_t_vals, sample_pdf, sorted_union
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "get_rotation_phi",
     "get_rotation_theta",
     "volume_render",
+    "distortion_loss",
     "generate_t_vals",
     "sample_pdf",
     "sorted_union",

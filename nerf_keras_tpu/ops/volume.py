@@ -62,3 +62,55 @@ def volume_render(
     rgb_out = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth = jnp.sum(weights * t_vals, axis=-1)
     return rgb_out, depth, weights
+
+
+def distortion_loss(
+    t_vals: jnp.ndarray,
+    weights: jnp.ndarray,
+    near: float,
+    far: float,
+) -> jnp.ndarray:
+    """Mip-NeRF 360's distortion regularizer, O(S) per ray (beyond-reference).
+
+    .. math::
+        L = \\sum_{ij} w_i w_j |m_i - m_j| + \\tfrac13 \\sum_i w_i^2 \\delta_i
+
+    over ray-normalized sample coordinates ``s = (t - near) / (far - near)``
+    — the first term pulls compositing mass into one compact cluster along
+    the ray (kills floaters / background collapse), the second shrinks each
+    occupied interval.  The reference has no geometry regularizer at all.
+
+    Point-sample adaptation (our samples are t positions, not bin
+    intervals): interval ``i`` spans ``[s_i, s_{i+1})`` with midpoint
+    ``m_i``; the LAST sample gets a zero-width interval instead of the
+    compositor's 1e10 terminal delta — an unbounded interval would make
+    the loss meaningless (its self-term alone would dwarf the scene), and
+    dropping it leaves the pairwise term intact.
+
+    The quadratic double sum collapses to cumulative sums because the
+    samples are sorted along the ray:
+    ``sum_ij w_i w_j |m_i - m_j| = 2 sum_i w_i (m_i A_i - B_i)`` with
+    ``A_i = sum_{j<i} w_j``, ``B_i = sum_{j<i} w_j m_j`` — two cumsums on
+    the (small, static) sample axis, XLA-fusable, grads flow to both
+    ``weights`` and ``t_vals``.  Verified against the naive O(S^2) double
+    sum in tests/test_ops.py.
+
+    Args:
+        t_vals: (..., S) sorted sample positions along each ray.
+        weights: (..., S) compositing weights for those samples.
+    Returns:
+        Scalar: the mean per-ray distortion.
+    """
+    s = (t_vals - near) / (far - near)
+    delta = jnp.concatenate(
+        [s[..., 1:] - s[..., :-1], jnp.zeros_like(s[..., :1])], axis=-1
+    )
+    mid = s + 0.5 * delta
+    # exclusive prefix sums: A_i = sum_{j<i} w_j, B_i = sum_{j<i} w_j m_j
+    cw = jnp.cumsum(weights, axis=-1)
+    cwm = jnp.cumsum(weights * mid, axis=-1)
+    a = cw - weights
+    b = cwm - weights * mid
+    pairwise = 2.0 * jnp.sum(weights * (mid * a - b), axis=-1)
+    self_term = jnp.sum(jnp.square(weights) * delta, axis=-1) / 3.0
+    return jnp.mean(pairwise + self_term)

@@ -362,3 +362,50 @@ def test_dataset_to_ndc_bounds_and_shapes(rng):
     assert np.isfinite(out.origins).all() and np.isfinite(out.directions).all()
     # NDC origins sit on the near plane: z' = -1.
     np.testing.assert_allclose(out.origins[:, 2], -1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# distortion_loss (beyond-reference geometry regularizer, Mip-NeRF 360)
+# ---------------------------------------------------------------------------
+
+
+def test_distortion_loss_matches_naive_double_sum():
+    """The O(S) cumsum form equals the quadratic definition
+    sum_ij w_i w_j |m_i - m_j| + (1/3) sum_i w_i^2 delta_i on sorted
+    normalized midpoints."""
+    from nerf_keras_tpu.ops import distortion_loss
+
+    rng = np.random.default_rng(3)
+    near, far = 2.0, 6.0
+    t = np.sort(rng.uniform(near, far, (9, 13)), axis=-1)
+    w = rng.uniform(0.0, 0.3, (9, 13))
+    s = (t - near) / (far - near)
+    delta = np.concatenate([s[:, 1:] - s[:, :-1], np.zeros((9, 1))], axis=-1)
+    m = s + 0.5 * delta
+    pair = np.array([
+        np.sum(w[r][:, None] * w[r][None, :]
+               * np.abs(m[r][:, None] - m[r][None, :]))
+        for r in range(9)
+    ])
+    ref = float(np.mean(pair + np.sum(w ** 2 * delta, axis=-1) / 3.0))
+    got = float(distortion_loss(jnp.asarray(t), jnp.asarray(w), near, far))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_distortion_loss_prefers_compact_mass():
+    """A ray with its mass in one tight cluster must score lower than the
+    same total mass split into two distant clusters (the anti-floater
+    property the regularizer exists for)."""
+    from nerf_keras_tpu.ops import distortion_loss
+
+    t = jnp.linspace(2.0, 6.0, 32)[None, :]
+    compact = jnp.zeros((1, 32)).at[0, 15:17].set(0.5)
+    split = jnp.zeros((1, 32)).at[0, 2].set(0.5).at[0, 29].set(0.5)
+    l_compact = float(distortion_loss(t, compact, 2.0, 6.0))
+    l_split = float(distortion_loss(t, split, 2.0, 6.0))
+    assert l_compact < l_split
+    # and gradients flow into both weights and sample positions
+    gw = jax.grad(lambda w: distortion_loss(t, w, 2.0, 6.0))(split)
+    gt = jax.grad(lambda tv: distortion_loss(tv, split, 2.0, 6.0))(t)
+    assert float(jnp.abs(gw).max()) > 0
+    assert float(jnp.abs(gt).max()) > 0
