@@ -16,6 +16,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nerf_keras_tpu.config import NeRFConfig, config_name, load_config
@@ -24,6 +25,7 @@ from nerf_keras_tpu.engine.trainer import Trainer
 from nerf_keras_tpu.utils import io
 from nerf_keras_tpu.utils.cache import maybe_enable_compilation_cache
 from nerf_keras_tpu.utils.checkpoint import checkpoint_name, save_checkpoint
+from nerf_keras_tpu.utils.image_metrics import ssim
 from nerf_keras_tpu.utils.metrics import History
 from nerf_keras_tpu.utils.viz import save_panel
 
@@ -335,11 +337,6 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
             val_metrics = trainer.evaluate(
                 iterate_batches(val_ds, eval_bs, shuffle=False)
             )
-            print(
-                f"  val: loss={val_metrics['loss']:.5f} "
-                f"psnr={val_metrics['psnr']:.2f}"
-            )
-            history.append(metrics, val_metrics)
 
             # Render the first 2 val views for the panel, as the reference
             # does each eval (train_lego.py:184-197).
@@ -353,6 +350,23 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
                 depths.append(
                     out["depth_fine"].reshape(val_ds.height, val_ds.width)
                 )
+            # Frame-level SSIM on the panel views (beyond-reference metric;
+            # needs the 11x11 window to fit — skipped on tiny smoke scenes).
+            if min(val_ds.height, val_ds.width) >= 11:
+                val_metrics["ssim"] = float(np.mean([
+                    np.asarray(ssim(jnp.asarray(r),
+                                    jnp.asarray(val_ds.image(i))))
+                    for i, r in enumerate(rgbs)
+                ]))
+            ssim_txt = (
+                f" ssim={val_metrics['ssim']:.4f}"
+                if "ssim" in val_metrics else ""
+            )
+            print(
+                f"  val: loss={val_metrics['loss']:.5f} "
+                f"psnr={val_metrics['psnr']:.2f}{ssim_txt}"
+            )
+            history.append(metrics, val_metrics)
 
             if is_main:
                 io.makedirs(run_dir)

@@ -20,7 +20,7 @@ class History:
         self.losses_coarse: list[float] = []
         self.losses: list[float] = []
         self.psnrs: list[float] = []
-        self.val: dict[str, list[float]] = {"losses": [], "psnrs": []}
+        self.val: dict[str, list[float]] = {"losses": [], "psnrs": [], "ssims": []}
 
     def append(self, metrics: dict, val_metrics: dict | None = None) -> None:
         self.losses_coarse.append(float(metrics["loss_coarse"]))
@@ -29,6 +29,8 @@ class History:
         if val_metrics is not None:
             self.val["losses"].append(float(val_metrics["loss"]))
             self.val["psnrs"].append(float(val_metrics["psnr"]))
+            if "ssim" in val_metrics:
+                self.val["ssims"].append(float(val_metrics["ssim"]))
 
     def to_dict(self) -> dict:
         out = {
@@ -39,6 +41,9 @@ class History:
         if self.val["losses"]:
             out["val_losses"] = self.val["losses"]
             out["val_psnrs"] = self.val["psnrs"]
+        if self.val["ssims"]:
+            # beyond-reference key (reference history has loss/psnr only)
+            out["val_ssims"] = self.val["ssims"]
         return out
 
     def save(self, path: str) -> None:
@@ -57,4 +62,5 @@ class History:
         h.psnrs = list(raw.get("psnrs", []))
         h.val["losses"] = list(raw.get("val_losses", []))
         h.val["psnrs"] = list(raw.get("val_psnrs", []))
+        h.val["ssims"] = list(raw.get("val_ssims", []))
         return h
