@@ -57,6 +57,17 @@ def save_panel(
         f.write(buf.getvalue())
 
 
+def save_png(path: str, img: np.ndarray) -> None:
+    """Write a uint8 HxWx3 image as PNG through the fsspec IO layer
+    (local or gs://)."""
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.asarray(img)).save(buf, format="PNG")
+    with io.open_file(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
 def write_video(path: str, frames: list[np.ndarray], fps: int = 30) -> str:
     """Encode frames to mp4 (reference: imageio.mimwrite, inference.py:267).
 

@@ -1,0 +1,140 @@
+"""Held-out-view evaluation CLI (cli/evaluate.py, beyond-reference).
+
+The reference has no post-hoc checkpoint scoring at all; these pin the
+eval protocol end to end on the synthetic scene: per-view PSNR/SSIM,
+split means, JSON artifact, image dumps, and the accelerated-path knobs.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from nerf_keras_tpu.cli.evaluate import evaluate_views, run_evaluation
+from nerf_keras_tpu.config import load_config
+from nerf_keras_tpu.engine.step import init_train_state
+from nerf_keras_tpu.utils.checkpoint import save_checkpoint
+
+
+def _write_config(tmp_path, h=16, w=16, **extra):
+    cfg = {
+        "BATCH_SIZE": 64, "NS_COARSE": 4, "NS_FINE": 4,
+        "HEIGHT": h, "WIDTH": w, "L_XYZ": 2, "L_DIR": 1,
+        "NUM_LAYERS": 2, "HIDDEN_DIM": 16, "SKIP_LAYER": 4,
+        "EPOCHS": 1, "LEARNING_RATE": 0.0005, "BATCH_NORM": False,
+        "WITH_GCS": False, "COMPUTE_DTYPE": "float32",
+    }
+    cfg.update(extra)
+    path = tmp_path / "tiny.json"
+    path.write_text(json.dumps(cfg))
+    return str(path)
+
+
+def _make_ckpt(tmp_path, cfg_path):
+    cfg = load_config(cfg_path)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "tiny.ckpt.npz")
+    save_checkpoint(ckpt, state, cfg,
+                    scene={"near": 2.0, "far": 6.0, "focal": 19.2})
+    return ckpt
+
+
+def test_eval_json_and_images(tmp_path):
+    cfg_path = _write_config(tmp_path)
+    ckpt = _make_ckpt(tmp_path, cfg_path)
+    out = str(tmp_path / "eval.json")
+    img_dir = str(tmp_path / "imgs")
+
+    report = run_evaluation([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--data", "synthetic", "--split", "val",
+        "--chunk", "128", "--out", out, "--save-images", img_dir,
+    ])
+    # synthetic: 12 views, 80/20 split -> 3 val views (16x16 fits SSIM's
+    # 11x11 window).
+    assert len(report["views"]) == 3
+    for row in report["views"]:
+        assert np.isfinite(row["psnr"])
+        assert -1.0 <= row["ssim"] <= 1.0
+    assert set(report["mean"]) == {"mse", "psnr", "ssim"}
+    disk = json.load(open(out))
+    assert disk["mean"] == report["mean"]
+    assert disk["split"] == "val"
+    pngs = sorted(os.listdir(img_dir))
+    assert pngs == [
+        "val_000_gt.png", "val_000_pred.png",
+        "val_001_gt.png", "val_001_pred.png",
+        "val_002_gt.png", "val_002_pred.png",
+    ]
+
+
+def test_eval_ssim_skipped_below_window(tmp_path):
+    cfg_path = _write_config(tmp_path, h=10, w=10)
+    ckpt = _make_ckpt(tmp_path, cfg_path)
+    report = run_evaluation([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--data", "synthetic", "--chunk", "128",
+        "--out", str(tmp_path / "e.json"),
+    ])
+    assert "ssim" not in report["views"][0]
+    assert set(report["mean"]) == {"mse", "psnr"}
+
+
+def test_eval_train_split_and_default_out(tmp_path):
+    cfg_path = _write_config(tmp_path, h=12, w=12)
+    ckpt = _make_ckpt(tmp_path, cfg_path)
+    report = run_evaluation([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--data", "synthetic", "--split", "train", "--chunk", "128",
+    ])
+    assert len(report["views"]) == 9  # 80% of 12 views
+    assert os.path.exists(str(tmp_path / "eval_train.json"))
+
+
+def test_eval_trained_model_beats_random(tmp_path):
+    """A briefly-trained checkpoint must outscore random init — the
+    metric actually measures the model."""
+    from nerf_keras_tpu.cli.train import run_training
+    from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
+
+    cfg_path = _write_config(
+        tmp_path, h=16, w=16, EPOCHS=3, LEARNING_RATE=0.002,
+        NS_COARSE=8, NS_FINE=8, NUM_LAYERS=3, HIDDEN_DIM=32,
+    )
+    run_dir = str(tmp_path / "run")
+    run_training(
+        lambda h, w, data_dir=None: prepare_synthetic_data(h, w),
+        cfg_path, default_eval_every=5,
+        argv=["--config", cfg_path, "--run-dir", run_dir],
+    )
+    trained = run_evaluation([
+        "--config", cfg_path, "--checkpoint", run_dir,
+        "--data", "synthetic", "--chunk", "256",
+        "--out", str(tmp_path / "trained.json"),
+    ])
+    random = run_evaluation([
+        "--config", cfg_path, "--checkpoint", _make_ckpt(tmp_path, cfg_path),
+        "--data", "synthetic", "--chunk", "256",
+        "--out", str(tmp_path / "random.json"),
+    ])
+    assert trained["mean"]["psnr"] > random["mean"]["psnr"] + 1.0
+    assert trained["mean"]["ssim"] > random["mean"]["ssim"]
+
+
+def test_eval_quant_and_proposal_paths(tmp_path):
+    """--quant int8 / --sampler proposal run ungated and report their own
+    quality; the report rows keep the same schema."""
+    cfg_path = _write_config(tmp_path, h=16, w=16)
+    ckpt = _make_ckpt(tmp_path, cfg_path)
+    report = run_evaluation([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--data", "synthetic", "--chunk", "128",
+        "--quant", "int8", "--sampler", "proposal",
+        "--proposal-steps", "5",
+        "--out", str(tmp_path / "q.json"),
+    ])
+    assert report["quant"] == "int8"
+    assert report["sampler"] == "proposal"
+    assert np.isfinite(report["mean"]["psnr"])
