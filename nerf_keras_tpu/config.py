@@ -106,7 +106,10 @@ class NeRFConfig:
     #         reference has no geometry regularizer).  Requires the XLA
     #         train path (USE_PALLAS=false): the fused megakernel's
     #         backward covers the rgb outputs only, so weight-gradients
-    #         through it are stopped.
+    #         through it are stopped.  Measured (80-epoch flagship A/B,
+    #         docs/evidence/distortion_ab.json): 1e-3 gains +1.6 dB val
+    #         PSNR over the unregularized arm; 1e-2 over-regularizes
+    #         (-3 dB).  Start at 1e-3.
     lr_final: float | None = None  # enables exponential learning-rate decay
     #         from LEARNING_RATE down to LR_FINAL over LR_DECAY_STEPS
     #         optimizer steps (the original NeRF's lrate_decay treatment;
