@@ -103,10 +103,10 @@ class NeRFConfig:
     #         weights (ops/volume.distortion_loss): pulls each ray's mass
     #         into one compact cluster (anti-floater / anti-background-
     #         collapse).  0 (default) disables — reference parity (the
-    #         reference has no geometry regularizer).  Requires the XLA
-    #         train path (USE_PALLAS=false): the fused megakernel's
-    #         backward covers the rgb outputs only, so weight-gradients
-    #         through it are stopped.  Measured (80-epoch flagship A/B,
+    #         reference has no geometry regularizer).  Runs on BOTH train
+    #         paths: the fused megakernel accepts a weights cotangent
+    #         (render_rays_fused weights_grad) so the regularizer rides
+    #         the fast path too.  Measured (80-epoch flagship A/B,
     #         docs/evidence/distortion_ab.json): 1e-3 gains +1.6 dB val
     #         PSNR over the unregularized arm; 1e-2 over-regularizes
     #         (-3 dB).  Start at 1e-3.
@@ -226,13 +226,6 @@ class NeRFConfig:
             raise ValueError(
                 f"DISTORTION_LOSS_MULT must be >= 0, got "
                 f"{self.distortion_loss_mult}"
-            )
-        if self.distortion_loss_mult > 0 and self.use_pallas:
-            raise ValueError(
-                "DISTORTION_LOSS_MULT needs weight-gradients, which the "
-                "fused Pallas backward does not produce (rgb only); use "
-                "USE_PALLAS=false (the Trainer auto-resolves this when "
-                "USE_PALLAS is left unset)"
             )
         if self.lr_final is not None:
             if not 0.0 < self.lr_final <= self.learning_rate:

@@ -294,7 +294,9 @@ def make_forward_pass(
     return forward
 
 
-def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
+def _make_fused_train_forward(
+    cfg: NeRFConfig, mesh=None, want_weights: bool = False
+) -> Callable:
     """Training forward for the fully fused Pallas path: each pass is ONE
     ray megakernel (ops/pallas/fused_render.py:render_rays_fused) — sample
     expansion, Fourier encoding, the MLP and alpha compositing all stay in
@@ -302,6 +304,13 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
     predictions/cotangents ever touch HBM.  Valid only with detached
     importance sampling (``stop_pdf_gradient``); returns
     ``(rgb_coarse, rgb_fine)``.
+
+    ``want_weights=True`` (the distortion-regularized step): the FINE
+    pass runs with ``weights_grad=True`` — its weights output is
+    differentiable through the kernel's weights-cotangent path — and the
+    forward returns ``(rgb_coarse, rgb_fine, t_all, w_fine)``.  The
+    coarse pass stays on the zero-cotangent variant (its weights feed
+    only the detached importance sampling).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -310,25 +319,31 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
 
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    def render(params, origins, dirs, t_vals):
-        # Raw rays in: the megakernel expands/encodes in VMEM on both the
-        # forward and the backward recompute — XLA-side encodings would
-        # materialize lane-padded to 128 and their producer fusions are
-        # tile-padded VPU loops (docs/PERF.md round-2 section).
-        return render_rays_fused(
-            params, origins, dirs, t_vals,
-            l_xyz=cfg.l_xyz, l_dir=cfg.l_dir,
-            compute_dtype=compute_dtype, skip_layer=cfg.skip_layer,
-        )
+    def _make_render(weights_grad: bool):
+        def render(params, origins, dirs, t_vals):
+            # Raw rays in: the megakernel expands/encodes in VMEM on both
+            # the forward and the backward recompute — XLA-side encodings
+            # would materialize lane-padded to 128 and their producer
+            # fusions are tile-padded VPU loops (docs/PERF.md round-2).
+            return render_rays_fused(
+                params, origins, dirs, t_vals,
+                l_xyz=cfg.l_xyz, l_dir=cfg.l_dir,
+                compute_dtype=compute_dtype, skip_layer=cfg.skip_layer,
+                weights_grad=weights_grad,
+            )
 
-    if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
-        render = jax.shard_map(
-            render,
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            check_vma=False,
-        )
+        if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+            render = jax.shard_map(
+                render,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                check_vma=False,
+            )
+        return render
+
+    render = _make_render(False)
+    render_fine = _make_render(True) if want_weights else render
 
     def forward(params, key, ray_origins, ray_directions, t_vals):
         rgb_coarse, weights_coarse = render(
@@ -348,7 +363,11 @@ def _make_fused_train_forward(cfg: NeRFConfig, mesh=None) -> Callable:
         )
         t_all = sorted_union(t_vals, t_fine)
 
-        rgb_fine, _ = render(params["fine"], ray_origins, ray_directions, t_all)
+        rgb_fine, w_fine = render_fine(
+            params["fine"], ray_origins, ray_directions, t_all
+        )
+        if want_weights:
+            return rgb_coarse, rgb_fine, t_all, w_fine
         return rgb_coarse, rgb_fine
 
     return forward
@@ -424,13 +443,21 @@ def _make_fused_eval_forward(cfg: NeRFConfig, mesh=None) -> Callable:
     return forward
 
 
-def _make_pass_fn(cfg: NeRFConfig, mesh=None, quant: bool = False) -> Callable:
+def _make_pass_fn(
+    cfg: NeRFConfig, mesh=None, quant: bool = False,
+    weights_grad: bool = False,
+) -> Callable:
     """One MLP render pass ``(params, origins, dirs, t_vals) -> (rgb,
     weights)`` — Pallas megakernel or XLA per ``cfg.use_pallas``, float or
     int8 per ``quant``, shard_map'd over the data mesh axis when it spans
     more than one device.  ``params`` is one model's params (float) or
     one model's qparams (int8).  Shared by the quant render path and the
-    proposal-sampler fine pass."""
+    proposal-sampler fine pass.
+
+    ``weights_grad=True`` (float Pallas only): the weights output stays
+    differentiable — needed when a weight-space loss (distortion)
+    consumes it.  The XLA pass is always differentiable; int8 is
+    inference-only."""
     from jax.sharding import PartitionSpec as P
 
     from nerf_keras_tpu.parallel.mesh import DATA_AXIS
@@ -471,6 +498,7 @@ def _make_pass_fn(cfg: NeRFConfig, mesh=None, quant: bool = False) -> Callable:
                     p, origins, dirs, t_vals,
                     l_xyz=cfg.l_xyz, l_dir=cfg.l_dir,
                     compute_dtype=compute_dtype, skip_layer=cfg.skip_layer,
+                    weights_grad=weights_grad,
                 )
         else:
             from nerf_keras_tpu.models.mlp import apply_nerf_mlp
@@ -628,7 +656,10 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             proposal_weights,
         )
 
-        fine_pass = _make_pass_fn(cfg, mesh=mesh)
+        fine_pass = _make_pass_fn(
+            cfg, mesh=mesh,
+            weights_grad=cfg.distortion_loss_mult > 0.0,
+        )
 
         def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
             w_prop = proposal_weights(
@@ -694,8 +725,9 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             loss = loss_fine + cfg.prop_loss_mult * loss_prop
             if cfg.distortion_loss_mult > 0.0:
                 # Undetached w_fine: distortion needs gradients into the
-                # fine density head (config validation keeps this off the
-                # Pallas path, whose weights output is stop-gradiented).
+                # fine density head (the fused kernel provides them via
+                # its weights-cotangent path when the pass was built with
+                # weights_grad=True; the jnp path natively).
                 loss = loss + cfg.distortion_loss_mult * distortion_loss(
                     t_all, w_fine, near, far
                 )
@@ -705,15 +737,24 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             # prints) work unchanged.
             return loss, (loss_prop, loss_fine, rgb_fine, bn)
     elif fused_render:
-        fwd_fused = _make_fused_train_forward(cfg, mesh)
+        want_dist = cfg.distortion_loss_mult > 0.0
+        fwd_fused = _make_fused_train_forward(cfg, mesh,
+                                              want_weights=want_dist)
 
         def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
-            rgb_coarse, rgb_fine = fwd_fused(
-                params, key_pdf, origins, dirs, t_vals
-            )
+            res = fwd_fused(params, key_pdf, origins, dirs, t_vals)
+            rgb_coarse, rgb_fine = res[0], res[1]
             loss_coarse = mse(images, rgb_coarse)
             loss_fine = mse(images, rgb_fine)
-            return loss_coarse + loss_fine, (loss_coarse, loss_fine, rgb_fine, bn)
+            loss = loss_coarse + loss_fine
+            if want_dist:
+                # res = (rgb_c, rgb_f, t_all, w_fine); w_fine is
+                # differentiable through the megakernel's weights-
+                # cotangent backward (render_rays_fused weights_grad).
+                loss = loss + cfg.distortion_loss_mult * distortion_loss(
+                    res[2], res[3], near, far
+                )
+            return loss, (loss_coarse, loss_fine, rgb_fine, bn)
     else:
         want_dist = cfg.distortion_loss_mult > 0.0
         forward = make_forward_pass(cfg, mesh, return_t_fine=want_dist)

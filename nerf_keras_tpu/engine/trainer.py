@@ -51,9 +51,6 @@ class Trainer:
                 jax.default_backend() == "tpu"
                 and not cfg.batch_norm
                 and cfg.mesh_model == 1
-                # distortion loss needs weight-gradients; the fused
-                # backward covers rgb only
-                and cfg.distortion_loss_mult == 0.0
             )
             cfg = dataclasses.replace(cfg, use_pallas=auto)
         if cfg.use_pallas and cfg.batch_norm:

@@ -250,9 +250,17 @@ def _bwd_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
 
 
 def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, at_ref, b_ref,
-              num_layers, skip_layer, compute_dtype, hidden, r, s):
+              num_layers, skip_layer, compute_dtype, hidden, r, s,
+              gw_ref=None):
     """Shared backward tile body: recompute forward, volume-render VJP,
-    MLP reverse walk accumulating dW/db across grid steps."""
+    MLP reverse walk accumulating dW/db across grid steps.
+
+    ``gw_ref`` (optional, (R, S)): an EXTERNAL cotangent on the
+    compositing weights themselves — weight-space losses (the distortion
+    regularizer, opacity/entropy penalties) differentiate through the
+    kernel's weights output.  It seeds ``dw_sum``, so the existing
+    dalpha/dsigma chain propagates it to the density head for free; rgb
+    logits are untouched (weights do not feed them)."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for ref in dw_refs:
@@ -269,7 +277,10 @@ def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, at_ref, b_ref,
     # d(rgb_out)/d(rgb_s) and /d(weights_s):
     #   rgb_out[c] = sum_s w_s * rgb_s[c]
     dlogits = []
-    dw_sum = jnp.zeros((r, s), jnp.float32)
+    if gw_ref is None:
+        dw_sum = jnp.zeros((r, s), jnp.float32)
+    else:
+        dw_sum = gw_ref[:].astype(jnp.float32)
     for c in range(3):
         rgb_c = rgb_rs[c]
         dc = drgb_out[:, c:c + 1]  # (R, 1) broadcasts over S
@@ -302,13 +313,20 @@ def _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref, a_ref, at_ref, b_ref,
 
 
 def _bwd_encode_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
-                       dx, dd, o_ref, d_ref, t_ref, g_ref,
-                       a_ref, at_ref, b_ref, ex_ref, ed_ref, *refs):
+                       dx, dd, has_gw, o_ref, d_ref, t_ref, g_ref, *rest):
     """Backward over raw rays: re-run the in-VMEM expand + Fourier encode
     (see _fwd_encode_kernel for why XLA-side encodings are a trap), then
     the shared backward core.  Encoding transcendentals thus run twice per
     step (fwd + this recompute) — measured cheaper than the lane-padded
-    XLA encode chain they replace (docs/PERF.md round-2 section)."""
+    XLA encode chain they replace (docs/PERF.md round-2 section).
+
+    ``has_gw``: an extra (R, S) weights-cotangent operand follows
+    ``g_ref`` (the ``weights_grad`` path)."""
+    if has_gw:
+        gw_ref, a_ref, at_ref, b_ref, ex_ref, ed_ref, *refs = rest
+    else:
+        gw_ref = None
+        a_ref, at_ref, b_ref, ex_ref, ed_ref, *refs = rest
     n_w = _n_flat(num_layers)
     wr = refs[:n_w]
     dw_refs = refs[n_w:]
@@ -318,19 +336,27 @@ def _bwd_encode_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
     )
     _bwd_core(wr, dw_refs, x_enc, d_enc, t_ref, g_ref,
               a_ref, at_ref, b_ref,
-              num_layers, skip_layer, compute_dtype, hidden, r, s)
+              num_layers, skip_layer, compute_dtype, hidden, r, s,
+              gw_ref=gw_ref)
 
 
 def _bwd_xres_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
-                     dd, d_ref, t_ref, g_ref, x_ref,
-                     a_ref, at_ref, b_ref, ed_ref, *refs):
+                     dd, has_gw, d_ref, t_ref, g_ref, *rest):
     """Backward with position encodings as residuals (``bwd_mode=
     "residual"``): the forward already wrote the expensive (R*S, 63)
     position encodings to HBM; the per-RAY direction features are merely
     re-encoded here in VMEM (R transcendental rows, S x fewer than the
     sample count) and expanded with the exact selector — so the direction
     residual's lane-padded (R*S, 128-tile) HBM write+read is skipped for
-    ~zero recompute."""
+    ~zero recompute.
+
+    ``has_gw``: an extra (R, S) weights-cotangent operand follows
+    ``g_ref`` (the ``weights_grad`` path)."""
+    if has_gw:
+        gw_ref, x_ref, a_ref, at_ref, b_ref, ed_ref, *refs = rest
+    else:
+        gw_ref = None
+        x_ref, a_ref, at_ref, b_ref, ed_ref, *refs = rest
     n_w = _n_flat(num_layers)
     wr = refs[:n_w]
     dw_refs = refs[n_w:]
@@ -339,7 +365,8 @@ def _bwd_xres_kernel(num_layers, skip_layer, compute_dtype, hidden, r, s,
     ).astype(compute_dtype)
     _bwd_core(wr, dw_refs, x_ref[:], d_enc, t_ref, g_ref,
               a_ref, at_ref, b_ref,
-              num_layers, skip_layer, compute_dtype, hidden, r, s)
+              num_layers, skip_layer, compute_dtype, hidden, r, s,
+              gw_ref=gw_ref)
 
 
 def _const_spec(w) -> pl.BlockSpec:
@@ -632,7 +659,8 @@ def _fused_render_rays(static, origins, dirs, t_vals, *flat_params):
 
 def _fused_render_rays_fwd_impl(static, origins, dirs, t_vals, flat_params,
                                 emit_enc=False):
-    num_layers, skip_layer, cdt_name, r_fwd, _, l_xyz, l_dir, _mode = static
+    (num_layers, skip_layer, cdt_name, r_fwd, _, l_xyz, l_dir, _mode,
+     _wgrad) = static
     cdt = jnp.dtype(cdt_name)
     b, s = t_vals.shape
     b_pad = ((b + r_fwd - 1) // r_fwd) * r_fwd
@@ -692,7 +720,7 @@ def _fused_render_rays_fwd_impl(static, origins, dirs, t_vals, flat_params,
 
 
 def _fused_render_rays_fwd(static, origins, dirs, t_vals, *flat_params):
-    mode = static[-1]
+    mode = static[7]
     if mode == "residual":
         rgb, weights, x2 = _fused_render_rays_fwd_impl(
             static, origins, dirs, t_vals, flat_params, emit_enc=True
@@ -711,7 +739,7 @@ def _fused_render_rays_fwd(static, origins, dirs, t_vals, *flat_params):
 
 def _fused_render_rays_bwd(static, residuals, g):
     prim, t_vals, flat_params = residuals
-    if static[-1] == "residual":
+    if static[7] == "residual":
         x2, dirs = prim
         dws = _fused_render_xres_bwd(static, x2, dirs, t_vals,
                                      flat_params, g)
@@ -730,9 +758,12 @@ def _fused_render_xres_bwd(static, x_enc, dirs, t_vals, flat_params, g):
     """Backward for ``bwd_mode="residual"``: position encodings arrive as
     residuals, direction features are re-encoded per ray in VMEM
     (:func:`_bwd_xres_kernel`).  Returns the dW list."""
-    num_layers, skip_layer, cdt_name, _, r_bwd, _l_xyz, l_dir, _mode = static
+    (num_layers, skip_layer, cdt_name, _, r_bwd, _l_xyz, l_dir, _mode,
+     wgrad) = static
     cdt = jnp.dtype(cdt_name)
-    g_rgb, _g_weights = g  # weights cotangent structurally zero (detached)
+    # Without weights_grad the weights output is stop-gradiented by the
+    # wrapper, so its cotangent is structurally zero and never loaded.
+    g_rgb, g_weights = g
     b, s = t_vals.shape
     b_pad = ((b + r_bwd - 1) // r_bwd) * r_bwd
     grid = b_pad // r_bwd
@@ -750,10 +781,17 @@ def _fused_render_xres_bwd(static, x_enc, dirs, t_vals, flat_params, g):
     ed, dd = _encode_consts(3, l_dir)
     ed = jnp.asarray(ed)
 
+    gw_ops, gw_specs = [], []
+    if wgrad:
+        gw_ops = [_pad_rays(g_weights.astype(jnp.float32), b_pad)]
+        gw_specs = [pl.BlockSpec((r_bwd, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                  for w in flat_params]
     kernel = functools.partial(
-        _bwd_xres_kernel, num_layers, skip_layer, cdt, hidden, r_bwd, s, dd
+        _bwd_xres_kernel, num_layers, skip_layer, cdt, hidden, r_bwd, s, dd,
+        wgrad,
     )
     outs = pl.pallas_call(
         kernel,
@@ -765,6 +803,7 @@ def _fused_render_xres_bwd(static, x_enc, dirs, t_vals, flat_params, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            *gw_specs,
             pl.BlockSpec((tile, x2.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(sel_a),
@@ -780,15 +819,16 @@ def _fused_render_xres_bwd(static, x_enc, dirs, t_vals, flat_params, g):
             vmem_limit_bytes=_vmem_cap(tile)
         ),
         interpret=_should_interpret(),
-    )(d2, t2, g2, x2, sel_a, sel_at, sel_b, ed, *flat_params)
+    )(d2, t2, g2, *gw_ops, x2, sel_a, sel_at, sel_b, ed, *flat_params)
     return [dv.astype(w.dtype) for w, dv in zip(flat_params, outs)]
 
 
 def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
                                      flat_params, g):
-    num_layers, skip_layer, cdt_name, _, r_bwd, l_xyz, l_dir, _mode = static
+    (num_layers, skip_layer, cdt_name, _, r_bwd, l_xyz, l_dir, _mode,
+     wgrad) = static
     cdt = jnp.dtype(cdt_name)
-    g_rgb, _g_weights = g  # weights cotangent structurally zero (detached)
+    g_rgb, g_weights = g  # weights cotangent zero unless weights_grad
     b, s = t_vals.shape
     b_pad = ((b + r_bwd - 1) // r_bwd) * r_bwd
     grid = b_pad // r_bwd
@@ -801,11 +841,17 @@ def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
     ed, dd = _encode_consts(3, l_dir)
     ex, ed = jnp.asarray(ex), jnp.asarray(ed)
 
+    gw_ops, gw_specs = [], []
+    if wgrad:
+        gw_ops = [_pad_rays(g_weights.astype(jnp.float32), b_pad)]
+        gw_specs = [pl.BlockSpec((r_bwd, s), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                  for w in flat_params]
     kernel = functools.partial(
         _bwd_encode_kernel, num_layers, skip_layer, cdt, hidden, r_bwd, s,
-        dx, dd,
+        dx, dd, wgrad,
     )
     outs = pl.pallas_call(
         kernel,
@@ -814,6 +860,7 @@ def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
             *_ray_specs(r_bwd, s),
             pl.BlockSpec((r_bwd, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            *gw_specs,
             _const_spec(sel_a),
             _const_spec(sel_at),
             _const_spec(sel_b),
@@ -828,7 +875,7 @@ def _fused_render_rays_bwd_recompute(static, origins, dirs, t_vals,
             vmem_limit_bytes=_vmem_cap(r_bwd * s)
         ),
         interpret=_should_interpret(),
-    )(o2, d2, t2, g2, sel_a, sel_at, sel_b, ex, ed, *flat_params)
+    )(o2, d2, t2, g2, *gw_ops, sel_a, sel_at, sel_b, ex, ed, *flat_params)
     dws = [dv.astype(w.dtype) for w, dv in zip(flat_params, outs)]
     return (
         jnp.zeros_like(origins),
@@ -854,6 +901,7 @@ def render_rays_fused(
     max_tile_fwd: int | None = None,
     max_tile_bwd: int | None = None,
     bwd_mode: str = "residual",
+    weights_grad: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Ray megakernel over raw rays: sample positions, Fourier encoding,
     the full MLP, and alpha compositing never leave VMEM.
@@ -881,9 +929,15 @@ def render_rays_fused(
     Returns:
         ``(rgb, weights)``: ``(B, 3)`` f32 composited color
         (differentiable w.r.t. the MLP parameters) and ``(B, S)`` f32
-        compositing weights (forward value only — their cotangent is
-        treated as zero, correct solely under detached importance
-        sampling; stop_gradient makes that explicit).
+        compositing weights.  By default the weights are forward values
+        only — their cotangent is treated as zero, correct solely under
+        detached importance sampling; stop_gradient makes that explicit.
+        With ``weights_grad=True`` the weights output is differentiable
+        too: the backward loads a (B, S) external weights cotangent and
+        seeds the compositing VJP with it (one extra f32 operand, ~3 MB
+        at the flagship step) — this is what lets weight-space losses
+        (DISTORTION_LOSS_MULT) run at megakernel speed instead of
+        forcing the XLA train path.
     """
     if bwd_mode not in ("residual", "recompute"):
         raise ValueError(f"unknown bwd_mode: {bwd_mode!r}")
@@ -904,10 +958,12 @@ def render_rays_fused(
     static = (
         num_layers, skip_layer, cdt.name,
         _rays_per_tile(s, max_tile_fwd), _rays_per_tile(s, max_tile_bwd),
-        l_xyz, l_dir, bwd_mode,
+        l_xyz, l_dir, bwd_mode, bool(weights_grad),
     )
     rgb, weights = _fused_render_rays(static, origins, directions, t_vals,
                                       *flat)
+    if weights_grad:
+        return rgb, weights
     return rgb, jax.lax.stop_gradient(weights)
 
 

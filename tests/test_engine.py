@@ -778,10 +778,14 @@ def test_distortion_loss_trains_and_compacts_weights():
     assert d_r < d_b, (d_r, d_b)
 
 
-def test_distortion_rejects_pallas_path():
+def test_distortion_allowed_on_pallas_path():
+    """The fused megakernel supports the distortion regularizer via its
+    weights-cotangent backward (render_rays_fused weights_grad) — the
+    combination validates; step parity is pinned in
+    tests/test_pallas.py::test_fused_train_step_with_distortion_matches_xla."""
     import dataclasses
 
-    with pytest.raises(ValueError, match="DISTORTION_LOSS_MULT"):
-        dataclasses.replace(
-            CFG, distortion_loss_mult=0.01, use_pallas=True
-        ).validate()
+    cfg = dataclasses.replace(
+        CFG, distortion_loss_mult=0.01, use_pallas=True
+    ).validate()
+    assert cfg.distortion_loss_mult == 0.01 and cfg.use_pallas
