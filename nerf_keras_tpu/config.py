@@ -110,6 +110,15 @@ class NeRFConfig:
     #         docs/evidence/distortion_ab.json): 1e-3 gains +1.6 dB val
     #         PSNR over the unregularized arm; 1e-2 over-regularizes
     #         (-3 dB).  Start at 1e-3.
+    white_bkgd: bool = False  # composite rays onto a WHITE background:
+    #         rgb' = rgb + (1 - sum(weights)) (vanilla NeRF's Blender-set
+    #         treatment, ops/volume.composite_background).  The reference
+    #         always composites onto black, forcing the model to explain
+    #         white background pixels with a glowing shell/fog — off by
+    #         default for parity.  Applies to every path (train losses,
+    #         eval, float/int8/proposal renders); on the fused train path
+    #         the (1 - acc) term's weight-gradients ride the megakernel's
+    #         weights-cotangent backward.
     lr_final: float | None = None  # enables exponential learning-rate decay
     #         from LEARNING_RATE down to LR_FINAL over LR_DECAY_STEPS
     #         optimizer steps (the original NeRF's lrate_decay treatment;
@@ -282,6 +291,7 @@ _KEY_MAP = {
     "PROP_EXPLORE": "prop_explore",
     "PROP_UNION": "prop_union",
     "DISTORTION_LOSS_MULT": "distortion_loss_mult",
+    "WHITE_BKGD": "white_bkgd",
     "LR_FINAL": "lr_final",
     "LR_DECAY_STEPS": "lr_decay_steps",
     "EMA_DECAY": "ema_decay",

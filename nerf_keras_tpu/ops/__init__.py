@@ -15,7 +15,11 @@ from nerf_keras_tpu.ops.rays import (
     get_rotation_phi,
     get_rotation_theta,
 )
-from nerf_keras_tpu.ops.volume import distortion_loss, volume_render
+from nerf_keras_tpu.ops.volume import (
+    composite_background,
+    distortion_loss,
+    volume_render,
+)
 from nerf_keras_tpu.ops.sampling import generate_t_vals, sample_pdf, sorted_union
 
 __all__ = [
@@ -28,6 +32,7 @@ __all__ = [
     "get_rotation_phi",
     "get_rotation_theta",
     "volume_render",
+    "composite_background",
     "distortion_loss",
     "generate_t_vals",
     "sample_pdf",

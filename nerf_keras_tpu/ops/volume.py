@@ -64,6 +64,28 @@ def volume_render(
     return rgb_out, depth, weights
 
 
+def composite_background(
+    rgb: jnp.ndarray, weights: jnp.ndarray, bkgd: float = 1.0
+) -> jnp.ndarray:
+    """Compose a rendered ray color onto a solid background
+    (vanilla NeRF's ``white_bkgd``; absent from the reference, which
+    always composites onto black):
+
+    .. math:: c' = c + (1 - \\sum_s w_s) \\cdot b
+
+    On scenes photographed/rendered over a known background (the Blender
+    sets are white) this frees the model from fitting a glowing shell or
+    fog to explain background pixels — empty space can stay empty.
+
+    Args:
+        rgb: ``(..., 3)`` black-composited color.
+        weights: ``(..., S)`` compositing weights for the same rays.
+        bkgd: background intensity (1.0 = white).
+    """
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
+    return rgb + (1.0 - acc) * bkgd
+
+
 def distortion_loss(
     t_vals: jnp.ndarray,
     weights: jnp.ndarray,

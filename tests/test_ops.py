@@ -409,3 +409,27 @@ def test_distortion_loss_prefers_compact_mass():
     gt = jax.grad(lambda tv: distortion_loss(tv, split, 2.0, 6.0))(t)
     assert float(jnp.abs(gw).max()) > 0
     assert float(jnp.abs(gt).max()) > 0
+
+
+def test_composite_background_math_and_grads():
+    """rgb' = rgb + (1 - acc) * bkgd, and gradients flow into weights."""
+    from nerf_keras_tpu.ops import composite_background
+
+    rng = np.random.default_rng(4)
+    rgb = jnp.asarray(rng.uniform(0, 1, (7, 3)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 0.1, (7, 13)).astype(np.float32))
+    out = composite_background(rgb, w)
+    want = np.asarray(rgb) + (1.0 - np.asarray(w).sum(-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+    # fully opaque ray: unchanged; fully empty ray: white
+    full = jnp.zeros((1, 13)).at[0, 0].set(1.0)
+    np.testing.assert_allclose(
+        np.asarray(composite_background(rgb[:1], full)), np.asarray(rgb[:1]),
+        atol=1e-7,
+    )
+    empty = jnp.zeros((1, 13))
+    np.testing.assert_allclose(
+        np.asarray(composite_background(rgb[:1] * 0, empty)), 1.0, atol=1e-7
+    )
+    g = jax.grad(lambda w_: jnp.sum(composite_background(rgb, w_)))(w)
+    np.testing.assert_allclose(np.asarray(g), -3.0, rtol=1e-6)  # -bkgd per channel

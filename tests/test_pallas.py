@@ -720,3 +720,44 @@ def test_fused_train_step_with_distortion_matches_xla():
         np.testing.assert_allclose(
             out[True][k], out[False][k], rtol=2e-4, atol=1e-5,
         )
+
+
+def test_fused_train_step_white_bkgd_matches_xla():
+    """WHITE_BKGD (+ distortion) on the Pallas path: the (1 - acc)
+    background term's weight-gradients ride the weights-cotangent
+    backward on BOTH passes; step metrics match the XLA path."""
+    import dataclasses
+
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    cfg = NeRFConfig(
+        batch_size=32, ns_coarse=4, ns_fine=4, height=8, width=8,
+        l_xyz=3, l_dir=2, num_layers=2, hidden_dim=16, skip_layer=4,
+        compute_dtype="float32", white_bkgd=True,
+        distortion_loss_mult=0.02, stop_pdf_gradient=True,
+    ).validate()
+
+    rng = np.random.default_rng(6)
+    imgs = rng.uniform(size=(32, 3)).astype(np.float32)
+    o = np.tile(np.array([0, 0, 4.0], np.float32), (32, 1))
+    d = rng.normal(size=(32, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = (imgs, o, d)
+
+    out = {}
+    for use_pallas in (True, False):
+        c = dataclasses.replace(cfg, use_pallas=use_pallas).validate()
+        tr = Trainer(c, 2.0, 6.0)
+        for _ in range(3):
+            m = tr.train_step(tr.put_batch(batch))
+        out[use_pallas] = {k: float(v) for k, v in m.items()}
+        # eval + render paths compose the background identically
+        e = tr.eval_step(tr.put_global_batch(batch))
+        out[use_pallas]["eval_loss"] = float(e["loss"])
+        r = tr.render_rays(o, d, chunk=32, keys=("rgb_fine",))
+        out[use_pallas]["rgb0"] = float(np.mean(r["rgb_fine"]))
+    for k in ("loss", "loss_coarse", "psnr", "eval_loss", "rgb0"):
+        np.testing.assert_allclose(
+            out[True][k], out[False][k], rtol=2e-4, atol=1e-5,
+        )

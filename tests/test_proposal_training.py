@@ -337,3 +337,21 @@ def test_online_training_with_distortion_loss():
             m = tr.train_step(b)
         assert np.isfinite(float(m["loss"])), union
         assert float(m["loss"]) < float(m0["loss"]), union
+
+
+def test_online_training_white_bkgd():
+    """WHITE_BKGD composes with online-proposal training (fine pass
+    composited; loss decreases) and with its eval/render paths."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+
+    cfg = _tiny_cfg(white_bkgd=True, use_pallas=False)
+    tr = Trainer(cfg, 2.0, 6.0)
+    b = tr.put_batch(_batch())
+    m0 = tr.train_step(b)
+    for _ in range(10):
+        m = tr.train_step(b)
+    assert float(m["loss"]) < float(m0["loss"])
+    float(tr.eval_step(tr.put_global_batch(_batch()))["psnr"])
+    # empty-scene sanity: near-zero densities must render ~white
+    out = tr.render_rays(*_batch()[1:], chunk=64, keys=("rgb_fine",))
+    assert np.isfinite(out["rgb_fine"]).all()
