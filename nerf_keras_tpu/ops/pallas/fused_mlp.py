@@ -86,6 +86,16 @@ def _n_flat(num_layers: int) -> int:
     return 2 * num_layers + 6
 
 
+def _mlp_precision(compute_dtype):
+    """HIGHEST for f32 configs (Mosaic would silently one-pass-bf16
+    truncate them at DEFAULT), DEFAULT for bf16 (native MXU input)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(compute_dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
     """Evaluate the full MLP on one (T, xyz) tile; returns (T, 4) f32 preds
     and the per-layer inputs (for the backward's recompute).
@@ -93,6 +103,11 @@ def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
     Mirrors models/mlp.py:apply_nerf_mlp exactly (minus BatchNorm, which the
     Pallas path does not support — config validation rejects the combo).
     """
+    # COMPUTE_DTYPE=float32 must mean true f32: Mosaic (like XLA-TPU)
+    # one-pass-bf16-truncates f32 dot operands at DEFAULT precision, so
+    # the parity dtype pins HIGHEST (same rule as models/mlp._dense).
+    # bf16 operands are the MXU's native input — precision is moot there.
+    prec = _mlp_precision(compute_dtype)
     hidden = wr[0].shape[1]
     acts = []  # input to each trunk layer, in compute dtype
     x = x_enc.astype(compute_dtype)
@@ -100,7 +115,8 @@ def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
     for i in range(num_layers):
         w, b = wr[2 * i], wr[2 * i + 1]
         acts.append(x)
-        h = jnp.dot(x, w[:], preferred_element_type=jnp.float32) + b[:]
+        h = jnp.dot(x, w[:], preferred_element_type=jnp.float32,
+                    precision=prec) + b[:]
         h = jnp.maximum(h, 0.0).astype(compute_dtype)
         if _is_skip(i, skip_layer):
             x = jnp.concatenate([h, x_skip], axis=-1)
@@ -113,15 +129,18 @@ def _forward_tile(wr, x_enc, d_enc, num_layers, skip_layer, compute_dtype):
 
     # Merged feature+sigma head (see _flatten_params): columns [:hidden]
     # are the feature layer, column [hidden] is sigma.
-    fs = jnp.dot(x, w_fs[:], preferred_element_type=jnp.float32) + b_fs[:]
+    fs = jnp.dot(x, w_fs[:], preferred_element_type=jnp.float32,
+                 precision=prec) + b_fs[:]
     feat = fs[:, :hidden]
     sigma = fs[:, hidden:]
     fd = jnp.concatenate(
         [feat.astype(compute_dtype), d_enc.astype(compute_dtype)], axis=-1
     )
-    h2 = jnp.dot(fd, w_br[:], preferred_element_type=jnp.float32) + b_br[:]
+    h2 = jnp.dot(fd, w_br[:], preferred_element_type=jnp.float32,
+                 precision=prec) + b_br[:]
     h2 = jnp.maximum(h2, 0.0).astype(compute_dtype)
-    rgb = jnp.dot(h2, w_rgb[:], preferred_element_type=jnp.float32) + b_rgb[:]
+    rgb = jnp.dot(h2, w_rgb[:], preferred_element_type=jnp.float32,
+                  precision=prec) + b_rgb[:]
     preds = jnp.concatenate([rgb, sigma], axis=-1)
     return preds, (acts, x, fd, h2)
 
@@ -163,20 +182,24 @@ def _mlp_bwd_tile(
     w_br = wr[base + 2]
     w_rgb = wr[base + 4]
 
+    prec = _mlp_precision(compute_dtype)
+
     def matmul_nt(a, b):
         """a @ b.T with f32 accumulation: (T, n) x (m, n) -> (T, m)."""
         return jax.lax.dot_general(
             a.astype(compute_dtype), b,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
     def matmul_tn(a, b):
         """a.T @ b with f32 accumulation: (T, m) x (T, n) -> (m, n)."""
         return jax.lax.dot_general(
-            a, b.astype(compute_dtype),
+            a.astype(compute_dtype), b.astype(compute_dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
     def bsum(v):

@@ -121,6 +121,30 @@ def _sel_consts(s: int):
     return tuple(jnp.asarray(c) for c in _segment_selectors(s))
 
 
+# Mosaic, like XLA-on-TPU, runs f32 dot operands through ONE-PASS bf16 at
+# DEFAULT precision.  Every dot in this file that carries f32 VALUES (the
+# selector movements of sigma/t/cotangents, the encode matmul) must pin
+# precision=HIGHEST: the silent truncation (a) destroyed encode octaves
+# >= 6 — sin-argument error ~ 2^9 * bf16_eps * |p| = several radians, so
+# half the positional features trained as noise — and (b) bf16-rounded
+# every value moved between layouts (measured 1.9e-3 round-trip error and
+# a 3.9x train-gradient-error inflation vs f32 truth on the real v5e;
+# docs/PERF.md round-3 precision-fix section).  CPU interpret mode
+# computes true f32, so only on-hardware probes could catch this.
+#
+# Fix shape (measured): Mosaic supports only DEFAULT and HIGHEST (HIGH
+# raises), and its HIGHEST lowering of the selector dots costs +20 ms on
+# the flagship step — wildly out of proportion to their ~1.5% FLOP share.
+# Instead, every f32 VALUE moved through a one-hot selector is split into
+# THREE bf16 limbs (v = v1 + v2 + v3 captures all 24 mantissa bits) and
+# moved with three DEFAULT-precision MXU dots: each limb is
+# bf16-representable, so the one-pass-bf16 truncation is lossless and the
+# sum reconstructs the f32 exactly (bit-exact in the hardware probe).
+# Cost: ~3x a negligible MAC count (+~1 ms/step).  The encode matmul
+# (K=4, tiny) keeps precision=HIGHEST.
+_EXACT_ENC = jax.lax.Precision.HIGHEST
+
+
 def _nn_dot(a, b):
     return jax.lax.dot_general(
         a, b,
@@ -129,12 +153,40 @@ def _nn_dot(a, b):
     )
 
 
+def _limbs3(v):
+    """Split f32 into three bf16-representable limbs, v == v1 + v2 + v3."""
+    v1 = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r = v - v1
+    v2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return v1, v2, r - v2
+
+
+def _nn_dot_exact(a, b):
+    """a @ b where ``a`` is an EXACT one-hot selector and ``b`` carries
+    f32 values: three limb dots at DEFAULT precision, exact
+    reconstruction (see the precision note above)."""
+    b1, b2, b3 = _limbs3(b)
+    return _nn_dot(a, b1) + _nn_dot(a, b2) + _nn_dot(a, b3)
+
+
 def _cat0(blocks):
     return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
 
 
+# Movement precision policy (measured; docs/PERF.md round-3
+# precision-fix section): values that feed the ENCODE — o, d, t — must
+# move EXACTLY (a bf16-rounded position scales by 2^9 into radians of
+# phase error at the top octaves), so their movements use the 3-limb
+# form (_from_rs_x / _expand_rows_x).  All other moved values (sigma,
+# rgb, cotangents) are homogeneous-linear in the result: plain-DEFAULT
+# movement rounds them at bf16 relative scale — the same noise class as
+# the bf16 MLP dots both train paths already accept (measured: train
+# gradients land at XLA-bf16's own error level).  Uniform 3-limb
+# movement measured +10 ms/step for no measurable gradient gain.
+
+
 def _to_rs(v, a_ref, b_ref):
-    """(R*S, 1) column -> (R, S) tile (exact), per G-ray block."""
+    """(R*S, 1) column -> (R, S) tile, per G-ray block (bf16-rounded)."""
     gs, s = b_ref.shape
     b = b_ref[:]
     a = a_ref[:]
@@ -145,7 +197,7 @@ def _to_rs(v, a_ref, b_ref):
 
 
 def _from_rs(w, at_ref, b_ref):
-    """(R, S) tile -> (R*S, 1) column (exact), per G-ray block."""
+    """(R, S) tile -> (R*S, 1) column, per G-ray block (bf16-rounded)."""
     gs, g = at_ref.shape
     at = at_ref[:]
     b = b_ref[:]
@@ -156,13 +208,36 @@ def _from_rs(w, at_ref, b_ref):
     ])
 
 
+def _from_rs_x(w, at_ref, b_ref):
+    """EXACT (R, S) -> (R*S, 1): 3-limb movement for encode inputs (t)."""
+    gs, g = at_ref.shape
+    at = at_ref[:]
+    b = b_ref[:]
+    return _cat0([
+        jnp.sum(_nn_dot_exact(at, w[k * g:(k + 1) * g, :]) * b,
+                axis=-1, keepdims=True)
+        for k in range(w.shape[0] // g)
+    ])
+
+
 def _expand_rows(v, at_ref):
-    """(R, W) per-ray rows -> (R*S, W) per-sample rows (exact), per
-    G-ray block: row j of block k is ``v[k*G + j // S]``."""
+    """(R, W) per-ray rows -> (R*S, W) per-sample rows, per G-ray block
+    (bf16-rounded): row j of block k is ``v[k*G + j // S]``."""
     gs, g = at_ref.shape
     at = at_ref[:]
     return _cat0([
         _nn_dot(at, v[k * g:(k + 1) * g, :])
+        for k in range(v.shape[0] // g)
+    ])
+
+
+def _expand_rows_x(v, at_ref):
+    """EXACT (R, W) -> (R*S, W): 3-limb movement for encode inputs
+    (ray origins/directions)."""
+    gs, g = at_ref.shape
+    at = at_ref[:]
+    return _cat0([
+        _nn_dot_exact(at, v[k * g:(k + 1) * g, :])
         for k in range(v.shape[0] // g)
     ])
 
@@ -566,6 +641,7 @@ def _encode_tile(p, e_ref, d: int):
         p1, e_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_EXACT_ENC,  # bf16-truncated p makes octaves >= 6 noise
     )  # (T, W)
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, dimension=1)
     return jnp.where(col < d, z, jnp.sin(z))
@@ -578,9 +654,11 @@ def _expand_encode(o_ref, d_ref, t_ref, a_ref, at_ref, b_ref, ex_ref, ed_ref,
     Per-sample expansion goes through the exact blocked one-hot selectors
     (:func:`_expand_rows`).
     """
-    o_exp = _expand_rows(o_ref[:], at_ref)     # (R*S, 3)
-    d_exp = _expand_rows(d_ref[:], at_ref)     # (R*S, 3)
-    t_flat = _from_rs(t_ref[:], at_ref, b_ref)  # (R*S, 1)
+    # EXACT movements: these values enter the encode, where bf16 rounding
+    # scales by 2^(L-1) into radians of phase error (precision note above).
+    o_exp = _expand_rows_x(o_ref[:], at_ref)     # (R*S, 3)
+    d_exp = _expand_rows_x(d_ref[:], at_ref)     # (R*S, 3)
+    t_flat = _from_rs_x(t_ref[:], at_ref, b_ref)  # (R*S, 1)
     points = o_exp + d_exp * t_flat
 
     x_enc = _encode_tile(points, ex_ref, dx).astype(compute_dtype)

@@ -38,7 +38,9 @@ from nerf_keras_tpu.ops.pallas.fused_render import (
     _encode_consts,
     _encode_tile,
     _expand_rows,
+    _expand_rows_x,
     _from_rs,
+    _from_rs_x,
     _pad_ray_batch,
     _ray_specs,
     _rays_per_tile,
@@ -69,9 +71,12 @@ def _fwd_kernel_q(num_layers, skip_layer, r, s, dx, dd,
 
     # Expand rays to samples and Fourier-encode positions in f32 (same
     # selector machinery as the bf16 kernel's _expand_encode).
-    o_exp = _expand_rows(o_ref[:], at_ref)
-    d_exp = _expand_rows(d_ref[:], at_ref)
-    t_flat = _from_rs(t_ref[:], at_ref, b_ref)
+    # EXACT 3-limb movements for encode inputs (see fused_render's
+    # precision note: bf16-rounded positions scale by 2^(L-1) into radians
+    # of top-octave phase error).
+    o_exp = _expand_rows_x(o_ref[:], at_ref)
+    d_exp = _expand_rows_x(d_ref[:], at_ref)
+    t_flat = _from_rs_x(t_ref[:], at_ref, b_ref)
     points = o_exp + d_exp * t_flat
     x_enc = _encode_tile(points, ex_ref, dx)  # (R*S, xyz) f32
 
