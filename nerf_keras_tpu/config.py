@@ -109,7 +109,13 @@ class NeRFConfig:
     #         the fast path too.  Measured (80-epoch flagship A/B,
     #         docs/evidence/distortion_ab.json): 1e-3 gains +1.6 dB val
     #         PSNR over the unregularized arm; 1e-2 over-regularizes
-    #         (-3 dB).  Start at 1e-3.
+    #         (-3 dB).  Start at 1e-3 — EXCEPT with
+    #         TRAIN_SAMPLER='proposal', where 1e-3 collapses val ~2 dB
+    #         (strong distortion sharpens the fine weight histogram that
+    #         is the proposal's distillation target and the two compound);
+    #         use 1e-4 there, measured +0.4 dB over the proposal arm and
+    #         above the coarse+knobs baseline
+    #         (docs/evidence/online_prop_postfix_quality.json).
     white_bkgd: bool = False  # composite rays onto a WHITE background:
     #         rgb' = rgb + (1 - sum(weights)) (vanilla NeRF's Blender-set
     #         treatment, ops/volume.composite_background).  The reference
