@@ -145,9 +145,17 @@ def run_training(
     print(f"[nerf-tpu] config={name} devices={jax.device_count()} "
           f"mesh=({cfg.mesh_data},{cfg.mesh_model}) dtype={cfg.compute_dtype}")
 
-    # Entry scripts adapt each dataset loader to (h, w, data_dir=None).
+    # Entry scripts adapt each dataset loader to (h, w, data_dir=None);
+    # loaders whose preprocessing depends on the config (e.g. the Blender
+    # loader's background compositing tracks WHITE_BKGD) opt in to a
+    # ``config`` kwarg.
+    import inspect
+
+    prepare_kwargs = {"data_dir": args.data_dir}
+    if "config" in inspect.signature(prepare_data).parameters:
+        prepare_kwargs["config"] = cfg
     train_ds, val_ds, (near, far), focal = prepare_data(
-        cfg.height, cfg.width, data_dir=args.data_dir
+        cfg.height, cfg.width, **prepare_kwargs
     )
     if cfg.ndc:
         # Forward-facing NDC reparameterization (NeRFConfig.ndc; absent

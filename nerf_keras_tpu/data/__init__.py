@@ -9,6 +9,7 @@ per-host sharding hooks for multi-host meshes.
 from nerf_keras_tpu.data.pipeline import RayDataset, iterate_batches
 from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
 from nerf_keras_tpu.data.lego import prepare_lego_data
+from nerf_keras_tpu.data.blender import prepare_blender_data
 from nerf_keras_tpu.data.llff import prepare_fern_data, load_llff_data
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "iterate_batches",
     "prepare_synthetic_data",
     "prepare_lego_data",
+    "prepare_blender_data",
     "prepare_fern_data",
     "load_llff_data",
 ]

@@ -522,3 +522,125 @@ def test_train_cli_autofills_lr_decay_horizon(tmp_path, capsys):
     side = _json.loads(sidecars[0].read_text())
     assert side["LR_DECAY_STEPS"] == steps
     assert side["EMA_DECAY"] == 0.9
+
+
+# ------------------------------------------------- Blender nerf_synthetic
+def _write_blender_scene(root, *, n_train=4, n_val=3, h=16, w=16,
+                         angle_x=0.8, with_val=True):
+    """Minimal on-disk nerf_synthetic scene: transforms json + RGBA PNGs.
+
+    The top-left quadrant of every image is opaque mid-gray, the rest
+    fully transparent — so background compositing is checkable exactly.
+    """
+    from PIL import Image
+
+    def write_split(split, n):
+        (root / split).mkdir(parents=True, exist_ok=True)
+        frames = []
+        for i in range(n):
+            rgba = np.zeros((h, w, 4), np.uint8)
+            rgba[: h // 2, : w // 2] = [100, 150, 200, 255]
+            Image.fromarray(rgba, "RGBA").save(root / split / f"r_{i}.png")
+            pose = np.eye(4)
+            pose[2, 3] = 4.0 + 0.1 * i
+            frames.append({
+                "file_path": f"./{split}/r_{i}",
+                "transform_matrix": pose.tolist(),
+            })
+        (root / f"transforms_{split}.json").write_text(
+            json.dumps({"camera_angle_x": angle_x, "frames": frames})
+        )
+
+    write_split("train", n_train)
+    if with_val:
+        write_split("val", n_val)
+    return root
+
+
+def test_load_blender_split_compositing_and_skip(tmp_path):
+    from nerf_keras_tpu.data.blender import load_blender_split
+
+    _write_blender_scene(tmp_path, n_train=5, h=8, w=8)
+    imgs, poses, angle = load_blender_split(str(tmp_path), "train",
+                                            white_bkgd=True)
+    assert imgs.shape == (5, 8, 8, 3) and poses.shape == (5, 4, 4)
+    assert angle == pytest.approx(0.8)
+    # opaque quadrant keeps its color; transparent region becomes white
+    np.testing.assert_allclose(imgs[0, 0, 0], np.array([100, 150, 200]) / 255,
+                               atol=1e-6)
+    np.testing.assert_allclose(imgs[0, -1, -1], [1.0, 1.0, 1.0], atol=1e-6)
+    black, _, _ = load_blender_split(str(tmp_path), "train", white_bkgd=False)
+    np.testing.assert_allclose(black[0, -1, -1], [0.0, 0.0, 0.0], atol=1e-6)
+    # every=2 keeps frames 0, 2, 4 (poses prove which frames survived)
+    sub, sub_poses, _ = load_blender_split(str(tmp_path), "train",
+                                           white_bkgd=True, every=2)
+    assert sub.shape[0] == 3
+    np.testing.assert_allclose(sub_poses[:, 2, 3], [4.0, 4.2, 4.4], atol=1e-6)
+
+
+def test_prepare_blender_data_end_to_end(tmp_path):
+    from nerf_keras_tpu.data.blender import prepare_blender_data
+
+    _write_blender_scene(tmp_path, n_train=4, n_val=3, h=16, w=16,
+                         angle_x=0.9)
+    th, tw = 8, 8
+    train, val, (near, far), focal = prepare_blender_data(
+        th, tw, path=str(tmp_path), val_every=1
+    )
+    assert (near, far) == (2.0, 6.0)
+    # focal = W/2 / tan(angle_x/2) at native res, rescaled by the resize
+    native = 0.5 * 16 / np.tan(0.45)
+    assert focal == pytest.approx(native * 0.5, rel=1e-6)
+    assert len(train) == 4 * th * tw and len(val) == 3 * th * tw
+    # origins come from the 4x4 transform_matrix translation
+    np.testing.assert_allclose(train.origins[0], [0, 0, 4.0], atol=1e-6)
+    np.testing.assert_allclose(val.origins[0], [0, 0, 4.0], atol=1e-6)
+
+
+def test_prepare_blender_data_val_fallback(tmp_path):
+    """A scene without transforms_val.json holds out the train tail 80/20."""
+    from nerf_keras_tpu.data.blender import prepare_blender_data
+
+    _write_blender_scene(tmp_path, n_train=5, with_val=False, h=8, w=8)
+    train, val, _, _ = prepare_blender_data(8, 8, path=str(tmp_path))
+    assert len(train) == 4 * 64 and len(val) == 1 * 64
+
+
+def test_find_blender_scene_resolution(tmp_path, monkeypatch):
+    from nerf_keras_tpu.data.blender import find_blender_scene
+
+    scene = tmp_path / "nerf_synthetic" / "ship"
+    _write_blender_scene(scene, n_train=1, with_val=False, h=4, w=4)
+    monkeypatch.setenv("NERF_DATA_DIR", str(tmp_path))
+    assert find_blender_scene(scene="ship") == str(scene)
+    with pytest.raises(FileNotFoundError):
+        find_blender_scene(scene="chair")
+
+
+@pytest.mark.slow
+def test_train_blender_cli_end_to_end(tmp_path, capsys):
+    """The Blender entry point trains end-to-end through run_training,
+    including the config-aware prepare hook (WHITE_BKGD reaches the
+    loader's compositing)."""
+    from train_blender import prepare
+    from nerf_keras_tpu.cli.train import run_training
+
+    scene = tmp_path / "scene"
+    _write_blender_scene(scene, n_train=4, n_val=2, h=16, w=16)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "BATCH_SIZE": 128, "NS_COARSE": 4, "NS_FINE": 8, "HEIGHT": 12,
+        "WIDTH": 12, "L_XYZ": 4, "L_DIR": 2, "NUM_LAYERS": 2,
+        "HIDDEN_DIM": 16, "SKIP_LAYER": 1, "EPOCHS": 1,
+        "LEARNING_RATE": 0.001, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 1, "WHITE_BKGD": True,
+    }))
+    run_dir = tmp_path / "run"
+    trainer = run_training(
+        prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path), "--data-dir", str(scene),
+              "--run-dir", str(run_dir)],
+    )
+    assert int(trainer.state.step) == (4 * 12 * 12) // 128
+    assert list(run_dir.glob("*.ckpt.npz"))
+    assert "val:" in capsys.readouterr().out
