@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _prepare(data: str, height: int, width: int, data_dir: str | None):
+def _prepare(data: str, height: int, width: int, data_dir: str | None,
+             *, white_bkgd: bool = False, split: str = "val"):
     """(train_ds, val_ds, (near, far), focal) for the named dataset."""
     if data == "synthetic":
         from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
@@ -47,6 +48,15 @@ def _prepare(data: str, height: int, width: int, data_dir: str | None):
         from nerf_keras_tpu.data.lego import prepare_lego_data
 
         return prepare_lego_data(height, width, path=data_dir)
+    if data == "blender":
+        from nerf_keras_tpu.data.blender import prepare_blender_data
+
+        # Paper-table scoring uses the full test split; default val stays
+        # subsampled so routine eval is cheap.
+        kw = {"val_split": "test", "val_every": 1} if split == "test" else {}
+        return prepare_blender_data(
+            height, width, path=data_dir, white_bkgd=white_bkgd, **kw
+        )
     if data == "llff":
         from nerf_keras_tpu.data.llff import prepare_fern_data
 
@@ -104,11 +114,14 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
     p.add_argument("--checkpoint", type=str, required=True,
                    help="checkpoint file or run directory")
     p.add_argument("--data", type=str, default="synthetic",
-                   choices=("synthetic", "lego", "llff"))
+                   choices=("synthetic", "lego", "blender", "llff"))
     p.add_argument("--data-dir", type=str, default=None,
-                   help="dataset root (lego/llff)")
+                   help="dataset root (lego/blender/llff)")
     p.add_argument("--split", type=str, default="val",
-                   choices=("val", "train"))
+                   choices=("val", "train", "test"),
+                   help="'test' = the full Blender test split (the split "
+                        "published nerf_synthetic numbers use; --data "
+                        "blender only)")
     p.add_argument("--chunk", type=int, default=16384)
     p.add_argument("--out", type=str, default=None,
                    help="metrics JSON path (default: "
@@ -152,10 +165,13 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
     for note in notes:
         print(f"[nerf-tpu] {note}")
 
+    if args.split == "test" and args.data != "blender":
+        raise SystemExit("--split test requires --data blender")
     train_ds, val_ds, (near, far), _focal = _prepare(
-        args.data, cfg.height, cfg.width, args.data_dir
+        args.data, cfg.height, cfg.width, args.data_dir,
+        white_bkgd=cfg.white_bkgd, split=args.split,
     )
-    ds = val_ds if args.split == "val" else train_ds
+    ds = train_ds if args.split == "train" else val_ds
     near = scene.get("near", near)
     far = scene.get("far", far)
 

@@ -138,3 +138,41 @@ def test_eval_quant_and_proposal_paths(tmp_path):
     assert report["quant"] == "int8"
     assert report["sampler"] == "proposal"
     assert np.isfinite(report["mean"]["psnr"])
+
+
+def test_eval_blender_test_split(tmp_path):
+    """--data blender scores an on-disk nerf_synthetic scene; --split test
+    loads the full transforms_test.json (the paper-table split) and the
+    config's WHITE_BKGD drives the loader's compositing."""
+    from tests.test_data import _write_blender_scene
+
+    scene = tmp_path / "scene"
+    _write_blender_scene(scene, n_train=2, n_val=2, h=16, w=16)
+    # a 3-frame test split, distinct from val
+    import shutil
+    (scene / "test").mkdir()
+    for i in range(3):
+        shutil.copy(scene / "val" / "r_0.png", scene / "test" / f"r_{i}.png")
+    pose = np.eye(4); pose[2, 3] = 4.0
+    (scene / "transforms_test.json").write_text(json.dumps({
+        "camera_angle_x": 0.8,
+        "frames": [{"file_path": f"./test/r_{i}",
+                    "transform_matrix": pose.tolist()} for i in range(3)],
+    }))
+
+    cfg_path = _write_config(tmp_path, h=16, w=16, WHITE_BKGD=True)
+    ckpt = _make_ckpt(tmp_path, cfg_path)
+    report = run_evaluation([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--data", "blender", "--data-dir", str(scene),
+        "--split", "test", "--chunk", "128",
+        "--out", str(tmp_path / "b.json"),
+    ])
+    assert len(report["views"]) == 3
+    assert np.isfinite(report["mean"]["psnr"])
+    # --split test is blender-only
+    with pytest.raises(SystemExit):
+        run_evaluation([
+            "--config", cfg_path, "--checkpoint", ckpt,
+            "--data", "synthetic", "--split", "test",
+        ])
