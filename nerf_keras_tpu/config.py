@@ -98,6 +98,14 @@ class NeRFConfig:
     #         NS_FINE proposal-placed samples (~33% fewer fine-pass
     #         FLOPs at flagship counts); PROP_EXPLORE keeps coverage.
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
+    prop_target_blur: bool | None = None  # [1/4, 1/2, 1/4] dilation of the
+    #         binned fine-weights distillation target along the coarse
+    #         bins (Mip-NeRF 360's histogram blur).  None (default) =
+    #         layout rule: blur iff PROP_UNION=false, where the target is
+    #         a high-variance sample-placement estimate (measured 1-2 dB;
+    #         docs/PERF.md).  Explicit True/False overrides — True with
+    #         the union layout is the knob to try when a strong
+    #         DISTORTION_LOSS_MULT sharpens the target into spikes.
     distortion_loss_mult: float = 0.0  # weight of Mip-NeRF 360's
     #         distortion regularizer on the FINE pass's compositing
     #         weights (ops/volume.distortion_loss): pulls each ray's mass
@@ -296,6 +304,7 @@ _KEY_MAP = {
     "PROP_LOSS_MULT": "prop_loss_mult",
     "PROP_EXPLORE": "prop_explore",
     "PROP_UNION": "prop_union",
+    "PROP_TARGET_BLUR": "prop_target_blur",
     "DISTORTION_LOSS_MULT": "distortion_loss_mult",
     "WHITE_BKGD": "white_bkgd",
     "LR_FINAL": "lr_final",

@@ -727,7 +727,12 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             target = binned_fine_weights(
                 t_all, jax.lax.stop_gradient(w_fine), t_vals
             )
-            if not cfg.prop_union:
+            blur = (
+                cfg.prop_target_blur
+                if cfg.prop_target_blur is not None
+                else not cfg.prop_union
+            )
+            if blur:
                 # Union-free target is a HIGH-VARIANCE estimate: bins get
                 # mass only where samples landed, and an isolated
                 # exploration sample carries a huge compositing delta —
@@ -736,7 +741,8 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
                 # bins (Mip-NeRF 360's histogram blur) spreads each
                 # sample's mass to its neighbours, cutting the spike
                 # variance while preserving total mass (edge bins keep
-                # their outward quarter).
+                # their outward quarter).  PROP_TARGET_BLUR overrides the
+                # layout rule (None = blur iff union-free).
                 left = jnp.concatenate(
                     [target[..., :1], target[..., :-1]], axis=-1
                 )

@@ -355,3 +355,42 @@ def test_online_training_white_bkgd():
     # empty-scene sanity: near-zero densities must render ~white
     out = tr.render_rays(*_batch()[1:], chunk=64, keys=("rgb_fine",))
     assert np.isfinite(out["rgb_fine"]).all()
+
+
+def test_prop_target_blur_override():
+    """PROP_TARGET_BLUR overrides the layout rule: union-mode training
+    with blur=True trains (losses finite, params move) and produces a
+    DIFFERENT proposal gradient signal than the unblurred default."""
+    imgs, o, d = _batch()
+
+    def train_2_steps(**over):
+        trainer, _ = _tiny_trainer(**over)
+        batch = trainer.put_batch((imgs, o, d))
+        for _ in range(2):
+            metrics = trainer.train_step(batch)
+        assert np.isfinite(float(metrics["loss"]))
+        return trainer.state.params["proposal"]
+
+    base = train_2_steps(prop_union=True)
+    blurred = train_2_steps(prop_union=True, prop_target_blur=True)
+    leaves_b = jax.tree_util.tree_leaves(base)
+    leaves_u = jax.tree_util.tree_leaves(blurred)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        for a, b in zip(leaves_b, leaves_u)
+    )
+    # and blur=False forces the unblurred target in union-free mode
+    nob = train_2_steps(prop_union=False, prop_target_blur=False)
+    assert np.all(np.isfinite(np.asarray(jax.tree_util.tree_leaves(nob)[0])))
+
+
+def test_prop_target_blur_config_roundtrip():
+    cfg = config_from_dict({
+        "BATCH_SIZE": 64, "NS_COARSE": 8, "NS_FINE": 8, "HEIGHT": 8,
+        "WIDTH": 8, "L_XYZ": 4, "L_DIR": 2, "NUM_LAYERS": 2,
+        "HIDDEN_DIM": 16, "SKIP_LAYER": 4, "EPOCHS": 1,
+        "LEARNING_RATE": 1e-3, "BATCH_NORM": False, "WITH_GCS": False,
+        "TRAIN_SAMPLER": "proposal", "PROP_TARGET_BLUR": True,
+    })
+    assert cfg.prop_target_blur is True
+    assert to_reference_json(cfg)["PROP_TARGET_BLUR"] is True
