@@ -42,6 +42,9 @@ def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
     # extensions (the reference hardcodes all of these)
     p.add_argument("--data-dir", type=str, default=None,
                    help="dataset root override")
+    p.add_argument("--scene", type=str, default=None,
+                   help="scene name within the dataset root (loaders that "
+                        "support multi-scene roots, e.g. nerf_synthetic)")
     p.add_argument("--run-dir", type=str, default=None,
                    help="output run directory override")
     p.add_argument("--resume", type=str, default=None,
@@ -152,8 +155,15 @@ def run_training(
     import inspect
 
     prepare_kwargs = {"data_dir": args.data_dir}
-    if "config" in inspect.signature(prepare_data).parameters:
+    prepare_params = inspect.signature(prepare_data).parameters
+    if "config" in prepare_params:
         prepare_kwargs["config"] = cfg
+    if args.scene is not None:
+        if "scene" not in prepare_params:
+            raise SystemExit(
+                "--scene is not supported by this entry point's loader"
+            )
+        prepare_kwargs["scene"] = args.scene
     train_ds, val_ds, (near, far), focal = prepare_data(
         cfg.height, cfg.width, **prepare_kwargs
     )

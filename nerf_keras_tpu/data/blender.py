@@ -48,11 +48,19 @@ NEAR, FAR = 2.0, 6.0
 def find_blender_scene(path: str | None = None, scene: str = "lego") -> str:
     """Locate a nerf_synthetic scene directory (no download — zero egress).
 
-    Resolution order: explicit ``path``, ``$NERF_DATA_DIR/nerf_synthetic/
-    {scene}``, ``$NERF_DATA_DIR/{scene}``, ``./data/nerf_synthetic/{scene}``.
-    A directory qualifies if it holds ``transforms_train.json``.
+    Resolution order: explicit ``path`` (the scene itself, or a dataset
+    root containing ``{scene}`` / ``nerf_synthetic/{scene}``),
+    ``$NERF_DATA_DIR/nerf_synthetic/{scene}``, ``$NERF_DATA_DIR/{scene}``,
+    ``./data/nerf_synthetic/{scene}``.  A directory qualifies if it holds
+    ``transforms_train.json``.
     """
-    candidates = [path] if path else []
+    candidates = []
+    if path:
+        candidates += [
+            path,
+            os.path.join(path, scene),
+            os.path.join(path, "nerf_synthetic", scene),
+        ]
     root = os.environ.get("NERF_DATA_DIR")
     if root:
         candidates += [

@@ -644,3 +644,41 @@ def test_train_blender_cli_end_to_end(tmp_path, capsys):
     assert int(trainer.state.step) == (4 * 12 * 12) // 128
     assert list(run_dir.glob("*.ckpt.npz"))
     assert "val:" in capsys.readouterr().out
+
+
+def test_train_blender_scene_flag(tmp_path):
+    """--scene selects a scene under a dataset-root --data-dir; entry
+    points whose loader lacks a scene param reject the flag."""
+    from train_blender import prepare as blender_prepare
+    from nerf_keras_tpu.cli.train import run_training
+    from nerf_keras_tpu.data.blender import find_blender_scene
+    from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
+
+    root = tmp_path / "nerf_synthetic"
+    _write_blender_scene(root / "drums", n_train=2, with_val=False, h=8, w=8)
+    # root resolution: path/scene and path/nerf_synthetic/scene both work
+    assert find_blender_scene(str(root), "drums") == str(root / "drums")
+    assert find_blender_scene(str(tmp_path), "drums") == str(root / "drums")
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "BATCH_SIZE": 32, "NS_COARSE": 4, "NS_FINE": 4, "HEIGHT": 8,
+        "WIDTH": 8, "L_XYZ": 2, "L_DIR": 1, "NUM_LAYERS": 2,
+        "HIDDEN_DIM": 16, "SKIP_LAYER": 4, "EPOCHS": 1,
+        "LEARNING_RATE": 0.001, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32",
+    }))
+    trainer = run_training(
+        blender_prepare, str(cfg_path), default_eval_every=5,
+        argv=["--config", str(cfg_path), "--data-dir", str(root),
+              "--scene", "drums", "--run-dir", str(tmp_path / "run")],
+    )
+    assert int(trainer.state.step) >= 1
+
+    with pytest.raises(SystemExit, match="--scene is not supported"):
+        run_training(
+            lambda h, w, data_dir=None: prepare_synthetic_data(h, w),
+            str(cfg_path), default_eval_every=5,
+            argv=["--config", str(cfg_path), "--scene", "drums",
+                  "--run-dir", str(tmp_path / "run2")],
+        )

@@ -10,22 +10,21 @@ consumes the original Blender export directly:
         --data-dir /data/nerf_synthetic/lego
 
 Scene selection: point --data-dir at the scene directory (the one holding
-transforms_train.json) or set $NERF_DATA_DIR and $NERF_SCENE (default
-'lego').  Background compositing follows the config's WHITE_BKGD.
+transforms_train.json), or point it (or $NERF_DATA_DIR) at the dataset
+root and pick with --scene (default 'lego').  Background compositing
+follows the config's WHITE_BKGD.
 """
-
-import os
 
 from nerf_keras_tpu.cli.train import run_training
 from nerf_keras_tpu.data.blender import prepare_blender_data
 
 
-def prepare(height, width, data_dir=None, config=None):
+def prepare(height, width, data_dir=None, config=None, scene="lego"):
     return prepare_blender_data(
         height,
         width,
         path=data_dir,
-        scene=os.environ.get("NERF_SCENE", "lego"),
+        scene=scene,
         white_bkgd=bool(config.white_bkgd) if config is not None else True,
     )
 
