@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 
 def _prepare(data: str, height: int, width: int, data_dir: str | None,
-             *, white_bkgd: bool = False, split: str = "val"):
+             *, white_bkgd: bool = False, split: str = "val",
+             scene: str = "lego"):
     """(train_ds, val_ds, (near, far), focal) for the named dataset."""
     if data == "synthetic":
         from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
@@ -55,7 +56,8 @@ def _prepare(data: str, height: int, width: int, data_dir: str | None,
         # subsampled so routine eval is cheap.
         kw = {"val_split": "test", "val_every": 1} if split == "test" else {}
         return prepare_blender_data(
-            height, width, path=data_dir, white_bkgd=white_bkgd, **kw
+            height, width, path=data_dir, scene=scene,
+            white_bkgd=white_bkgd, **kw
         )
     if data == "llff":
         from nerf_keras_tpu.data.llff import prepare_fern_data
@@ -117,6 +119,9 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
                    choices=("synthetic", "lego", "blender", "llff"))
     p.add_argument("--data-dir", type=str, default=None,
                    help="dataset root (lego/blender/llff)")
+    p.add_argument("--scene", type=str, default="lego",
+                   help="scene under a nerf_synthetic dataset root "
+                        "(--data blender)")
     p.add_argument("--split", type=str, default="val",
                    choices=("val", "train", "test"),
                    help="'test' = the full Blender test split (the split "
@@ -169,7 +174,7 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
         raise SystemExit("--split test requires --data blender")
     train_ds, val_ds, (near, far), _focal = _prepare(
         args.data, cfg.height, cfg.width, args.data_dir,
-        white_bkgd=cfg.white_bkgd, split=args.split,
+        white_bkgd=cfg.white_bkgd, split=args.split, scene=args.scene,
     )
     ds = train_ds if args.split == "train" else val_ds
     near = scene.get("near", near)
