@@ -1,15 +1,26 @@
 #!/usr/bin/env python
 """Benchmark: flagship training throughput (rays/sec/chip).
 
-Runs the lego_batch_h256_tpu workload (batch 4096 rays, 64 coarse + 128
-fine samples, two 8x256 MLPs) on procedural data, on whatever accelerator
-JAX exposes, and prints ONE JSON line:
+Runs the flagship workload (batch 4096 rays, 64+128 samples, 8x256 fine
+MLP) on procedural data, on whatever accelerator JAX exposes, and prints
+ONE JSON line:
 
     {"metric": "train_rays_per_sec_per_chip", "value": N,
      "unit": "rays/s", "vs_baseline": N / 1e6}
 
 vs_baseline is measured against the driver north star of 1 Mrays/sec/chip
 (BASELINE.md; the reference publishes no numbers of its own).
+
+The DEFAULT flagship step (round 3+) is the online proposal-sampler
+trainer (TRAIN_SAMPLER='proposal', union layout): a 3x64 density net
+replaces the reference's 8x256 coarse MLP and learns by online
+distillation — measured 119.0 Krays/s/chip vs 102.5 on the parity step,
+at converged-quality parity against the same-knob coarse baseline
+(docs/PERF.md round-3 sections; docs/evidence/quality_matrix_r3.json).
+The JSON line carries "train_sampler": "proposal" so the series is
+machine-distinguishable from the r1/r2 parity rows; `--train-sampler
+coarse` reproduces the reference-parity coarse+fine step, whose backward
+is measured AT the platform envelope (~80% of padded bf16 peak).
 
 Kernel-path selection: the fused Pallas MLP path is ~1.7x faster than the
 XLA path but takes ~10 min to compile through the axon remote-compile
@@ -139,10 +150,11 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
     }
     if train_sampler != "coarse":
         # machine-detectable marker: a different TRAINING ALGORITHM than
-        # the reference-parity coarse+fine step the official series
-        # (BENCH_r*.json) measures — 1.24x faster at matched quality
-        # (docs/PERF.md round-3 online proposal section), but not
-        # comparable row-to-row with the parity numbers.
+        # the reference-parity coarse+fine step the r1/r2 official rows
+        # (BENCH_r01/r02.json) measured — 1.16-1.24x faster at matched
+        # quality (docs/PERF.md round-3 online proposal sections).  The
+        # marker keeps the series honest: rows with it are not
+        # row-to-row comparable with the parity rows.
         result["train_sampler"] = train_sampler
     if degraded:
         # machine-detectable marker: this is a reduced-workload fallback
@@ -170,12 +182,15 @@ def main() -> None:
     p.add_argument("--platform", type=str, default=None,
                    help="pin a JAX platform (e.g. 'cpu') before backend init")
     p.add_argument("--train-sampler", choices=["coarse", "proposal"],
-                   default="coarse",
-                   help="'proposal': bench the online proposal-sampler "
-                        "train step (no coarse MLP; 1.24x, docs/PERF.md) "
-                        "instead of the reference-parity coarse+fine step. "
-                        "The JSON line is marked train_sampler=proposal — "
-                        "the official series stays on the parity step")
+                   default="proposal",
+                   help="default 'proposal' (round-3 flagship): the online "
+                        "proposal-sampler train step — no coarse MLP, "
+                        "119.0 vs 102.5 Krays/s/chip measured, converged "
+                        "quality parity vs the same-knob coarse baseline "
+                        "(docs/PERF.md). The JSON line is marked "
+                        "train_sampler=proposal. 'coarse' reproduces the "
+                        "reference-parity coarse+fine step (the r1/r2 "
+                        "official series)")
     p.add_argument("--_child", choices=["pallas", "xla"], default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("--_degraded", action="store_true", help=argparse.SUPPRESS)

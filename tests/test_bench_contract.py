@@ -27,3 +27,21 @@ def test_bench_emits_contract_line_cpu():
     assert rec["value"] > 0
     assert "vs_baseline" in rec
     assert rec["backend"] == "cpu"
+    # round-3 flagship default: the online proposal-sampler step, and the
+    # JSON line must say so (series honesty marker)
+    assert rec["train_sampler"] == "proposal"
+
+
+@pytest.mark.slow
+def test_bench_parity_step_is_unmarked():
+    """--train-sampler coarse reproduces the r1/r2 official series: the
+    reference-parity step must NOT carry the train_sampler marker."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--platform", "cpu", "--kernel", "xla", "--train-sampler", "coarse",
+         "--steps", "1", "--warmup", "1", "--batch-size", "64"],
+        capture_output=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    assert "train_sampler" not in rec
