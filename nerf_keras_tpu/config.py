@@ -98,6 +98,14 @@ class NeRFConfig:
     #         NS_FINE proposal-placed samples (~33% fewer fine-pass
     #         FLOPs at flagship counts); PROP_EXPLORE keeps coverage.
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
+    prop_anneal_steps: int = 0  # Mip-NeRF 360 sampling anneal: for the
+    #         first N optimizer steps the TRAINING CDF draw is softened
+    #         by w^b with b = 10f/(1+9f), f = step/N (b: 0 -> 1), so
+    #         early draws are near-uniform and sharpen to the raw
+    #         proposal as it becomes trustworthy.  Targets the measured
+    #         union-free failure mode (early over-sharpening starves
+    #         coverage; docs/PERF.md).  Draw-side only — never the loss,
+    #         never eval/render.  0 (default) disables.
     prop_target_blur: bool | None = None  # [1/4, 1/2, 1/4] dilation of the
     #         binned fine-weights distillation target along the coarse
     #         bins (Mip-NeRF 360's histogram blur).  None (default) =
@@ -212,6 +220,11 @@ class NeRFConfig:
                 "PROP_UNION=false only applies to TRAIN_SAMPLER='proposal' "
                 "(the parity path always unions coarse and fine samples)"
             )
+        if self.prop_anneal_steps > 0 and self.train_sampler != "proposal":
+            raise ValueError(
+                "PROP_ANNEAL_STEPS anneals the proposal draw; it only "
+                "applies to TRAIN_SAMPLER='proposal'"
+            )
         if self.train_sampler not in ("coarse", "proposal"):
             raise ValueError(
                 f"unknown train_sampler: {self.train_sampler!r} "
@@ -238,6 +251,11 @@ class NeRFConfig:
                 raise ValueError(
                     "PROP_EXPLORE is the uniform fraction of the training "
                     f"draw; need 0 <= e < 1, got {self.prop_explore}"
+                )
+            if self.prop_anneal_steps < 0:
+                raise ValueError(
+                    "PROP_ANNEAL_STEPS is a step count (0 disables); got "
+                    f"{self.prop_anneal_steps}"
                 )
             if min(self.prop_l_xyz, self.prop_hidden) < 1 or self.prop_depth < 2:
                 raise ValueError(
@@ -305,6 +323,7 @@ _KEY_MAP = {
     "PROP_EXPLORE": "prop_explore",
     "PROP_UNION": "prop_union",
     "PROP_TARGET_BLUR": "prop_target_blur",
+    "PROP_ANNEAL_STEPS": "prop_anneal_steps",
     "DISTORTION_LOSS_MULT": "distortion_loss_mult",
     "WHITE_BKGD": "white_bkgd",
     "LR_FINAL": "lr_final",

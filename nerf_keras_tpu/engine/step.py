@@ -682,7 +682,7 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             weights_grad=cfg.distortion_loss_mult > 0.0 or cfg.white_bkgd,
         )
 
-        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
             w_prop = proposal_weights(
                 params["proposal"], origins, dirs, t_vals, cfg.prop_l_xyz
             )
@@ -691,6 +691,19 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             # learns from its distillation loss below, never through the
             # clamped inverse-CDF interpolation.
             w_draw = jax.lax.stop_gradient(w_prop)
+            if cfg.prop_anneal_steps > 0:
+                # Mip-NeRF 360 sampling anneal (draw-side only): soften
+                # the draw by w^b, b = 10f/(1+9f) with f = step/N, so the
+                # first steps draw near-uniformly (b~0 => w^0 = 1) and
+                # sharpen to the raw proposal over PROP_ANNEAL_STEPS.
+                # The +1e-5 floor keeps zero-weight bins reachable at
+                # small b (0^b = 0 would pin them closed forever).
+                f = jnp.clip(
+                    step.astype(jnp.float32) / cfg.prop_anneal_steps,
+                    0.0, 1.0,
+                )
+                b = 10.0 * f / (1.0 + 9.0 * f)
+                w_draw = jnp.power(w_draw + 1e-5, b)
             if cfg.prop_explore > 0.0:
                 # Exploration floor (TRAINING draw only): mix a uniform
                 # fraction into the draw distribution so a momentarily
@@ -770,7 +783,8 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
         fwd_fused = _make_fused_train_forward(cfg, mesh,
                                               want_weights=want_dist)
 
-        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
+            del step  # anneal is proposal-mode only
             res = fwd_fused(params, key_pdf, origins, dirs, t_vals)
             rgb_coarse, rgb_fine = res[0], res[1]
             loss_coarse = mse(images, rgb_coarse)
@@ -788,7 +802,8 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
         want_dist = cfg.distortion_loss_mult > 0.0
         forward = make_forward_pass(cfg, mesh, return_t_fine=want_dist)
 
-        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs):
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
+            del step  # anneal is proposal-mode only
             res = forward(params, bn, key_pdf, origins, dirs, t_vals, True)
             outputs, new_bn = res[0], res[1]
             (rgb_coarse, rgb_fine) = outputs[0]
@@ -812,7 +827,8 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
         )
         grads, (loss_coarse, loss_fine, rgb_fine, new_bn) = jax.grad(
             loss_fn, has_aux=True
-        )(state.params, state.bn, key_pdf, t_vals, images, origins, dirs)
+        )(state.params, state.bn, key_pdf, t_vals, images, origins, dirs,
+          state.step)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if cfg.ema_decay > 0.0:

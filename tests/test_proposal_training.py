@@ -394,3 +394,34 @@ def test_prop_target_blur_config_roundtrip():
     })
     assert cfg.prop_target_blur is True
     assert to_reference_json(cfg)["PROP_TARGET_BLUR"] is True
+
+
+def test_prop_anneal_steps():
+    """PROP_ANNEAL_STEPS softens the early TRAINING draw (different
+    fine-sample placement at step 0 -> different loss) but never touches
+    eval/render; validation pins it to proposal mode."""
+    with pytest.raises(ValueError, match="PROP_ANNEAL_STEPS"):
+        NeRFConfig(prop_anneal_steps=100).validate()  # needs proposal mode
+    with pytest.raises(ValueError, match="PROP_ANNEAL_STEPS"):
+        _tiny_cfg(prop_anneal_steps=-1)
+
+    imgs, o, d = _batch()
+    key = jax.random.PRNGKey(7)
+    losses, renders = [], []
+    for n in (0, 1000):
+        tr, _ = _tiny_trainer(prop_anneal_steps=n, prop_explore=0.0)
+        m = tr.train_step(tr.put_batch((imgs, o, d)), key)
+        assert np.isfinite(float(m["loss"]))
+        losses.append(float(m["loss"]))
+        tr2, _ = _tiny_trainer(prop_anneal_steps=n, prop_explore=0.0)
+        renders.append(tr2.render_rays(o, d, chunk=64)["rgb_fine"])
+    # at step 0 the annealed draw is uniform (b=0 -> w^0), not the
+    # proposal's volume-render weights
+    assert losses[0] != losses[1]
+    np.testing.assert_allclose(renders[0], renders[1], atol=0)
+
+    # JSON key roundtrip
+    cfg = _tiny_cfg(prop_anneal_steps=512)
+    raw = to_reference_json(cfg)
+    assert raw["PROP_ANNEAL_STEPS"] == 512
+    assert config_from_dict(raw) == cfg
