@@ -228,8 +228,7 @@ def main() -> None:
             str(batch_size if batch_size is not None else args.batch_size),
         ] + (["--full"] if full else []) \
           + (["--platform", platform] if platform else []) \
-          + (["--train-sampler", args.train_sampler]
-             if args.train_sampler != "coarse" else []) \
+          + (["--train-sampler", args.train_sampler]) \
           + (["--_degraded"] if degraded else [])
         try:
             proc = subprocess.run(

@@ -72,15 +72,21 @@ def evaluate_views(
     chunk: int = 16384,
     quant: bool = False,
     sampler: str = "coarse",
+    save_dir: str | None = None,
+    split: str = "val",
 ) -> dict:
     """Render every view in ``ds`` and score it against ground truth.
 
     Returns ``{"views": [{view, mse, psnr, ssim?}, ...], "mean": {...}}``;
-    SSIM is included when the 11x11 window fits the frame.
+    SSIM is included when the 11x11 window fits the frame.  With
+    ``save_dir`` each pred/gt pair is written as PNG inside the loop —
+    frames are never all held in host memory (a full 200-view 800x800
+    test split would be ~1.5 GB).
     """
     views = []
-    rendered = []
     with_ssim = min(ds.height, ds.width) >= 11
+    if save_dir is not None:
+        io.makedirs(save_dir)
     for i in range(ds.num_images):
         o, d = ds.image_rays(i)
         out = trainer.render_rays(
@@ -100,14 +106,24 @@ def evaluate_views(
         if with_ssim:
             row["ssim"] = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
         views.append(row)
-        rendered.append(pred)
+        if save_dir is not None:
+            from nerf_keras_tpu.utils.image import to_uint8
+            from nerf_keras_tpu.utils.viz import save_png
+
+            save_png(
+                io.join(save_dir, f"{split}_{i:03d}_pred.png"),
+                to_uint8(pred),
+            )
+            save_png(
+                io.join(save_dir, f"{split}_{i:03d}_gt.png"), to_uint8(gt)
+            )
 
     mean = {
         k: float(np.mean([v[k] for v in views]))
         for k in views[0]
         if k != "view"
     }
-    return {"views": views, "mean": mean, "_rendered": rendered}
+    return {"views": views, "mean": mean}
 
 
 def run_evaluation(argv: list[str] | None = None) -> dict:
@@ -213,27 +229,12 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
     report = evaluate_views(
         trainer, ds, chunk=args.chunk,
         quant=args.quant == "int8", sampler=sampler,
+        save_dir=args.save_images, split=args.split,
     )
-    rendered = report.pop("_rendered")
     report["split"] = args.split
     report["checkpoint"] = ckpt
     report["quant"] = args.quant
     report["sampler"] = args.sampler
-
-    if args.save_images:
-        from nerf_keras_tpu.utils.image import to_uint8
-        from nerf_keras_tpu.utils.viz import save_png
-
-        io.makedirs(args.save_images)
-        for i, pred in enumerate(rendered):
-            save_png(
-                io.join(args.save_images, f"{args.split}_{i:03d}_pred.png"),
-                to_uint8(pred),
-            )
-            save_png(
-                io.join(args.save_images, f"{args.split}_{i:03d}_gt.png"),
-                to_uint8(ds.image(i)),
-            )
 
     out_path = args.out or io.join(
         ckpt.rsplit("/", 1)[0] if "/" in ckpt else ".",

@@ -211,9 +211,14 @@ def run_training(
         # epochs only, silently discarding the earlier training curve.
         # The filename embeds EPOCHS (reference naming), so when --epochs
         # changed on resume fall back to the newest history file present.
+        from nerf_keras_tpu.utils.checkpoint import _numeric_sort_key
+
+        # Natural sort (ep100 beats ep8) — plain reverse-lex would pick
+        # the short record, the same bug latest_checkpoint fixed.
         candidates = [history_name] + sorted(
             (n for n in io.listdir(run_dir)
              if n.startswith("history_") and n.endswith(".json")),
+            key=_numeric_sort_key,
             reverse=True,
         )
         for cand in candidates:

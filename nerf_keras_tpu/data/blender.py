@@ -146,11 +146,13 @@ def prepare_blender_data(
     train_imgs, train_poses, angle_x = load_blender_split(
         scene_dir, "train", white_bkgd=white_bkgd
     )
-    try:
+    if os.path.isfile(os.path.join(scene_dir, f"transforms_{val_split}.json")):
+        # A PRESENT split must load cleanly: a missing PNG inside it is
+        # corrupt data and should fail loudly, not silently fall back.
         val_imgs, val_poses, _ = load_blender_split(
             scene_dir, val_split, white_bkgd=white_bkgd, every=val_every
         )
-    except FileNotFoundError:
+    else:
         # Scene shipped without a val split: hold out the train tail,
         # the tiny-npz loader's 80/20 convention.
         cut = int(train_imgs.shape[0] * 0.8)

@@ -45,3 +45,21 @@ def test_bench_parity_step_is_unmarked():
     assert proc.returncode == 0, proc.stderr.decode()[-2000:]
     rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
     assert "train_sampler" not in rec
+
+
+@pytest.mark.slow
+def test_bench_child_path_forwards_train_sampler():
+    """Auto (driver) mode spawns a child bench process; --train-sampler
+    coarse must reach the child.  Regression: the parent only forwarded
+    the flag when it differed from 'coarse', so once 'proposal' became
+    the default the explicit coarse request silently benched the
+    proposal step."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--platform", "cpu", "--train-sampler", "coarse",
+         "--steps", "1", "--warmup", "1", "--batch-size", "64"],
+        capture_output=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    assert "train_sampler" not in rec, rec
