@@ -192,6 +192,17 @@ def run_training(
         print(f"[nerf-tpu] lr decay: {cfg.learning_rate} -> {cfg.lr_final} "
               f"over {cfg.lr_decay_steps} steps")
 
+    if cfg.prop_anneal_steps == -1:
+        # PROP_ANNEAL_STEPS=-1 = auto: anneal over the full run horizon
+        # (Mip-NeRF 360's schedule), same accounting as the LR horizon.
+        import dataclasses as _dc
+
+        _, _pc = process_info()
+        _local = max(1, cfg.batch_size // max(1, _pc))
+        _spe = max(1, len(train_ds) // _local)
+        cfg = _dc.replace(cfg, prop_anneal_steps=cfg.epochs * _spe)
+        print(f"[nerf-tpu] proposal anneal over {cfg.prop_anneal_steps} steps")
+
     trainer = Trainer(cfg, near, far)
     if args.resume:
         trainer.restore(args.resume)

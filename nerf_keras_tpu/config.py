@@ -102,10 +102,19 @@ class NeRFConfig:
     #         first N optimizer steps the TRAINING CDF draw is softened
     #         by w^b with b = 10f/(1+9f), f = step/N (b: 0 -> 1), so
     #         early draws are near-uniform and sharpen to the raw
-    #         proposal as it becomes trustworthy.  Targets the measured
-    #         union-free failure mode (early over-sharpening starves
-    #         coverage; docs/PERF.md).  Draw-side only — never the loss,
-    #         never eval/render.  0 (default) disables.
+    #         proposal as it becomes trustworthy.  Draw-side only —
+    #         never the loss, never eval/render.  0 (default) disables;
+    #         -1 = auto (the training CLI resolves it to the full run
+    #         horizon, epochs x steps-per-epoch, like LR_DECAY_STEPS=0;
+    #         direct Trainer callers must resolve -1 themselves).
+    #         Measured (3-seed 80-epoch flagship,
+    #         docs/evidence/anneal_quality_matrix.json): with the union
+    #         layout + DISTORTION_LOSS_MULT=1e-4 the full-horizon anneal
+    #         is parity-or-better vs the coarse baseline at EVERY seed
+    #         (mean +0.34 dB, monotone — no late decay) and collapses the
+    #         seed variance the un-annealed arm shows (-1.8..+0.8 dB).
+    #         Neutral for the union-free layout (its gap is target
+    #         variance, not early starvation).
     prop_target_blur: bool | None = None  # [1/4, 1/2, 1/4] dilation of the
     #         binned fine-weights distillation target along the coarse
     #         bins (Mip-NeRF 360's histogram blur).  None (default) =
@@ -220,7 +229,7 @@ class NeRFConfig:
                 "PROP_UNION=false only applies to TRAIN_SAMPLER='proposal' "
                 "(the parity path always unions coarse and fine samples)"
             )
-        if self.prop_anneal_steps > 0 and self.train_sampler != "proposal":
+        if self.prop_anneal_steps != 0 and self.train_sampler != "proposal":
             raise ValueError(
                 "PROP_ANNEAL_STEPS anneals the proposal draw; it only "
                 "applies to TRAIN_SAMPLER='proposal'"
@@ -252,10 +261,10 @@ class NeRFConfig:
                     "PROP_EXPLORE is the uniform fraction of the training "
                     f"draw; need 0 <= e < 1, got {self.prop_explore}"
                 )
-            if self.prop_anneal_steps < 0:
+            if self.prop_anneal_steps < -1:
                 raise ValueError(
-                    "PROP_ANNEAL_STEPS is a step count (0 disables); got "
-                    f"{self.prop_anneal_steps}"
+                    "PROP_ANNEAL_STEPS is a step count (0 disables, "
+                    f"-1 = auto/full-horizon); got {self.prop_anneal_steps}"
                 )
             if min(self.prop_l_xyz, self.prop_hidden) < 1 or self.prop_depth < 2:
                 raise ValueError(

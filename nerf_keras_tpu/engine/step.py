@@ -677,6 +677,13 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             proposal_weights,
         )
 
+        if cfg.prop_anneal_steps < 0:
+            raise ValueError(
+                "PROP_ANNEAL_STEPS=-1 (auto) must be resolved to a step "
+                "count before building the train step — the training CLI "
+                "does this; direct callers pass an explicit count"
+            )
+
         fine_pass = _make_pass_fn(
             cfg, mesh=mesh,
             weights_grad=cfg.distortion_loss_mult > 0.0 or cfg.white_bkgd,

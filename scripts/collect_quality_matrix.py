@@ -28,6 +28,11 @@ def summarize(run_dir: str, cfg_path: str) -> dict | None:
     h = load_history(run_dir)
     if h is None:
         return None
+    if not os.path.exists(cfg_path):
+        # Fall back to the checkpoint's config sidecar (always written by
+        # the trainer, survives after the /tmp launcher configs are gone).
+        side = sorted(glob.glob(os.path.join(run_dir, "*.ckpt.npz.config.json")))
+        cfg_path = side[-1] if side else cfg_path
     cfg = json.load(open(cfg_path)) if os.path.exists(cfg_path) else {}
     val = h.get("val_psnrs", [])
     out = {
@@ -35,7 +40,8 @@ def summarize(run_dir: str, cfg_path: str) -> dict | None:
             k: cfg[k]
             for k in (
                 "SEED", "TRAIN_SAMPLER", "PROP_UNION", "PROP_EXPLORE",
-                "PROP_TARGET_BLUR", "DISTORTION_LOSS_MULT",
+                "PROP_TARGET_BLUR", "PROP_ANNEAL_STEPS",
+                "DISTORTION_LOSS_MULT",
             )
             if k in cfg
         },

@@ -524,6 +524,43 @@ def test_train_cli_autofills_lr_decay_horizon(tmp_path, capsys):
     assert side["EMA_DECAY"] == 0.9
 
 
+def test_train_cli_autofills_proposal_anneal_horizon(tmp_path, capsys):
+    """PROP_ANNEAL_STEPS=-1 (auto) resolves to epochs * steps-per-epoch in
+    the train CLI (same accounting as the LR horizon) and the resolved
+    count lands in the checkpoint sidecar."""
+    import json as _json
+
+    from nerf_keras_tpu.cli.train import run_training
+    from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps({
+        "BATCH_SIZE": 128, "NS_COARSE": 4, "NS_FINE": 8, "HEIGHT": 16,
+        "WIDTH": 16, "L_XYZ": 4, "L_DIR": 2, "NUM_LAYERS": 2,
+        "HIDDEN_DIM": 16, "SKIP_LAYER": 1, "EPOCHS": 2,
+        "LEARNING_RATE": 0.002, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 2,
+        "TRAIN_SAMPLER": "proposal", "PROP_ANNEAL_STEPS": -1,
+    }))
+    run_dir = tmp_path / "run"
+
+    def prepare(height, width, data_dir=None):
+        return prepare_synthetic_data(height, width)
+
+    trainer = run_training(
+        prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path), "--run-dir", str(run_dir)],
+    )
+    steps = int(trainer.state.step)
+    assert trainer.cfg.prop_anneal_steps == steps  # full-horizon anneal
+    out = capsys.readouterr().out
+    assert f"proposal anneal over {steps} steps" in out, out
+    sidecars = list(run_dir.glob("*.ckpt.npz.config.json"))
+    assert sidecars, list(run_dir.iterdir())
+    side = _json.loads(sidecars[0].read_text())
+    assert side["PROP_ANNEAL_STEPS"] == steps
+
+
 # ------------------------------------------------- Blender nerf_synthetic
 def _write_blender_scene(root, *, n_train=4, n_val=3, h=16, w=16,
                          angle_x=0.8, with_val=True):

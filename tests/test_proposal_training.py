@@ -403,7 +403,12 @@ def test_prop_anneal_steps():
     with pytest.raises(ValueError, match="PROP_ANNEAL_STEPS"):
         NeRFConfig(prop_anneal_steps=100).validate()  # needs proposal mode
     with pytest.raises(ValueError, match="PROP_ANNEAL_STEPS"):
-        _tiny_cfg(prop_anneal_steps=-1)
+        _tiny_cfg(prop_anneal_steps=-2)
+    # -1 = auto is a valid CONFIG (the training CLI resolves it to the run
+    # horizon) but must be resolved before the train step is built.
+    assert _tiny_cfg(prop_anneal_steps=-1).prop_anneal_steps == -1
+    with pytest.raises(ValueError, match="auto"):
+        _tiny_trainer(prop_anneal_steps=-1)
 
     imgs, o, d = _batch()
     key = jax.random.PRNGKey(7)
