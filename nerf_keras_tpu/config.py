@@ -110,8 +110,9 @@ class NeRFConfig:
     #         Measured (3-seed 80-epoch flagship,
     #         docs/evidence/anneal_quality_matrix.json): with the union
     #         layout + DISTORTION_LOSS_MULT=1e-4 the full-horizon anneal
-    #         is parity-or-better vs the coarse baseline at EVERY seed
-    #         (mean +0.34 dB, monotone — no late decay) and collapses the
+    #         converges 25.59/25.22/24.36 vs coarse 24.52/25.43/24.22 —
+    #         mean +0.34 dB, worst seed -0.21 (inside the holdout's
+    #         spread), monotone with no late decay — and collapses the
     #         seed variance the un-annealed arm shows (-1.8..+0.8 dB).
     #         Neutral for the union-free layout (its gap is target
     #         variance, not early starvation).
