@@ -97,6 +97,11 @@ class NeRFConfig:
     #         False (Mip-NeRF-360 style): the fine net sees ONLY the
     #         NS_FINE proposal-placed samples (~33% fewer fine-pass
     #         FLOPs at flagship counts); PROP_EXPLORE keeps coverage.
+    #         The converged cost is SAMPLE COUNT, not placement: at
+    #         NS_FINE=128 ~-2 dB vs the union layout at 1.4x e2e
+    #         throughput; at NS_FINE=192 (equal FLOPs) it measured 25.33
+    #         vs union's 25.59 (anneal_quality_matrix.json; 160 hit an
+    #         unstable pocket — use 128 or 192).
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
     prop_anneal_steps: int = 0  # Mip-NeRF 360 sampling anneal: for the
     #         first N optimizer steps the TRAINING CDF draw is softened
@@ -114,16 +119,19 @@ class NeRFConfig:
     #         mean +0.34 dB, worst seed -0.21 (inside the holdout's
     #         spread), monotone with no late decay — and collapses the
     #         seed variance the un-annealed arm shows (-1.8..+0.8 dB).
-    #         Neutral for the union-free layout (its gap is target
-    #         variance, not early starvation).
+    #         Union-free layout: small gain when paired with
+    #         PROP_EXPLORE=0.1 (22.70 vs 22.14 un-annealed at
+    #         NS_FINE=128); the remaining union-free gap is sample
+    #         count, not early starvation (see prop_union).
     prop_target_blur: bool | None = None  # [1/4, 1/2, 1/4] dilation of the
     #         binned fine-weights distillation target along the coarse
     #         bins (Mip-NeRF 360's histogram blur).  None (default) =
     #         layout rule: blur iff PROP_UNION=false, where the target is
     #         a high-variance sample-placement estimate (measured 1-2 dB;
-    #         docs/PERF.md).  Explicit True/False overrides — True with
-    #         the union layout is the knob to try when a strong
-    #         DISTORTION_LOSS_MULT sharpens the target into spikes.
+    #         docs/PERF.md).  Explicit True/False overrides — measured
+    #         slightly NEGATIVE with the union layout even under strong
+    #         distortion (25.24 vs 25.52 at 1e-3 + anneal; the ANNEAL is
+    #         what de-risks a sharpened target) — leave on auto.
     distortion_loss_mult: float = 0.0  # weight of Mip-NeRF 360's
     #         distortion regularizer on the FINE pass's compositing
     #         weights (ops/volume.distortion_loss): pulls each ray's mass
@@ -136,12 +144,14 @@ class NeRFConfig:
     #         docs/evidence/distortion_ab.json): 1e-3 gains +1.6 dB val
     #         PSNR over the unregularized arm; 1e-2 over-regularizes
     #         (-3 dB).  Start at 1e-3 — EXCEPT with
-    #         TRAIN_SAMPLER='proposal', where 1e-3 collapses val ~2 dB
-    #         (strong distortion sharpens the fine weight histogram that
-    #         is the proposal's distillation target and the two compound);
-    #         use 1e-4 there, measured +0.4 dB over the proposal arm and
-    #         above the coarse+knobs baseline
-    #         (docs/evidence/online_prop_postfix_quality.json).
+    #         TRAIN_SAMPLER='proposal', where UN-ANNEALED 1e-3 collapses
+    #         val ~2 dB (strong distortion sharpens the fine weight
+    #         histogram that is the proposal's distillation target while
+    #         the proposal is still wrong); use 1e-4 there (multi-seed
+    #         validated, docs/evidence/anneal_quality_matrix.json).  With
+    #         PROP_ANNEAL_STEPS=-1 the collapse disappears (1e-3+anneal
+    #         measured 25.52 vs 1e-4+anneal 25.59, single seed) — the
+    #         anneal covers exactly the phase the compounding hurt.
     white_bkgd: bool = False  # composite rays onto a WHITE background:
     #         rgb' = rgb + (1 - sum(weights)) (vanilla NeRF's Blender-set
     #         treatment, ops/volume.composite_background).  The reference
