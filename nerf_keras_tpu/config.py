@@ -100,8 +100,7 @@ class NeRFConfig:
     #         The converged cost is SAMPLE COUNT, not placement: at
     #         NS_FINE=128 ~-2 dB vs the union layout at 1.4x e2e
     #         throughput; at NS_FINE=192 (equal FLOPs) it measured 25.33
-    #         vs union's 25.59 (anneal_quality_matrix.json; 160 hit an
-    #         unstable pocket — use 128 or 192).
+    #         vs union's 25.59 (anneal_quality_matrix.json, one seed).
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
     prop_anneal_steps: int = 0  # Mip-NeRF 360 sampling anneal: for the
     #         first N optimizer steps the TRAINING CDF draw is softened
@@ -128,10 +127,9 @@ class NeRFConfig:
     #         bins (Mip-NeRF 360's histogram blur).  None (default) =
     #         layout rule: blur iff PROP_UNION=false, where the target is
     #         a high-variance sample-placement estimate (measured 1-2 dB;
-    #         docs/PERF.md).  Explicit True/False overrides — measured
-    #         slightly NEGATIVE with the union layout even under strong
-    #         distortion (25.24 vs 25.52 at 1e-3 + anneal; the ANNEAL is
-    #         what de-risks a sharpened target) — leave on auto.
+    #         docs/PERF.md).  Explicit True with the union layout
+    #         measured no benefit (25.24 at the 1e-3+anneal seed-42 arm,
+    #         vs 25.52 without blur) — leave on auto.
     distortion_loss_mult: float = 0.0  # weight of Mip-NeRF 360's
     #         distortion regularizer on the FINE pass's compositing
     #         weights (ops/volume.distortion_loss): pulls each ray's mass
@@ -144,14 +142,12 @@ class NeRFConfig:
     #         docs/evidence/distortion_ab.json): 1e-3 gains +1.6 dB val
     #         PSNR over the unregularized arm; 1e-2 over-regularizes
     #         (-3 dB).  Start at 1e-3 — EXCEPT with
-    #         TRAIN_SAMPLER='proposal', where UN-ANNEALED 1e-3 collapses
-    #         val ~2 dB (strong distortion sharpens the fine weight
-    #         histogram that is the proposal's distillation target while
-    #         the proposal is still wrong); use 1e-4 there (multi-seed
-    #         validated, docs/evidence/anneal_quality_matrix.json).  With
-    #         PROP_ANNEAL_STEPS=-1 the collapse disappears (1e-3+anneal
-    #         measured 25.52 vs 1e-4+anneal 25.59, single seed) — the
-    #         anneal covers exactly the phase the compounding hurt.
+    #         TRAIN_SAMPLER='proposal', where 1e-3 is seed-fragile with
+    #         or without the anneal (3-seed: 25.52/19.68/19.68 annealed;
+    #         22.16 un-annealed — strong distortion sharpens the fine
+    #         weight histogram that is the proposal's distillation
+    #         target); use 1e-4 there — monotone at all 3 seeds
+    #         (docs/evidence/anneal_quality_matrix.json).
     white_bkgd: bool = False  # composite rays onto a WHITE background:
     #         rgb' = rgb + (1 - sum(weights)) (vanilla NeRF's Blender-set
     #         treatment, ops/volume.composite_background).  The reference
