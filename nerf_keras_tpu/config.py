@@ -97,10 +97,11 @@ class NeRFConfig:
     #         False (Mip-NeRF-360 style): the fine net sees ONLY the
     #         NS_FINE proposal-placed samples (~33% fewer fine-pass
     #         FLOPs at flagship counts); PROP_EXPLORE keeps coverage.
-    #         The converged cost is SAMPLE COUNT, not placement: at
-    #         NS_FINE=128 ~-2 dB vs the union layout at 1.4x e2e
-    #         throughput; at NS_FINE=192 (equal FLOPs) it measured 25.33
-    #         vs union's 25.59 (anneal_quality_matrix.json, one seed).
+    #         The converged cost is MOSTLY sample count: at NS_FINE=128
+    #         ~-2 dB vs the union layout at 1.4x e2e throughput; at
+    #         NS_FINE=192 (equal FLOPs) the gap shrinks to ~0.5 dB mean
+    #         (25.33/24.37 vs union 25.59/25.22, seeds 42/7;
+    #         anneal_quality_matrix.json).
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
     prop_anneal_steps: int = 0  # Mip-NeRF 360 sampling anneal: for the
     #         first N optimizer steps the TRAINING CDF draw is softened
