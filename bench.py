@@ -268,30 +268,44 @@ def main() -> None:
     # take >180 s for its first trivial compile on a loaded machine, and a
     # false "wedged" verdict silently downgrades the whole bench to the
     # CPU fallback number.
+    # The probe RETRIES: a chip that another process just released can
+    # hang the first probe's backend init (observed: a training run
+    # exiting at T+0 left the 420 s probe at T+1 hanging, while a fresh
+    # probe minutes later answered in seconds) — one failed probe must
+    # not silently downgrade the bench to the CPU number.  Only a chip
+    # that fails every attempt (a real round-1-style wedge) falls back.
     probe_budget = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "420"))
+    probe_retries = int(os.environ.get("BENCH_PREFLIGHT_RETRIES", "2"))
     pin = (
         f"jax.config.update('jax_platforms', '{args.platform}');"
         if args.platform else ""
     )
-    try:
-        t0 = time.perf_counter()
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             f"import jax; {pin}import jax.numpy as jnp;"
-             "v = float(jnp.ones((8, 8)).sum());"
-             "print(jax.default_backend(), jax.device_count(), v)"],
-            timeout=probe_budget, capture_output=True,
-        )
-        if probe.returncode != 0:
-            raise RuntimeError(probe.stderr.decode()[-500:])
-        backend = probe.stdout.decode().strip().splitlines()[-1].split()[0]
-        print(f"[bench] preflight ok: backend={backend} "
-              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] accelerator preflight failed after "
-              f"{probe_budget:.0f}s (wedged device?): "
-              f"{type(e).__name__}", file=sys.stderr)
-        backend = None
+    backend = None
+    for attempt in range(1 + probe_retries):
+        budget = probe_budget if attempt == 0 else min(probe_budget, 180.0)
+        try:
+            t0 = time.perf_counter()
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 f"import jax; {pin}import jax.numpy as jnp;"
+                 "v = float(jnp.ones((8, 8)).sum());"
+                 "print(jax.default_backend(), jax.device_count(), v)"],
+                timeout=budget, capture_output=True,
+            )
+            if probe.returncode != 0:
+                raise RuntimeError(probe.stderr.decode()[-500:])
+            backend = probe.stdout.decode().strip().splitlines()[-1].split()[0]
+            print(f"[bench] preflight ok: backend={backend} "
+                  f"({time.perf_counter() - t0:.0f}s, attempt "
+                  f"{attempt + 1})", file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"[bench] accelerator preflight attempt {attempt + 1}/"
+                  f"{1 + probe_retries} failed after {budget:.0f}s "
+                  f"(wedged or still releasing?): {type(e).__name__}",
+                  file=sys.stderr)
+            if attempt < probe_retries:
+                time.sleep(30.0)
 
     line = None
     if backend == "tpu":
