@@ -62,7 +62,7 @@ def _prepare(data: str, height: int, width: int, data_dir: str | None,
     if data == "llff":
         from nerf_keras_tpu.data.llff import prepare_fern_data
 
-        return prepare_fern_data(height, width, path=data_dir)
+        return prepare_fern_data(height, width, basedir=data_dir)
     raise SystemExit(f"unknown --data {data!r}")
 
 
@@ -178,10 +178,6 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
         ckpt = found
 
     scene = load_checkpoint_scene(ckpt) or {}
-    if "ndc" in scene and bool(scene["ndc"]) != cfg.ndc:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, ndc=bool(scene["ndc"]))
     cfg, notes = resolve_infer_config(cfg, ckpt)
     for note in notes:
         print(f"[nerf-tpu] {note}")
@@ -195,6 +191,16 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
     ds = train_ds if args.split == "train" else val_ds
     near = scene.get("near", near)
     far = scene.get("far", far)
+    if cfg.ndc:
+        # The checkpoint was trained on NDC-reparameterized rays
+        # (cli/train.py applies dataset_to_ndc before training): score it
+        # in the SAME ray space, or every view renders garbage and the
+        # report records meaningless metrics without an error.  Bounds
+        # become [0, 1] exactly as at training time.
+        from nerf_keras_tpu.data.pipeline import dataset_to_ndc
+
+        ds = dataset_to_ndc(ds)
+        near, far = 0.0, 1.0
 
     trainer = Trainer(cfg, near, far).restore(ckpt)
     print(f"[nerf-tpu] loaded {ckpt}; scoring {ds.num_images} "

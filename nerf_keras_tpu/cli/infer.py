@@ -43,6 +43,7 @@ from nerf_keras_tpu.utils.checkpoint import (
     load_checkpoint_scene,
 )
 from nerf_keras_tpu.utils.image import normalize_depth, to_uint8
+from nerf_keras_tpu.utils.image_metrics import accuracy_gate
 from nerf_keras_tpu.utils.viz import write_video
 
 import jax
@@ -206,19 +207,10 @@ def run_inference(argv: list[str] | None = None) -> str:
         args.focal if args.focal is not None
         else scene.get("focal", 1.2 * max(cfg.height, cfg.width))
     )
-    # The sidecar's NDC flag determines the RAY SPACE the checkpoint was
-    # trained in — just as load-bearing as near/far.  An NDC-trained model
-    # rendered with world-space rays (or vice versa) produces silent
-    # garbage, so the sidecar wins over the passed config.
-    if "ndc" in scene and bool(scene["ndc"]) != cfg.ndc:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, ndc=bool(scene["ndc"]))
-        print(f"[nerf-tpu] checkpoint sidecar sets ndc={cfg.ndc} "
-              f"(overrides the config)")
     # Sidecar fields that are load-bearing at render time (state-tree
-    # arch, EMA routing) win over the passed config; the LR schedule is
-    # neutralized — resolve_infer_config docstring has the full rationale.
+    # arch, EMA routing, ray space / background) win over the passed
+    # config; the LR schedule is neutralized — resolve_infer_config
+    # docstring has the full rationale.
     from nerf_keras_tpu.utils.checkpoint import resolve_infer_config
 
     cfg, notes = resolve_infer_config(cfg, ckpt)
@@ -292,16 +284,10 @@ def run_inference(argv: list[str] | None = None) -> str:
             poses[0], cfg.height, cfg.width, focal, chunk=args.chunk,
             quant=True,
         )["rgb"]
-        mse = float(np.mean((ref_rgb - q_rgb) ** 2))
-        gate_psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
-        if gate_psnr >= args.quant_gate_db:
-            use_quant = True
-            print(f"[nerf-tpu] int8 gate PASS: {gate_psnr:.1f} dB vs float "
-                  f"(gate {args.quant_gate_db:.1f})")
-        else:
-            print(f"[nerf-tpu] int8 gate FAIL: {gate_psnr:.1f} dB vs float "
-                  f"< {args.quant_gate_db:.1f}; falling back to the float "
-                  "path")
+        use_quant, _ = accuracy_gate(
+            ref_rgb, q_rgb, args.quant_gate_db, "int8",
+            "falling back to the float path",
+        )
     use_sampler = "coarse"
     if args.sampler == "proposal" and trainer.online_proposal:
         # TRAIN_SAMPLER='proposal' checkpoint: the in-state proposal net
@@ -331,16 +317,12 @@ def run_inference(argv: list[str] | None = None) -> str:
             poses[0], cfg.height, cfg.width, focal, chunk=args.chunk,
             quant=use_quant, sampler="proposal",
         )["rgb"]
-        mse = float(np.mean((ref_rgb - p_rgb) ** 2))
-        gate_psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
-        if gate_psnr >= args.sampler_gate_db:
+        ok, _ = accuracy_gate(
+            ref_rgb, p_rgb, args.sampler_gate_db, "proposal",
+            "falling back to the coarse sampler",
+        )
+        if ok:
             use_sampler = "proposal"
-            print(f"[nerf-tpu] proposal gate PASS: {gate_psnr:.1f} dB vs "
-                  f"coarse sampler (gate {args.sampler_gate_db:.1f})")
-        else:
-            print(f"[nerf-tpu] proposal gate FAIL: {gate_psnr:.1f} dB vs "
-                  f"coarse sampler < {args.sampler_gate_db:.1f}; falling "
-                  "back to the coarse sampler")
     if args.infer_cache and (
         (trainer.quant_ready, trainer.proposal_ready) != cache_pre
         and (trainer.quant_ready or trainer.proposal_ready)

@@ -178,17 +178,36 @@ def run_training(
     print(f"[nerf-tpu] rays: train={len(train_ds)} val={len(val_ds)} "
           f"near={near:.3f} far={far:.3f} focal={focal:.2f}")
 
+    # Per-host drop-remainder batch accounting, computed ONCE: each host
+    # assembles only its 1/P slice of the global batch (put_batch builds
+    # the global array across hosts), so the per-host pipeline batch is
+    # batch_size // P and steps_per_epoch covers the GLOBAL ray count once
+    # per epoch.  Both auto-horizons below and the epoch loop share these
+    # numbers — a second formula would drift.
+    _, proc_count = process_info()
+    if cfg.batch_size % proc_count != 0:
+        raise ValueError(
+            f"BATCH_SIZE={cfg.batch_size} must be divisible by the process "
+            f"count ({proc_count})"
+        )
+    local_bs = cfg.batch_size // proc_count
+    if len(train_ds) < local_bs:
+        # Without this, drop-remainder batching yields ZERO batches and
+        # the first epoch dies later with an opaque KeyError('loss').
+        raise ValueError(
+            f"BATCH_SIZE={cfg.batch_size} exceeds the per-host train set "
+            f"({len(train_ds)} rays after sharding across {proc_count} "
+            f"process(es)) — lower BATCH_SIZE or enlarge the dataset"
+        )
+    steps_per_epoch = len(train_ds) // local_bs
+
     if cfg.lr_final is not None and cfg.lr_decay_steps == 0:
         # Resolve the LR-decay horizon (LR_DECAY_STEPS=0 = auto) to the
-        # full schedule: epochs * steps-per-epoch, with the same per-host
-        # drop-remainder batch accounting as the epoch loop below.  Must
-        # happen before the Trainer builds its optimizer.
+        # full schedule: epochs * steps-per-epoch.  Must happen before
+        # the Trainer builds its optimizer.
         import dataclasses as _dc
 
-        _, _pc = process_info()
-        _local = max(1, cfg.batch_size // max(1, _pc))
-        _spe = max(1, len(train_ds) // _local)
-        cfg = _dc.replace(cfg, lr_decay_steps=cfg.epochs * _spe)
+        cfg = _dc.replace(cfg, lr_decay_steps=cfg.epochs * steps_per_epoch)
         print(f"[nerf-tpu] lr decay: {cfg.learning_rate} -> {cfg.lr_final} "
               f"over {cfg.lr_decay_steps} steps")
 
@@ -197,10 +216,7 @@ def run_training(
         # (Mip-NeRF 360's schedule), same accounting as the LR horizon.
         import dataclasses as _dc
 
-        _, _pc = process_info()
-        _local = max(1, cfg.batch_size // max(1, _pc))
-        _spe = max(1, len(train_ds) // _local)
-        cfg = _dc.replace(cfg, prop_anneal_steps=cfg.epochs * _spe)
+        cfg = _dc.replace(cfg, prop_anneal_steps=cfg.epochs * steps_per_epoch)
         print(f"[nerf-tpu] proposal anneal over {cfg.prop_anneal_steps} steps")
 
     trainer = Trainer(cfg, near, far)
@@ -240,30 +256,10 @@ def run_training(
                       f"({len(history.losses)} epochs recorded)")
                 break
 
-    # Multi-host accounting: each host assembles only its 1/P slice of the
-    # global batch (put_batch assembles the global array across hosts), so
-    # the per-host pipeline batch is batch_size // P and steps_per_epoch
-    # covers the GLOBAL ray count once per epoch.
-    _, proc_count = process_info()
     test_bs = cfg.test_batch_size or cfg.batch_size
     eval_bs = resolve_eval_batch(
         test_bs, len(val_ds), trainer.mesh.shape["data"], proc_count
     )
-    if cfg.batch_size % proc_count != 0:
-        raise ValueError(
-            f"BATCH_SIZE={cfg.batch_size} must be divisible by the process "
-            f"count ({proc_count})"
-        )
-    local_bs = cfg.batch_size // proc_count
-    if len(train_ds) < local_bs:
-        # Without this, drop-remainder batching yields ZERO batches and
-        # the first epoch dies later with an opaque KeyError('loss').
-        raise ValueError(
-            f"BATCH_SIZE={cfg.batch_size} exceeds the per-host train set "
-            f"({len(train_ds)} rays after sharding across {proc_count} "
-            f"process(es)) — lower BATCH_SIZE or enlarge the dataset"
-        )
-    steps_per_epoch = len(train_ds) // local_bs
     if len(val_ds) % eval_bs:
         # Parity note: the reference's val pipeline also batches with
         # drop_remainder=True (data_utils.py:166), so excluded rays match

@@ -28,8 +28,7 @@ import os
 
 import numpy as np
 
-from nerf_keras_tpu.data.pipeline import RayDataset, flatten_views
-from nerf_keras_tpu.ops.rays import get_rays
+from nerf_keras_tpu.data.pipeline import RayDataset
 from nerf_keras_tpu.utils import io
 
 

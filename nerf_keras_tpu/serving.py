@@ -33,6 +33,8 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from nerf_keras_tpu.utils.image_metrics import accuracy_gate
+
 
 class RenderService:
     """Owns the Trainer + checkpoint; thread-safe render calls."""
@@ -120,15 +122,9 @@ class RenderService:
             self.trainer.quantize_for_inference(o, d)
         ref = self.trainer.render_image(pose, h, w, focal)["rgb"]
         q = self.trainer.render_image(pose, h, w, focal, quant=True)["rgb"]
-        mse = float(np.mean((ref - q) ** 2))
-        psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
-        if psnr >= gate_db:
-            print(f"[nerf-tpu] serving int8: gate PASS {psnr:.1f} dB "
-                  f"(gate {gate_db:.1f})")
-            return True
-        print(f"[nerf-tpu] int8 gate FAIL: {psnr:.1f} dB < {gate_db:.1f}; "
-              "serving the float path")
-        return False
+        ok, _ = accuracy_gate(ref, q, gate_db, "serving int8",
+                              "serving the float path")
+        return ok
 
     def _setup_proposal(self, gate_db: float, steps: int) -> str:
         """Distill the proposal sampler (ops/proposal.py) on rays from an
@@ -157,15 +153,9 @@ class RenderService:
         p = self.trainer.render_image(
             pose, h, w, focal, quant=self.use_quant, sampler="proposal"
         )["rgb"]
-        mse = float(np.mean((ref - p) ** 2))
-        psnr = float("inf") if mse == 0 else -10.0 * np.log10(mse)
-        if psnr >= gate_db:
-            print(f"[nerf-tpu] serving proposal sampler: gate PASS "
-                  f"{psnr:.1f} dB (gate {gate_db:.1f})")
-            return "proposal"
-        print(f"[nerf-tpu] proposal gate FAIL: {psnr:.1f} dB < "
-              f"{gate_db:.1f}; serving the coarse sampler")
-        return "coarse"
+        ok, _ = accuracy_gate(ref, p, gate_db, "serving proposal sampler",
+                              "serving the coarse sampler")
+        return "proposal" if ok else "coarse"
 
     def render_png(
         self, theta: float, phi: float, radius: float,

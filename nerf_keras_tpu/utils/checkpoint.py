@@ -132,7 +132,7 @@ def load_checkpoint_config(path: str) -> NeRFConfig:
 def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig, list[str]]:
     """Reconcile a user config with a checkpoint's sidecar for INFERENCE.
 
-    Three classes of sidecar field are load-bearing at render time and win
+    Four classes of sidecar field are load-bearing at render time and win
     over the passed config (returned notes say when they did):
 
     * ``train_sampler`` + proposal-net arch (+ ``prop_union``): they fix
@@ -142,13 +142,18 @@ def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig,
     * ``ema_decay``: decides WHICH weights serve — an EMA-trained
       checkpoint restored without the shadow in the template would
       silently render the raw online params;
+    * ``ndc`` and ``white_bkgd``: the RAY SPACE and background
+      compositing the weights were trained in.  A mismatch raises no
+      error — an NDC checkpoint rendered with world-space rays (or a
+      white-background model composited onto black) just produces wrong
+      frames silently — so the sidecar wins;
     * the LR schedule is NEUTRALIZED (``lr_final=None``): the optimizer is
       never stepped at inference, a scheduled one can't even build with an
       unresolved auto horizon, and a constant-LR template restores from
       scheduled checkpoints unchanged (the extra schedule-count leaf in
       the file is ignored).
 
-    Shared by ``cli/infer.py`` and the render server.
+    Shared by ``cli/infer.py``, ``cli/evaluate.py`` and the render server.
     """
     import dataclasses
 
@@ -171,6 +176,21 @@ def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig,
                 notes.append(
                     f"checkpoint sidecar sets ema_decay={cfg.ema_decay}: "
                     "rendering the EMA weights"
+                )
+        # ndc: the SCENE record wins when present (it lives with the
+        # near/far bounds it reparameterizes; cli/train.py writes it on
+        # every save), falling back to the config field.
+        scene = load_checkpoint_scene(path) or {}
+        trained = {
+            "ndc": bool(scene["ndc"]) if "ndc" in scene else side.ndc,
+            "white_bkgd": side.white_bkgd,
+        }
+        for field, value in trained.items():
+            if value != getattr(cfg, field):
+                cfg = dataclasses.replace(cfg, **{field: value})
+                notes.append(
+                    f"checkpoint sidecar sets {field}={value} (overrides "
+                    "the config — fixed at training time)"
                 )
     if cfg.lr_final is not None:
         cfg = dataclasses.replace(cfg, lr_final=None, lr_decay_steps=0)

@@ -90,3 +90,37 @@ def ssim(
     cs = (2.0 * cov + c2) / (var_a + var_b + c2)
     out = jnp.mean(luminance * cs, axis=(1, 2, 3))
     return out[0] if single else out
+
+
+def frame_psnr(ref, test, max_val: float = 1.0) -> float:
+    """PSNR between two rendered frames as a host float (numpy path —
+    frames have already been fetched; no reason to re-trace a jit).
+    Identical frames return ``inf``; any NaN propagates (callers treat a
+    NaN comparison as a failed gate)."""
+    import numpy as np
+
+    ref = np.asarray(ref, np.float32)
+    test = np.asarray(test, np.float32)
+    mse = float(np.mean((ref - test) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return float(20.0 * np.log10(max_val) - 10.0 * np.log10(mse))
+
+
+def accuracy_gate(
+    ref, test, gate_db: float, label: str, fallback: str
+) -> tuple[bool, float]:
+    """Shared accept/fall-back gate for accelerated render paths (int8,
+    proposal sampler) — render the SAME frame both ways and require
+    ``PSNR(test vs ref) >= gate_db``, a silent-degradation guard the
+    float/coarse path never needs.  One implementation so gate semantics
+    (inf on identical, NaN fails, message format) cannot drift across
+    the CLI and the render server.  Returns ``(passed, psnr_db)``."""
+    value = frame_psnr(ref, test)
+    if value >= gate_db:  # NaN compares False -> FAIL
+        print(f"[nerf-tpu] {label} gate PASS: {value:.1f} dB "
+              f"(gate {gate_db:.1f})")
+        return True, value
+    print(f"[nerf-tpu] {label} gate FAIL: {value:.1f} dB < {gate_db:.1f}; "
+          f"{fallback}")
+    return False, value

@@ -176,3 +176,69 @@ def test_eval_blender_test_split(tmp_path):
             "--config", cfg_path, "--checkpoint", ckpt,
             "--data", "synthetic", "--split", "test",
         ])
+
+
+def test_eval_ndc_checkpoint_scores_in_ndc_ray_space(tmp_path, monkeypatch):
+    """An NDC-trained checkpoint must be scored on NDC-reparameterized
+    rays with [0,1] bounds (exactly what cli/train.py trained on) — a
+    world-space-ray eval raises no error, it just records meaningless
+    metrics.  The sidecar flips cfg.ndc even when the passed config lacks
+    it, and the dataset is passed through dataset_to_ndc."""
+    import nerf_keras_tpu.cli.evaluate as ev
+    from nerf_keras_tpu.config import NeRFConfig, load_config
+    from nerf_keras_tpu.data.llff import prepare_fern_data
+    from nerf_keras_tpu.data.pipeline import dataset_to_ndc
+
+    # forward-facing capture (same recipe as tests/test_infer.py)
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    n, h, w = 4, 12, 16
+    for i in range(n):
+        arr = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i:02d}.png")
+    poses = np.zeros((n, 3, 5), dtype=np.float64)
+    for i in range(n):
+        poses[i, :, 0] = [0, -1, 0]
+        poses[i, :, 1] = [1, 0, 0]
+        poses[i, :, 2] = [0, 0, 1]
+        poses[i, :, 3] = [0.1 * i, 0.05 * i, 4.0 + 0.1 * i]
+        poses[i, :, 4] = [h, w, 20.0]
+    bds = np.stack([np.full(n, 2.0), np.full(n, 6.0)], axis=1)
+    np.save(tmp_path / "poses_bounds.npy",
+            np.concatenate([poses.reshape(n, -1), bds], axis=1))
+
+    cfg_path = _write_config(tmp_path, h=h, w=w)  # config WITHOUT NDC
+    trained = load_config(cfg_path)
+    import dataclasses
+    trained = dataclasses.replace(trained, ndc=True).validate()
+    state = init_train_state(jax.random.PRNGKey(0), trained)
+    ckpt = str(tmp_path / "ndc.ckpt.npz")
+    save_checkpoint(ckpt, state, trained,
+                    scene={"near": 0.0, "far": 1.0, "focal": 20.0,
+                           "ndc": True})
+
+    seen = {}
+    real = ev.evaluate_views
+
+    def spy(trainer, ds, **kw):
+        seen["ndc"] = trainer.cfg.ndc
+        seen["bounds"] = (trainer.near, trainer.far, ds.near, ds.far)
+        seen["origins"] = np.asarray(ds.origins)
+        return real(trainer, ds, **kw)
+
+    monkeypatch.setattr(ev, "evaluate_views", spy)
+    report = ev.run_evaluation([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--data", "llff", "--data-dir", str(tmp_path),
+        "--chunk", "128", "--out", str(tmp_path / "ndc_eval.json"),
+    ])
+    assert seen["ndc"] is True
+    assert seen["bounds"] == (0.0, 1.0, 0.0, 1.0)
+    # the scored rays are exactly dataset_to_ndc(world-space val split)
+    _, val_ds, _, _ = prepare_fern_data(h, w, basedir=str(tmp_path))
+    expect = dataset_to_ndc(val_ds)
+    np.testing.assert_allclose(seen["origins"], expect.origins, rtol=1e-6)
+    assert np.isfinite(report["mean"]["psnr"])

@@ -230,6 +230,16 @@ def test_resolve_infer_config_adopts_sidecar_ema_and_neutralizes_lr(tmp_path):
     cfg, notes = resolve_infer_config(user, path)
     assert cfg.ema_decay == 0.99
     assert any("ema" in n for n in notes)
+    # white_bkgd / ndc are fixed at training time too: a mismatch renders
+    # silently-wrong frames, so the sidecar wins for every consumer
+    # (cli/infer, cli/evaluate, serving) through this one function.
+    trained_wb = dataclasses.replace(trained, white_bkgd=True)
+    path_wb = str(tmp_path / "wb.ckpt.npz")
+    save_checkpoint(path_wb, init_train_state(jax.random.PRNGKey(0), trained_wb),
+                    trained_wb)
+    cfg_wb, notes_wb = resolve_infer_config(trained, path_wb)
+    assert cfg_wb.white_bkgd is True
+    assert any("white_bkgd" in n for n in notes_wb)
     # lr neutralization: a config with an unresolved auto horizon must not
     # crash the inference Trainer build
     user2 = dataclasses.replace(trained, lr_final=1e-5, lr_decay_steps=0)
