@@ -213,6 +213,31 @@ def main() -> None:
     # uninterruptibly in-process, and the bench must always terminate and
     # emit its JSON contract line, falling back to a CPU-pinned run if no
     # accelerator responds (round-1 failure mode: rc=1, no record).
+    def _run_guarded(cmd, budget, stderr=None):
+        """subprocess with a HARD upper bound on our own blocking time.
+
+        subprocess.run(timeout=...) kills the child on expiry but then
+        wait()s UNBOUNDED for it to die — and a child hung in an
+        uninterruptible axon syscall (the documented wedge mode) ignores
+        SIGKILL, so the guard would hang on exactly the failure it
+        guards.  Popen + bounded reaping: on expiry, kill, give it 15 s
+        to die, then ABANDON the process (stdout pipe closed; a D-state
+        child is unrecoverable and must not take the bench down with it).
+        Returns (returncode, stdout_bytes); returncode None = timeout.
+        """
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=stderr)
+        try:
+            out, _ = proc.communicate(timeout=budget)
+            return proc.returncode, out
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            try:
+                out, _ = proc.communicate(timeout=15.0)
+            except subprocess.TimeoutExpired:
+                proc.stdout.close()
+                out = b""
+            return None, out
+
     def run_child(mode: str, budget: float, platform: str | None = None,
                   steps: int | None = None, warmup: int | None = None,
                   batch_size: int | None = None, full: bool | None = None,
@@ -231,19 +256,17 @@ def main() -> None:
           + (["--train-sampler", args.train_sampler]) \
           + (["--_degraded"] if degraded else [])
         try:
-            proc = subprocess.run(
-                cmd, timeout=budget,
-                stdout=subprocess.PIPE, stderr=sys.stderr,
-            )
-            if proc.returncode == 0:
-                line = proc.stdout.decode().strip().splitlines()[-1]
+            rc, out = _run_guarded(cmd, budget, stderr=sys.stderr)
+            if rc == 0:
+                line = out.decode().strip().splitlines()[-1]
                 json.loads(line)  # validate contract
                 return line
-            print(f"[bench] {mode} child failed rc={proc.returncode}",
-                  file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"[bench] {mode} child exceeded {budget:.0f}s",
-                  file=sys.stderr)
+            if rc is None:
+                print(f"[bench] {mode} child exceeded {budget:.0f}s",
+                      file=sys.stderr)
+            else:
+                print(f"[bench] {mode} child failed rc={rc}",
+                      file=sys.stderr)
         except Exception as e:  # malformed output etc.
             print(f"[bench] {mode} child error: {e}", file=sys.stderr)
         return None
@@ -282,19 +305,25 @@ def main() -> None:
     )
     backend = None
     for attempt in range(1 + probe_retries):
-        budget = probe_budget if attempt == 0 else min(probe_budget, 180.0)
+        # Full budget on EVERY attempt: each retry is a fresh subprocess
+        # that redoes the first trivial compile, which has been observed
+        # to exceed 180 s on a cold/loaded tunnel — a clamped retry
+        # budget would falsely conclude "wedged" on a healthy chip.
+        budget = probe_budget
         try:
             t0 = time.perf_counter()
-            probe = subprocess.run(
+            rc, out = _run_guarded(
                 [sys.executable, "-c",
                  f"import jax; {pin}import jax.numpy as jnp;"
                  "v = float(jnp.ones((8, 8)).sum());"
                  "print(jax.default_backend(), jax.device_count(), v)"],
-                timeout=budget, capture_output=True,
+                budget, stderr=subprocess.DEVNULL,
             )
-            if probe.returncode != 0:
-                raise RuntimeError(probe.stderr.decode()[-500:])
-            backend = probe.stdout.decode().strip().splitlines()[-1].split()[0]
+            if rc is None:
+                raise TimeoutError(f"probe exceeded {budget:.0f}s")
+            if rc != 0:
+                raise RuntimeError(f"probe rc={rc}")
+            backend = out.decode().strip().splitlines()[-1].split()[0]
             print(f"[bench] preflight ok: backend={backend} "
                   f"({time.perf_counter() - t0:.0f}s, attempt "
                   f"{attempt + 1})", file=sys.stderr)
@@ -322,8 +351,18 @@ def main() -> None:
     if line is None:
         line = cpu_fallback()
     if line is None:
-        print("[bench] no path produced a result", file=sys.stderr)
-        sys.exit(1)
+        # Terminal degradation: even the CPU fallback failed.  The
+        # contract is ONE JSON line ALWAYS (round-1 regression was rc=1
+        # with no record) — emit an explicit error record rather than
+        # violate it.
+        print("[bench] no path produced a result — emitting error record",
+              file=sys.stderr)
+        line = json.dumps({
+            "metric": "train_rays_per_sec_per_chip", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0, "degraded": True,
+            "error": "no bench path produced a result (wedged "
+                     "accelerator and failed CPU fallback)",
+        })
     print(line)
 
 

@@ -271,11 +271,15 @@ def run_inference(argv: list[str] | None = None) -> str:
         # frame BOTH ways and require PSNR(int8 vs float) >= the gate —
         # a silent-degradation guard the float path never needs.
         if not trainer.quant_ready:  # else: loaded from --infer-cache
-            o0, d0 = trainer.pose_rays(
-                poses[0], cfg.height, cfg.width, focal
-            )
+            # Calibrate across poses spread along the render path (the
+            # gate view poses[0] alone would self-calibrate the gate).
+            cstep = max(1, len(poses) // 4)
+            calib = [trainer.pose_rays(p_, cfg.height, cfg.width, focal)
+                     for p_ in poses[::cstep][:4]]
             trainer.quantize_for_inference(
-                o0, d0, calib_rays=args.quant_calib_rays
+                np.concatenate([c[0] for c in calib], axis=0),
+                np.concatenate([c[1] for c in calib], axis=0),
+                calib_rays=args.quant_calib_rays,
             )
         ref_rgb = trainer.render_image(
             poses[0], cfg.height, cfg.width, focal, chunk=args.chunk

@@ -118,8 +118,20 @@ class RenderService:
         h, w = self.cfg.height, self.cfg.width
         focal = self.default_focal or 1.2 * max(h, w)
         if not self.trainer.quant_ready:  # else: loaded from infer_cache
-            o, d = self.trainer.pose_rays(pose, h, w, focal)
-            self.trainer.quantize_for_inference(o, d)
+            # Calibrate activation scales across an orbit of serving
+            # poses (like _setup_proposal), not just the gate view —
+            # scales fit to the single scored view make the gate
+            # self-calibration-optimistic and can clip on other poses.
+            calib = [
+                self.trainer.pose_rays(
+                    pose_spherical(theta, -30.0, 4.0), h, w, focal
+                )
+                for theta in range(0, 360, 45)
+            ]
+            self.trainer.quantize_for_inference(
+                np.concatenate([c[0] for c in calib], axis=0),
+                np.concatenate([c[1] for c in calib], axis=0),
+            )
         ref = self.trainer.render_image(pose, h, w, focal)["rgb"]
         q = self.trainer.render_image(pose, h, w, focal, quant=True)["rgb"]
         ok, _ = accuracy_gate(ref, q, gate_db, "serving int8",

@@ -59,7 +59,9 @@ def main():
     v_img = val.pixels[:n_px].reshape(cfg.height, cfg.width, 3)
     v_o, v_d = val.origins[:n_px], val.directions[:n_px]
 
-    trainer.quantize_for_inference(v_o, v_d)
+    # Calibrate on TRAIN rays: the scored val view stays held out
+    # (self-calibration made the reported PSNR optimistic).
+    trainer.quantize_for_inference(train.origins, train.directions)
     out_f = trainer.render_rays(v_o, v_d, keys=("rgb_fine",))
     out_q = trainer.render_rays(v_o, v_d, keys=("rgb_fine",), quant=True)
     rgb_f = out_f["rgb_fine"].reshape(cfg.height, cfg.width, 3)

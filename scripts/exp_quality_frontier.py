@@ -75,7 +75,9 @@ def main():
             base_cfg, ns_coarse=nsc, ns_fine=nsf
         ).validate()
         trainer = Trainer(cfg, near, far).restore(ckpt)
-        trainer.quantize_for_inference(v_o, v_d)
+        # Calibrate on TRAIN rays: the scored val view stays held out
+        # (self-calibration made the reported PSNR optimistic).
+        trainer.quantize_for_inference(train.origins, train.directions)
 
         out_f = trainer.render_rays(v_o, v_d, keys=("rgb_fine",),
                                     chunk=args.chunk)

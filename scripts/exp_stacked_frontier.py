@@ -79,19 +79,19 @@ def main():
         ).validate()
         trainer = Trainer(cfg, near, far).restore(ckpt)
 
-        # Distillation calibrates on orbit rays (the CLI default); int8
-        # scales on the val view, matching the prior evidence scripts.
+        # Distillation AND int8 activation scales calibrate on orbit rays
+        # (the serving-CLI default).  The scored val view must stay held
+        # out of calibration: fitting absmax scales to the view whose
+        # PSNR is reported makes the number self-calibration-optimistic.
         calib = [
             trainer.pose_rays(pose_spherical(th, -30.0, 4.0), cfg.height,
                               cfg.width, focal)
             for th in range(0, 360, 45)
         ]
-        trainer.build_proposal_sampler(
-            np.concatenate([c[0] for c in calib], axis=0),
-            np.concatenate([c[1] for c in calib], axis=0),
-            steps=args.distill_steps,
-        )
-        trainer.quantize_for_inference(v_o, v_d)
+        c_o = np.concatenate([c[0] for c in calib], axis=0)
+        c_d = np.concatenate([c[1] for c in calib], axis=0)
+        trainer.build_proposal_sampler(c_o, c_d, steps=args.distill_steps)
+        trainer.quantize_for_inference(c_o, c_d)
 
         out_b = trainer.render_rays(v_o, v_d, keys=("rgb_fine",),
                                     chunk=args.chunk)

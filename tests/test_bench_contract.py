@@ -63,3 +63,41 @@ def test_bench_child_path_forwards_train_sampler():
     assert proc.returncode == 0, proc.stderr.decode()[-2000:]
     rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
     assert "train_sampler" not in rec, rec
+
+
+def test_bench_terminal_error_record_when_everything_wedges(monkeypatch, capsys):
+    """The contract is ONE JSON line ALWAYS.  When the preflight, every
+    child, and even the CPU fallback hang (a machine-wide wedge), the
+    bench must still emit a parseable error record instead of rc=1 with
+    no output (the round-1 regression)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    class WedgedProc:
+        returncode = None
+        stdout = type("S", (), {"close": staticmethod(lambda: None)})()
+
+        def communicate(self, timeout=None):
+            raise subprocess.TimeoutExpired(cmd="x", timeout=timeout or 0)
+
+        def kill(self):
+            pass
+
+    monkeypatch.setattr(bench.subprocess, "Popen",
+                        lambda *a, **k: WedgedProc())
+    monkeypatch.setenv("BENCH_PREFLIGHT_TIMEOUT", "1")
+    monkeypatch.setenv("BENCH_PREFLIGHT_RETRIES", "0")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+
+    bench.main()  # must NOT raise or sys.exit
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["metric"] == "train_rays_per_sec_per_chip"
+    assert rec["value"] == 0.0
+    assert rec["degraded"] is True
+    assert "error" in rec

@@ -246,10 +246,17 @@ def test_union_free_train_eval_render_quant():
     ev = trainer.eval_step(trainer.put_global_batch((imgs, o, d)))
     assert all(np.isfinite(float(v)) for v in ev.values())
 
-    out = trainer.render_rays(o, d, chunk=64)
+    out = trainer.render_rays(o, d, chunk=64, keys=("rgb_fine",
+                                                    "depth_fine",
+                                                    "weights_fine"))
     assert np.isfinite(out["rgb_fine"]).all()
-    # depth must be ordered sanely (sorted t_all; no union edges)
-    assert (np.asarray(out["depth_fine"]) >= 0).all()
+    # sortedness pin: compositing over UNSORTED placed samples yields
+    # negative deltas -> negative alphas -> negative weights; sorted
+    # t_all keeps every weight nonnegative and depth inside [0, far]
+    w = np.asarray(out["weights_fine"])
+    assert (w >= -1e-6).all(), w.min()
+    depth = np.asarray(out["depth_fine"])
+    assert (depth >= 0).all() and (depth <= 6.0 + 1e-4).all()
 
     trainer.quantize_for_inference(o, d)
     q = trainer.render_rays(o, d, chunk=64, quant=True)
@@ -322,7 +329,9 @@ def test_proposal_ready_property():
 def test_online_training_with_distortion_loss():
     """DISTORTION_LOSS_MULT composes with the online-proposal step (both
     union layouts): loss finite and decreasing, and the regularizer term
-    actually contributes (loss with mult > loss without at step 0)."""
+    actually contributes (loss with mult > loss without at step 0 — same
+    seed, same batch, so the MSE terms are identical and any step-0 gap
+    is the distortion term)."""
     from nerf_keras_tpu.engine.trainer import Trainer
 
     batch = _batch()
@@ -333,6 +342,15 @@ def test_online_training_with_distortion_loss():
         tr = Trainer(cfg_r, 2.0, 6.0)
         b = tr.put_batch(batch)
         m0 = tr.train_step(b)
+        # control: identical config/seed with the regularizer off — a
+        # regression that drops the mult from the proposal-mode loss
+        # would make these equal
+        cfg_0 = _tiny_cfg(
+            distortion_loss_mult=0.0, use_pallas=False, prop_union=union
+        )
+        tr_0 = Trainer(cfg_0, 2.0, 6.0)
+        m0_ctl = tr_0.train_step(tr_0.put_batch(batch))
+        assert float(m0["loss"]) > float(m0_ctl["loss"]), union
         for _ in range(10):
             m = tr.train_step(b)
         assert np.isfinite(float(m["loss"])), union
@@ -352,9 +370,19 @@ def test_online_training_white_bkgd():
         m = tr.train_step(b)
     assert float(m["loss"]) < float(m0["loss"])
     float(tr.eval_step(tr.put_global_batch(_batch()))["psnr"])
-    # empty-scene sanity: near-zero densities must render ~white
+    # empty-scene sanity: force zero density (sigma head weights/bias
+    # pinned hard-negative -> relu(sigma)=0 -> all compositing weights 0)
+    # and the white background MUST show through as ~1.0 everywhere — a
+    # dropped (1-acc) compositing term renders black and this catches it.
+    params = jax.device_get(tr.state.params)
+    for net in ("proposal", "fine"):
+        if net in params and "sigma" in params[net]:
+            params[net]["sigma"] = jax.tree_util.tree_map(
+                lambda a: np.full_like(a, -50.0), params[net]["sigma"]
+            )
+    tr.replace_params(params, tr.state.bn)
     out = tr.render_rays(*_batch()[1:], chunk=64, keys=("rgb_fine",))
-    assert np.isfinite(out["rgb_fine"]).all()
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"]), 1.0, atol=1e-3)
 
 
 def test_prop_target_blur_override():
@@ -380,8 +408,16 @@ def test_prop_target_blur_override():
         for a, b in zip(leaves_b, leaves_u)
     )
     # and blur=False forces the unblurred target in union-free mode
+    # (where blur is the layout DEFAULT): the proposal gradient signal
+    # must differ from the default union-free run — if the override were
+    # ignored these trainings would be identical
     nob = train_2_steps(prop_union=False, prop_target_blur=False)
-    assert np.all(np.isfinite(np.asarray(jax.tree_util.tree_leaves(nob)[0])))
+    dflt = train_2_steps(prop_union=False)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(nob),
+                        jax.tree_util.tree_leaves(dflt))
+    )
 
 
 def test_prop_target_blur_config_roundtrip():
