@@ -39,6 +39,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 
@@ -310,19 +311,26 @@ def main() -> None:
         # to exceed 180 s on a cold/loaded tunnel — a clamped retry
         # budget would falsely conclude "wedged" on a healthy chip.
         budget = probe_budget
+        t0 = time.perf_counter()
         try:
-            t0 = time.perf_counter()
-            rc, out = _run_guarded(
-                [sys.executable, "-c",
-                 f"import jax; {pin}import jax.numpy as jnp;"
-                 "v = float(jnp.ones((8, 8)).sum());"
-                 "print(jax.default_backend(), jax.device_count(), v)"],
-                budget, stderr=subprocess.DEVNULL,
-            )
+            # Probe stderr goes to a tempfile so a FAILING probe surfaces
+            # its real traceback tail (a deterministic failure — broken
+            # install, bad --platform — must print something actionable,
+            # not just the exception type).
+            with tempfile.TemporaryFile() as err:
+                rc, out = _run_guarded(
+                    [sys.executable, "-c",
+                     f"import jax; {pin}import jax.numpy as jnp;"
+                     "v = float(jnp.ones((8, 8)).sum());"
+                     "print(jax.default_backend(), jax.device_count(), v)"],
+                    budget, stderr=err,
+                )
+                err.seek(0)
+                err_tail = err.read()[-500:].decode(errors="replace")
             if rc is None:
                 raise TimeoutError(f"probe exceeded {budget:.0f}s")
             if rc != 0:
-                raise RuntimeError(f"probe rc={rc}")
+                raise RuntimeError(f"probe rc={rc}; stderr tail:\n{err_tail}")
             backend = out.decode().strip().splitlines()[-1].split()[0]
             print(f"[bench] preflight ok: backend={backend} "
                   f"({time.perf_counter() - t0:.0f}s, attempt "
@@ -330,8 +338,9 @@ def main() -> None:
             break
         except Exception as e:
             print(f"[bench] accelerator preflight attempt {attempt + 1}/"
-                  f"{1 + probe_retries} failed after {budget:.0f}s "
-                  f"(wedged or still releasing?): {type(e).__name__}",
+                  f"{1 + probe_retries} failed after "
+                  f"{time.perf_counter() - t0:.0f}s "
+                  f"(wedged or still releasing?): {e}",
                   file=sys.stderr)
             if attempt < probe_retries:
                 time.sleep(30.0)
@@ -359,7 +368,10 @@ def main() -> None:
               file=sys.stderr)
         line = json.dumps({
             "metric": "train_rays_per_sec_per_chip", "value": 0.0,
-            "unit": "rays/s", "vs_baseline": 0.0, "degraded": True,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "backend": None,  # keep the record schema uniform with
+            # run_bench's rows so series collectors can index it
+            "degraded": True,
             "error": "no bench path produced a result (wedged "
                      "accelerator and failed CPU fallback)",
         })

@@ -151,8 +151,8 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
                    help="directory for per-view pred/gt PNG pairs")
     p.add_argument("--quant", type=str, default="none",
                    choices=("none", "int8"),
-                   help="score the int8 inference path (calibrated on the "
-                        "first eval view's rays)")
+                   help="score the int8 inference path (activation scales "
+                        "calibrated on held-out TRAIN views)")
     p.add_argument("--sampler", type=str, default="coarse",
                    choices=("coarse", "proposal"),
                    help="score the distilled-proposal inference path")
@@ -216,16 +216,32 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
                       f"{args.infer_cache}")
             except StaleArtifactsError as e:
                 print(f"[nerf-tpu] ignoring artifact cache: {e}")
+    def _calib_rays():
+        # Held-out calibration: weight-derived inference state (int8
+        # activation scales, the distilled proposal net) is fit on TRAIN
+        # views, never the scored split — self-calibration biases the
+        # reported eval PSNR optimistic, and the LLFF val split is a
+        # SINGLE view so the bias there is total.  Up to 8 views spread
+        # over the split, matching cli/infer.py's multi-pose calibration.
+        cds = train_ds
+        if cfg.ndc:
+            from nerf_keras_tpu.data.pipeline import dataset_to_ndc
+
+            cds = dataset_to_ndc(cds)
+        idx = list(range(0, cds.num_images, max(1, cds.num_images // 8)))[:8]
+        pairs = [cds.image_rays(i) for i in idx]
+        return (np.concatenate([p[0] for p in pairs], axis=0),
+                np.concatenate([p[1] for p in pairs], axis=0))
+
     cache_pre = (trainer.quant_ready, trainer.proposal_ready)
     if args.quant == "int8" and not trainer.quant_ready:
-        o0, d0 = ds.image_rays(0)
-        trainer.quantize_for_inference(o0, d0)
+        trainer.quantize_for_inference(*_calib_rays())
     sampler = args.sampler
     if sampler == "proposal" and trainer.online_proposal:
         sampler = "coarse"  # renders already use the in-state proposal net
     elif sampler == "proposal" and not trainer.proposal_ready:
-        o0, d0 = ds.image_rays(0)
-        trainer.build_proposal_sampler(o0, d0, steps=args.proposal_steps)
+        o_c, d_c = _calib_rays()
+        trainer.build_proposal_sampler(o_c, d_c, steps=args.proposal_steps)
     if args.infer_cache and (
         (trainer.quant_ready, trainer.proposal_ready) != cache_pre
     ):

@@ -549,9 +549,17 @@ def make_proposal_render_fn(
     quant: bool = False,
     prop_l_xyz: int = 4,
     union: bool = True,
+    want_weights: bool = False,
 ) -> Callable:
     """Build the proposal-sampled render for a flat ray batch
     (beyond-reference; design rationale in ops/proposal.py).
+
+    ``want_weights=True`` additionally returns the fine pass's
+    compositing weights (``weights_fine``, shape (B, S)) and the sorted
+    sample positions they weight (``t_fine``) — a separate compilation
+    so the common rgb/depth path never pays the (B, S) HBM writes +
+    host fetches.  The weights already exist on every pass path (depth
+    and background compositing consume them), so this is free compute.
 
     Signature: ``render(pparams, fine_params, origins, dirs) -> dict``
     with ``rgb_fine``/``depth_fine`` only — there is no coarse pass to
@@ -590,7 +598,11 @@ def make_proposal_render_fn(
         depth_fine = jnp.sum(w_fine * t_all, axis=-1)
         if cfg.white_bkgd:
             rgb_fine = composite_background(rgb_fine, w_fine)
-        return {"rgb_fine": rgb_fine, "depth_fine": depth_fine}
+        out = {"rgb_fine": rgb_fine, "depth_fine": depth_fine}
+        if want_weights:
+            out["weights_fine"] = w_fine
+            out["t_fine"] = t_all
+        return out
 
     return render
 

@@ -124,6 +124,7 @@ class Trainer:
         )
         self._fwd_cfg = fwd_cfg
         self._render_full_cache = None
+        self._render_prop_w_cache = None
         self._render_q = None
         self._qparams = None
         self._render_p = None
@@ -316,6 +317,34 @@ class Trainer:
                 out_shardings=self._repl,
             )
         return self._render_full_cache
+
+    def _render_online_weights(self):
+        """Lazily compile the online-proposal render that also emits the
+        fine compositing weights + their sample positions
+        (``weights_fine``/``t_fine``).  Separate compilation for the same
+        reason as :meth:`_render_full`: the (B, S) maps are HBM writes +
+        host fetches the common rgb/depth path shouldn't pay."""
+        if self._render_prop_w_cache is None:
+            from nerf_keras_tpu.engine.step import make_proposal_render_fn
+
+            cfg = self._fwd_cfg
+            inner = make_proposal_render_fn(
+                cfg, self.near, self.far, mesh=self.mesh,
+                prop_l_xyz=cfg.prop_l_xyz, union=cfg.prop_union,
+                want_weights=True,
+            )
+            self._render_prop_w_cache = jax.jit(
+                lambda state, o, d: inner(
+                    state.params["proposal"], state.params["fine"], o, d
+                ),
+                in_shardings=(
+                    self._state_shardings,
+                    self._batch_sharding,
+                    self._batch_sharding,
+                ),
+                out_shardings=self._repl,
+            )
+        return self._render_prop_w_cache
 
     def quantize_for_inference(
         self,
@@ -662,11 +691,19 @@ class Trainer:
         proposal net instead of the coarse MLP
         (:meth:`build_proposal_sampler` must have run; fine outputs only,
         composable with ``quant=True``).
+
+        Online-proposal checkpoints (``TRAIN_SAMPLER='proposal'``) have no
+        coarse pass: they render fine rgb/depth, plus the fine compositing
+        weights and their sample positions via
+        ``keys=("weights_fine", "t_fine", ...)`` (float path only); the
+        reference 8-tensor ``full=True`` contract and coarse/``preds_*``
+        maps don't exist for them.
         """
-        if keys is not None and any(
-            k.startswith(("weights_", "preds_")) for k in keys
-        ):
-            full = True
+        requested = set(keys or ())
+        extended = any(
+            k.startswith(("weights_", "preds_")) or k == "t_fine"
+            for k in requested
+        )
         if sampler not in ("coarse", "proposal"):
             raise ValueError(
                 f"sampler must be 'coarse' or 'proposal', got {sampler!r}"
@@ -676,40 +713,50 @@ class Trainer:
             # in-state proposal net — the default path already is the
             # proposal render, so sampler='proposal' is a no-op alias and
             # coarse outputs don't exist.
-            if full:
-                raise ValueError(
-                    "full=True is unavailable for TRAIN_SAMPLER='proposal' "
-                    "checkpoints (no coarse pass; fine rgb/depth only)"
-                )
-            if keys is not None and any(k.endswith("_coarse") for k in keys):
+            banned = [
+                k for k in requested
+                if k.endswith("_coarse") or k.startswith("preds_")
+            ]
+            if full or banned:
                 raise ValueError(
                     "TRAIN_SAMPLER='proposal' checkpoints have no coarse "
-                    "outputs"
+                    "pass: fine rgb/depth (plus compositing weights via "
+                    "keys=('weights_fine', 't_fine', ...)) are the only "
+                    "outputs — the 8-tensor full=True contract and "
+                    "coarse/preds maps don't exist"
                 )
+            want_weights = bool(requested & {"weights_fine", "t_fine"})
             if quant:
+                if want_weights:
+                    raise ValueError(
+                        "weights_fine/t_fine are unavailable on the int8 "
+                        "render path (request them without quant=True)"
+                    )
                 if self._render_q is None:
                     raise RuntimeError(
                         "call quantize_for_inference(...) before rendering "
                         "with quant=True"
                     )
                 render_fn = self._render_q
+            elif want_weights:
+                render_fn = self._render_online_weights()
             else:
                 render_fn = self._render
         elif sampler == "proposal":
-            if full:
+            if full or extended:
                 raise ValueError(
-                    "sampler='proposal' renders rgb/depth fine only (there "
-                    "is no coarse pass, and the fused fine kernel does not "
-                    "emit weights/raw preds)"
+                    "sampler='proposal' renders rgb/depth fine only (no "
+                    "coarse pass; weights/preds maps are not wired for the "
+                    "distilled sampler)"
                 )
-            if keys is not None and any(k.endswith("_coarse") for k in keys):
+            if any(k.endswith("_coarse") for k in requested):
                 raise ValueError(
                     "sampler='proposal' has no coarse outputs (the coarse "
                     "MLP pass is replaced by the proposal net)"
                 )
             render_fn = self._proposal_render_fn(quant)
         elif quant:
-            if full:
+            if full or extended:
                 raise ValueError(
                     "quant=True supports rgb/depth outputs only (the int8 "
                     "kernel does not emit weights/raw preds)"
@@ -722,7 +769,9 @@ class Trainer:
             qparams = self._qparams
             render_fn = lambda state, o, d: self._render_q(qparams, o, d)
         else:
-            render_fn = self._render_full() if full else self._render
+            render_fn = (
+                self._render_full() if (full or extended) else self._render
+            )
         n = origins.shape[0]
         # put_global_batch needs the chunk divisible by process_count as
         # well as the data mesh axis (a multi-host model-parallel mesh can

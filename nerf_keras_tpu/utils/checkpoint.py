@@ -151,13 +151,20 @@ def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig,
       never stepped at inference, a scheduled one can't even build with an
       unresolved auto horizon, and a constant-LR template restores from
       scheduled checkpoints unchanged (the extra schedule-count leaf in
-      the file is ignored).
+      the file is ignored);
+    * the sampling anneal is NEUTRALIZED (``prop_anneal_steps=0``) for the
+      same reason: it shapes the TRAINING draw only (never eval/render),
+      the auto horizon (-1) the training CLI resolves can't build a train
+      step directly (``make_train_step`` raises), and a coarse-checkpoint
+      sidecar adoption would fail ``validate()`` with it set.
 
     Shared by ``cli/infer.py``, ``cli/evaluate.py`` and the render server.
     """
     import dataclasses
 
     notes: list[str] = []
+    if cfg.prop_anneal_steps != 0:
+        cfg = dataclasses.replace(cfg, prop_anneal_steps=0)
     if path is not None and io.exists(path + ".config.json"):
         side = load_checkpoint_config(path)
         arch = ("train_sampler", "prop_l_xyz", "prop_hidden", "prop_depth",

@@ -248,3 +248,45 @@ def test_resolve_infer_config_adopts_sidecar_ema_and_neutralizes_lr(tmp_path):
     from nerf_keras_tpu.engine.step import make_optimizer
 
     make_optimizer(cfg2)  # builds
+
+
+def test_resolve_infer_config_neutralizes_prop_anneal(tmp_path):
+    """The sampling anneal is a TRAINING-draw knob: reusing the documented
+    throughput-first training config (PROP_ANNEAL_STEPS=-1, auto horizon)
+    for inference/eval/serving must neither crash make_train_step (the
+    Trainer builds it eagerly) nor fail validate() when a coarse
+    checkpoint's sidecar adoption drops train_sampler back to 'coarse'."""
+    import dataclasses
+
+    from nerf_keras_tpu.config import NeRFConfig
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.utils.checkpoint import resolve_infer_config
+
+    user = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=4, num_layers=2, hidden_dim=16,
+        compute_dtype="float32", use_pallas=False,
+        train_sampler="proposal", prop_hidden=8, prop_depth=2, prop_l_xyz=2,
+        prop_anneal_steps=-1,
+    ).validate()
+
+    # leg 1: proposal checkpoint — the anneal horizon must be neutralized
+    # or Trainer.__init__'s eager make_train_step raises on -1
+    state = init_train_state(jax.random.PRNGKey(0), user)
+    path = str(tmp_path / "prop.ckpt.npz")
+    save_checkpoint(path, state, user)
+    cfg, _ = resolve_infer_config(user, path)
+    assert cfg.prop_anneal_steps == 0
+    Trainer(cfg, 2.0, 6.0).restore(path)  # builds without raising
+
+    # leg 2: COARSE checkpoint sidecar — arch adoption revalidates the
+    # config, which rejects any nonzero anneal with train_sampler='coarse'
+    coarse = dataclasses.replace(
+        user, train_sampler="coarse", prop_anneal_steps=0,
+    ).validate()
+    path_c = str(tmp_path / "coarse.ckpt.npz")
+    save_checkpoint(path_c, init_train_state(jax.random.PRNGKey(1), coarse),
+                    coarse)
+    cfg_c, notes_c = resolve_infer_config(user, path_c)
+    assert cfg_c.train_sampler == "coarse"
+    assert cfg_c.prop_anneal_steps == 0
+    assert any("train_sampler" in n for n in notes_c)
