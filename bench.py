@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """Benchmark: flagship training throughput (rays/sec/chip).
 
-Runs the flagship workload (batch 4096 rays, 64+128 samples, 8x256 fine
-MLP) on procedural data, on whatever accelerator JAX exposes, and prints
-ONE JSON line:
+Runs the flagship workload (batch 4096 rays, 8x256 fine MLP) on
+procedural data, on whatever accelerator JAX exposes, and prints ONE
+JSON line:
 
     {"metric": "train_rays_per_sec_per_chip", "value": N,
      "unit": "rays/s", "vs_baseline": N / 1e6}
@@ -14,13 +14,19 @@ vs_baseline is measured against the driver north star of 1 Mrays/sec/chip
 The DEFAULT flagship step (round 3+) is the online proposal-sampler
 trainer (TRAIN_SAMPLER='proposal', union layout): a 3x64 density net
 replaces the reference's 8x256 coarse MLP and learns by online
-distillation — measured 119.0 Krays/s/chip vs 102.5 on the parity step,
-at converged-quality parity against the same-knob coarse baseline
-(docs/PERF.md round-3 sections; docs/evidence/quality_matrix_r3.json).
-The JSON line carries "train_sampler": "proposal" so the series is
-machine-distinguishable from the r1/r2 parity rows; `--train-sampler
-coarse` reproduces the reference-parity coarse+fine step, whose backward
-is measured AT the platform envelope (~80% of padded bf16 peak).
+distillation, at converged-quality parity against the same-knob coarse
+baseline (docs/PERF.md round-3 sections; docs/evidence/
+anneal_quality_matrix.json).  Its default sample budget is 64+96 (160
+union samples per ray): the 3-seed 80-epoch matrix shows 64+96 converges
+ABOVE the coarse 64+128 baseline at every seed (mean +0.40 dB, worst
+seed +0.24) and at mean parity with the 64+128 proposal recipe, at
+1.164x its step speed (docs/evidence/sample_budget_quality.json).
+The JSON line carries "train_sampler": "proposal" plus a "samples"
+marker whenever the budget differs from the r1/r2 parity rows' 64+128,
+so the series is machine-distinguishable; `--train-sampler coarse`
+(always 64+128) reproduces the reference-parity coarse+fine step, whose
+backward is measured AT the platform envelope (~80% of padded bf16
+peak); `--ns-fine 128` reproduces the early-r3 proposal rows.
 
 Kernel-path selection: the fused Pallas MLP path is ~1.7x faster than the
 XLA path but takes ~10 min to compile through the axon remote-compile
@@ -45,7 +51,8 @@ import time
 
 def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
               full: bool, platform: str | None = None,
-              degraded: bool = False, train_sampler: str = "coarse") -> dict:
+              degraded: bool = False, train_sampler: str = "coarse",
+              ns_fine: int | None = None) -> dict:
     if platform:
         import jax
 
@@ -60,10 +67,15 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
 
     maybe_enable_compilation_cache()
 
+    if ns_fine is None:
+        # Official budgets: the proposal step earned the 64+96 cut via the
+        # 3-seed quality matrix (module docstring); the parity step stays
+        # at the reference flagship's 64+128.
+        ns_fine = 96 if train_sampler == "proposal" else 128
     cfg = NeRFConfig(
         batch_size=batch_size,
         ns_coarse=64,
-        ns_fine=128,
+        ns_fine=ns_fine,
         num_layers=8,
         hidden_dim=256,
         compute_dtype="bfloat16",
@@ -157,6 +169,10 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         # marker keeps the series honest: rows with it are not
         # row-to-row comparable with the parity rows.
         result["train_sampler"] = train_sampler
+    if (cfg.ns_coarse, cfg.ns_fine) != (64, 128):
+        # second honesty marker: fewer samples per ray than the r1/r2
+        # rows' 64+128 workload (quality-matched — module docstring)
+        result["samples"] = f"{cfg.ns_coarse}+{cfg.ns_fine}"
     if degraded:
         # machine-detectable marker: this is a reduced-workload fallback
         # number from a degraded environment, NOT the flagship TPU series
@@ -192,6 +208,12 @@ def main() -> None:
                         "train_sampler=proposal. 'coarse' reproduces the "
                         "reference-parity coarse+fine step (the r1/r2 "
                         "official series)")
+    p.add_argument("--ns-fine", type=int, default=None,
+                   help="placed fine samples per ray; default: 96 for the "
+                        "proposal step (3-seed quality-matched cut, "
+                        "docs/evidence/sample_budget_quality.json), 128 "
+                        "for the parity step. --ns-fine 128 reproduces "
+                        "the early-r3 proposal rows (119.0 Krays/s)")
     p.add_argument("--_child", choices=["pallas", "xla"], default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("--_degraded", action="store_true", help=argparse.SUPPRESS)
@@ -205,7 +227,8 @@ def main() -> None:
         result = run_bench(mode == "pallas", args.steps, args.warmup,
                            args.batch_size, args.full, platform=args.platform,
                            degraded=args._degraded,
-                           train_sampler=args.train_sampler)
+                           train_sampler=args.train_sampler,
+                           ns_fine=args.ns_fine)
         print(json.dumps(result))
         return
 
@@ -255,6 +278,8 @@ def main() -> None:
         ] + (["--full"] if full else []) \
           + (["--platform", platform] if platform else []) \
           + (["--train-sampler", args.train_sampler]) \
+          + (["--ns-fine", str(args.ns_fine)]
+             if args.ns_fine is not None else []) \
           + (["--_degraded"] if degraded else [])
         try:
             rc, out = _run_guarded(cmd, budget, stderr=sys.stderr)

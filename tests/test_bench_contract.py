@@ -27,9 +27,11 @@ def test_bench_emits_contract_line_cpu():
     assert rec["value"] > 0
     assert "vs_baseline" in rec
     assert rec["backend"] == "cpu"
-    # round-3 flagship default: the online proposal-sampler step, and the
-    # JSON line must say so (series honesty marker)
+    # round-3 flagship default: the online proposal-sampler step at the
+    # quality-matched 64+96 budget, and the JSON line must say so
+    # (series honesty markers)
     assert rec["train_sampler"] == "proposal"
+    assert rec["samples"] == "64+96"
 
 
 @pytest.mark.slow
@@ -45,6 +47,24 @@ def test_bench_parity_step_is_unmarked():
     assert proc.returncode == 0, proc.stderr.decode()[-2000:]
     rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
     assert "train_sampler" not in rec
+    # the parity step stays at the reference flagship 64+128 — unmarked
+    assert "samples" not in rec
+
+
+@pytest.mark.slow
+def test_bench_ns_fine_flag_reproduces_early_r3_budget():
+    """--ns-fine 128 must reach the child and clear the samples marker
+    (the early-r3 proposal rows' budget)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--platform", "cpu", "--ns-fine", "128",
+         "--steps", "1", "--warmup", "1", "--batch-size", "64"],
+        capture_output=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    rec = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    assert rec["train_sampler"] == "proposal"
+    assert "samples" not in rec, rec
 
 
 @pytest.mark.slow
