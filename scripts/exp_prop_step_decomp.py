@@ -68,6 +68,8 @@ def merged_by_rank(t_vals, t_fine):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--ns-fine", type=int, default=128,
+                   help="placed fine samples (96 = the r3e official budget)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--platform", type=str, default=None)
@@ -99,7 +101,7 @@ def main() -> None:
 
     use_pallas = jax.default_backend() == "tpu"
     arch = dict(
-        ns_coarse=64, ns_fine=128, num_layers=8, hidden_dim=256,
+        ns_coarse=64, ns_fine=args.ns_fine, num_layers=8, hidden_dim=256,
         l_xyz=10, l_dir=4, skip_layer=4,
         compute_dtype="bfloat16" if use_pallas else "float32",
         use_pallas=use_pallas, stop_pdf_gradient=True,
@@ -157,7 +159,7 @@ def main() -> None:
         rgb, _ = fine_pass(pr, o, d, t)
         return jnp.sum(rgb).astype(jnp.float32)
 
-    bench("fine kernel fwd @192", fine_fwd,
+    bench(f"fine kernel fwd @{cfg.ns_coarse + cfg.ns_fine}", fine_fwd,
           state.params["fine"], origins, dirs, t_union)
 
     def fine_vag(pr, o, d, t, im):
@@ -170,7 +172,7 @@ def main() -> None:
             v = v + jnp.sum(leaf).astype(jnp.float32)
         return v
 
-    fine_full = bench("fine kernel fwd+bwd @192", fine_vag,
+    fine_full = bench(f"fine kernel fwd+bwd @{cfg.ns_coarse + cfg.ns_fine}", fine_vag,
                       state.params["fine"], origins, dirs, t_union, images)
 
     # 3. glue standalone
@@ -195,7 +197,7 @@ def main() -> None:
         return jnp.sum(sample_pdf(k, t_mid, w, cfg.ns_fine)).astype(
             jnp.float32)
 
-    bench("sample_pdf 64->128", pdf_only, key, t_vals, w_prop)
+    bench(f"sample_pdf 64->{cfg.ns_fine}", pdf_only, key, t_vals, w_prop)
 
     t_fine = jax.jit(
         lambda k, t, w: sample_pdf(
@@ -203,10 +205,10 @@ def main() -> None:
     )(key, t_vals, w_prop)
     t_fine = jax.block_until_ready(t_fine)
 
-    bench("sorted_union (lax.sort 192)",
+    bench(f"sorted_union (lax.sort {cfg.ns_coarse + cfg.ns_fine})",
           lambda a, c: jnp.sum(sorted_union(a, c)).astype(jnp.float32),
           t_vals, t_fine)
-    bench("lax.sort 128 (union-free path)",
+    bench(f"lax.sort {cfg.ns_fine} (union-free path)",
           lambda c: jnp.sum(jax.lax.sort(
               c, dimension=-1, is_stable=False)).astype(jnp.float32),
           t_fine)
