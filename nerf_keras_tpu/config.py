@@ -148,7 +148,12 @@ class NeRFConfig:
     #         22.16 un-annealed — strong distortion sharpens the fine
     #         weight histogram that is the proposal's distillation
     #         target); use 1e-4 there — monotone at all 3 seeds
-    #         (docs/evidence/anneal_quality_matrix.json).
+    #         (docs/evidence/anneal_quality_matrix.json).  The midpoint
+    #         3e-4 was probed at the official 64+96 proposal recipe and
+    #         is a seed lottery even WITH the full-horizon anneal
+    #         (26.31/24.31/24.92 vs 1e-4's 25.08/25.67/24.62; monotone
+    #         but slower-converging on 2 of 3 seeds at the 80-epoch
+    #         budget — docs/evidence/sample_budget_quality.json).
     white_bkgd: bool = False  # composite rays onto a WHITE background:
     #         rgb' = rgb + (1 - sum(weights)) (vanilla NeRF's Blender-set
     #         treatment, ops/volume.composite_background).  The reference
