@@ -85,6 +85,44 @@ def test_synthetic_scene_properties():
     assert (norms > 0.5).all()
 
 
+def test_synthetic_multi_object_scene():
+    train, val, (near, far), focal = prepare_synthetic_data(
+        20, 20, num_views=8, scene="spheres"
+    )
+    assert near == 2.0 and far == 6.0
+    px = train.pixels
+    assert px.shape == (6 * 400, 3) and px.dtype == np.float32
+    assert px.min() >= 0.0 and px.max() <= 1.0
+    # background (white), shadowed floor (dark), and at least three distinct
+    # sphere albedos must all be visible across the train views
+    assert px.max() > 0.95 and px.min() < 0.3
+    # color diversity: per-channel argmax pixels differ (orange vs blue vs
+    # green dominate different channels)
+    dominant = px.argmax(axis=-1)
+    assert len(np.unique(dominant)) == 3
+
+    with pytest.raises(ValueError):
+        prepare_synthetic_data(8, 8, scene="torus")
+
+
+def test_synthetic_scene_geometry_within_bounds():
+    """Every non-background hit in the multi-object scene must lie inside
+    the [near, far] shell of its camera, or training t-vals can't reach it."""
+    from nerf_keras_tpu.data.synthetic import (
+        _FLOOR_R,
+        _FLOOR_Z,
+        _SPHERES,
+    )
+
+    cam_radius = 4.0
+    # sphere extents
+    for center, r, _ in _SPHERES:
+        assert np.linalg.norm(center) + r <= cam_radius - 2.0 + 1e-6
+    # floor disk corner distance from any orbit camera position
+    corner = np.sqrt(_FLOOR_R**2 + _FLOOR_Z**2)
+    assert cam_radius + corner <= 6.0 + 1e-6
+
+
 # ------------------------------------------------------------- llff math
 def test_view_matrix_orthonormal(rng):
     z = rng.standard_normal(3)

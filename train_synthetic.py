@@ -9,8 +9,9 @@ from nerf_keras_tpu.cli.train import run_training
 from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
 
 
-def prepare(height, width, data_dir=None):
-    return prepare_synthetic_data(height, width)
+def prepare(height, width, data_dir=None, scene="sphere"):
+    # --scene sphere (default) | spheres (multi-object occlusion variant)
+    return prepare_synthetic_data(height, width, scene=scene)
 
 
 if __name__ == "__main__":
