@@ -39,12 +39,18 @@ import jax.numpy as jnp
 
 def _prepare(data: str, height: int, width: int, data_dir: str | None,
              *, white_bkgd: bool = False, split: str = "val",
-             scene: str = "lego"):
-    """(train_ds, val_ds, (near, far), focal) for the named dataset."""
+             scene: str | None = None):
+    """(train_ds, val_ds, (near, far), focal) for the named dataset.
+
+    ``scene`` is dataset-relative: a nerf_synthetic scene directory for
+    ``--data blender`` (default "lego"), a procedural variant for
+    ``--data synthetic`` (default "sphere") — a checkpoint trained with
+    ``train_synthetic.py --scene spheres`` must be scored against the
+    same variant's ground truth."""
     if data == "synthetic":
         from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
 
-        return prepare_synthetic_data(height, width)
+        return prepare_synthetic_data(height, width, scene=scene or "sphere")
     if data == "lego":
         from nerf_keras_tpu.data.lego import prepare_lego_data
 
@@ -56,7 +62,7 @@ def _prepare(data: str, height: int, width: int, data_dir: str | None,
         # subsampled so routine eval is cheap.
         kw = {"val_split": "test", "val_every": 1} if split == "test" else {}
         return prepare_blender_data(
-            height, width, path=data_dir, scene=scene,
+            height, width, path=data_dir, scene=scene or "lego",
             white_bkgd=white_bkgd, **kw
         )
     if data == "llff":
@@ -135,9 +141,11 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
                    choices=("synthetic", "lego", "blender", "llff"))
     p.add_argument("--data-dir", type=str, default=None,
                    help="dataset root (lego/blender/llff)")
-    p.add_argument("--scene", type=str, default="lego",
-                   help="scene under a nerf_synthetic dataset root "
-                        "(--data blender)")
+    p.add_argument("--scene", type=str, default=None,
+                   help="dataset-relative scene: a directory under a "
+                        "nerf_synthetic root (--data blender, default "
+                        "'lego') or a procedural variant (--data synthetic: "
+                        "'sphere'/'spheres', default 'sphere')")
     p.add_argument("--split", type=str, default="val",
                    choices=("val", "train", "test"),
                    help="'test' = the full Blender test split (the split "

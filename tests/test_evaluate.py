@@ -82,6 +82,22 @@ def test_eval_ssim_skipped_below_window(tmp_path):
     assert set(report["mean"]) == {"mse", "psnr"}
 
 
+def test_eval_scene_selects_synthetic_variant(tmp_path):
+    """--scene spheres must score against the multi-object ground truth:
+    the same checkpoint gets DIFFERENT per-view targets, so mse differs
+    from the single-sphere default (the silent-mismatch bug class)."""
+    cfg_path = _write_config(tmp_path)
+    ckpt = _make_ckpt(tmp_path, cfg_path)
+    base = [
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--data", "synthetic", "--chunk", "128",
+        "--out", str(tmp_path / "e.json"),
+    ]
+    rep_sphere = run_evaluation(base)
+    rep_multi = run_evaluation(base + ["--scene", "spheres"])
+    assert rep_sphere["mean"]["mse"] != rep_multi["mean"]["mse"]
+
+
 def test_eval_train_split_and_default_out(tmp_path):
     cfg_path = _write_config(tmp_path, h=12, w=12)
     ckpt = _make_ckpt(tmp_path, cfg_path)
