@@ -137,6 +137,7 @@ def prepare_synthetic_data(
     seed: int = 0,
     split_ratio: float = 0.8,
     scene: str = "sphere",
+    holdout: str | None = None,
 ) -> tuple[RayDataset, RayDataset, tuple[float, float], float]:
     """Build train/val RayDatasets of a procedural scene.
 
@@ -144,6 +145,15 @@ def prepare_synthetic_data(
     ``scene="spheres"`` is the harder multi-object variant (four spheres +
     checkered ground disk, occlusions and cast shadows) used to validate
     sampler recipes beyond the unimodal case.
+
+    ``holdout`` picks the val views: ``"tail"`` = last 20% by index (the
+    reference Lego loader's protocol, lego_data_utils.py:26) — on an
+    azimuth-ordered orbit that holds out a contiguous ~72 deg sector, so
+    for a non-symmetric scene val measures EXTRAPOLATION into an unseen
+    sector (measured: spheres-scene val declines while train climbs);
+    ``"interleave"`` spreads the val views over the orbit so val measures
+    novel-view interpolation.  Default: "tail" for the rotationally
+    symmetric sphere (parity protocol), "interleave" for spheres.
 
     Returns ``(train, val, (near, far), focal)`` — same contract as
     :func:`nerf_keras_tpu.data.lego.prepare_lego_data`.
@@ -157,6 +167,10 @@ def prepare_synthetic_data(
             f"unknown synthetic scene {scene!r}; choose from {sorted(renderers)}"
         )
     render = renderers[scene]
+    if holdout is None:
+        holdout = "interleave" if scene == "spheres" else "tail"
+    if holdout not in ("tail", "interleave"):
+        raise ValueError(f"unknown holdout {holdout!r}")
     rng = np.random.default_rng(seed)
     focal = 1.2 * max(target_height, target_width)
     near, far = 2.0, 6.0
@@ -178,13 +192,20 @@ def prepare_synthetic_data(
     all_dirs = np.stack(all_dirs)
 
     split = int(num_views * split_ratio)
+    n_val = num_views - split
+    if holdout == "interleave":
+        stride = max(1, num_views // max(n_val, 1))
+        val_idx = np.arange(num_views)[stride - 1 :: stride][:n_val]
+    else:
+        val_idx = np.arange(split, num_views)
+    train_idx = np.setdiff1d(np.arange(num_views), val_idx)
 
-    def build(sl: slice) -> RayDataset:
-        px, o, d = flatten_views(images[sl], all_oris[sl], all_dirs[sl])
+    def build(idx: np.ndarray) -> RayDataset:
+        px, o, d = flatten_views(images[idx], all_oris[idx], all_dirs[idx])
         return RayDataset(
             pixels=px, origins=o, directions=d,
             near=near, far=far, focal=float(focal),
             height=target_height, width=target_width,
         )
 
-    return build(slice(0, split)), build(slice(split, None)), (near, far), float(focal)
+    return build(train_idx), build(val_idx), (near, far), float(focal)

@@ -88,9 +88,13 @@ def main() -> None:
     for r in (8, 16, 32):
         bench_scalar(timer, f"fwd S={s} r={r}", fwd(r * s),
                      pf, origins, dirs, t)
-    for r_bwd in (8, 16):
-        bench_scalar(timer, f"fwd+bwd S={s} fwd_r=16 bwd_r={r_bwd}",
-                     fwdbwd(16 * s, r_bwd * s), pf, origins, dirs, t)
+    # Full fwd x bwd grid: the combined optimum need not pair the
+    # standalone-fwd winner with the standalone-bwd winner (review
+    # finding on the original fwd_r=16-only sweep).
+    for r_fwd in (8, 16):
+        for r_bwd in (8, 16):
+            bench_scalar(timer, f"fwd+bwd S={s} fwd_r={r_fwd} bwd_r={r_bwd}",
+                         fwdbwd(r_fwd * s, r_bwd * s), pf, origins, dirs, t)
 
 
 if __name__ == "__main__":

@@ -103,6 +103,30 @@ def test_synthetic_multi_object_scene():
 
     with pytest.raises(ValueError):
         prepare_synthetic_data(8, 8, scene="torus")
+    with pytest.raises(ValueError):
+        prepare_synthetic_data(8, 8, holdout="random")
+
+
+def test_synthetic_holdout_modes():
+    """spheres defaults to an interleaved holdout (tail = a contiguous
+    unseen azimuth sector on an orbit — extrapolation, not novel-view
+    interpolation); sphere keeps the reference tail protocol.  Both modes
+    partition the views and keep the same train/val sizes."""
+    tr_t, va_t, _, _ = prepare_synthetic_data(
+        10, 10, num_views=12, scene="spheres", holdout="tail"
+    )
+    tr_i, va_i, _, _ = prepare_synthetic_data(
+        10, 10, num_views=12, scene="spheres"
+    )
+    assert tr_t.num_images == tr_i.num_images == 9
+    assert va_t.num_images == va_i.num_images == 3
+    # interleave picks different (spread) views than the tail slice
+    assert not np.array_equal(va_t.pixels, va_i.pixels)
+    # partition: every interleaved val view differs from every train view
+    tr_imgs = [tr_i.image(k) for k in range(tr_i.num_images)]
+    for k in range(va_i.num_images):
+        v = va_i.image(k)
+        assert all(not np.array_equal(v, timg) for timg in tr_imgs)
 
 
 def test_synthetic_scene_geometry_within_bounds():
