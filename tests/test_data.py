@@ -373,6 +373,32 @@ def test_find_lego_npz_resolution_order(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_train_synthetic_spheres_cli_end_to_end(tmp_path, capsys):
+    """--scene spheres trains end-to-end through the real CLI path (the
+    flag rides the generic --scene passthrough) and training reduces the
+    loss on the multi-object scene."""
+    import train_synthetic
+    from nerf_keras_tpu.cli.train import run_training
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "BATCH_SIZE": 128, "NS_COARSE": 4, "NS_FINE": 8,
+        "HEIGHT": 12, "WIDTH": 12, "L_XYZ": 4, "L_DIR": 2,
+        "NUM_LAYERS": 2, "HIDDEN_DIM": 16, "SKIP_LAYER": 4, "EPOCHS": 3,
+        "LEARNING_RATE": 0.002, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 3,
+    }))
+    run_dir = tmp_path / "run"
+    trainer = run_training(
+        train_synthetic.prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path), "--run-dir", str(run_dir),
+              "--scene", "spheres"],
+    )
+    hist = json.load(open(run_dir / "history_l2_d16_n12_ep3.json"))
+    assert hist["losses"][-1] < hist["losses"][0]
+    assert (run_dir / "nerf_l2_d16_n12_ep3.ckpt.npz").exists()
+
+
 def test_train_fern_cli_end_to_end(tmp_path, capsys):
     """The fern entry point trains end-to-end (BatchNorm variant) against a
     synthetic on-disk LLFF capture — loader, config, trainer, checkpoint,
