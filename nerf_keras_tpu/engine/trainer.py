@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Iterable
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp
@@ -269,12 +269,16 @@ class Trainer:
         ``log_every > 0`` prints per-step metrics every N steps — opt-in
         because each print forces a device sync (LOG_EVERY config key).
         """
-        totals: dict[str, Any] = {}
+        # Accumulate LAZILY: per-step device-scalar adds each cost a
+        # dispatch through the tunnel (~1.4 ms/step measured,
+        # scripts/probe_e2e_gap.py leg E vs B); appending the async
+        # scalars and reducing once per epoch removes that entirely.
+        acc: dict[str, list] = {}
         count = 0
         for batch in batches:
             metrics = self.train_step(self.put_batch(batch), key)
             for k, v in metrics.items():
-                totals[k] = v if k not in totals else totals[k] + v
+                acc.setdefault(k, []).append(v)
             count += 1
             if log_every and count % log_every == 0:
                 print(
@@ -283,19 +287,21 @@ class Trainer:
                     f"loss_coarse={float(metrics['loss_coarse']):.5f} "
                     f"psnr={float(metrics['psnr']):.2f}"
                 )
-        return {k: float(v) / count for k, v in totals.items()}
+        return {
+            k: float(jnp.mean(jnp.stack(vs))) for k, vs in acc.items()
+        }
 
     def evaluate(self, batches: Iterable) -> dict:
         """Mean metrics over val batches.  Batches carry full (unsharded)
         content — the val pipeline is identical on every host."""
-        totals: dict[str, Any] = {}
-        count = 0
+        acc: dict[str, list] = {}
         for batch in batches:
             metrics = self.eval_step(self.put_global_batch(batch))
             for k, v in metrics.items():
-                totals[k] = v if k not in totals else totals[k] + v
-            count += 1
-        return {k: float(v) / count for k, v in totals.items()}
+                acc.setdefault(k, []).append(v)
+        return {
+            k: float(jnp.mean(jnp.stack(vs))) for k, vs in acc.items()
+        }
 
     # ------------------------------------------------------------------
     def _render_full(self):

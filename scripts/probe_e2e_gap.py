@@ -82,7 +82,13 @@ def main() -> None:
         return float(metrics["loss"])
 
     def timed(tag, fn):
-        fn(3)   # warm
+        # Warm at the SAME step count as the timed window: epoch-level
+        # legs compile shape-dependent epoch-end reductions (e.g. the
+        # stack(n)+mean metric accumulation), and the axon remote compile
+        # helper charges seconds — in real training those compile once
+        # per epoch length and are reused, so the timed window must see
+        # them warm too.
+        fn(n)
         sync()
         t0 = time.perf_counter()
         fn(n)

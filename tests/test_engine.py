@@ -381,6 +381,36 @@ def test_train_epoch_log_every(capsys):
     assert "loss=" in out and "psnr=" in out
 
 
+def test_train_epoch_returns_per_step_means():
+    """Epoch metrics are the mean of the per-step metrics (the lazy
+    device-side accumulation must not change the reported numbers)."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.parallel.mesh import make_mesh
+
+    cfg = NeRFConfig(
+        batch_size=16, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
+        compute_dtype="float32", use_pallas=False,
+    ).validate()
+    batches = [
+        tuple(np.asarray(x) for x in _fake_batch(jax.random.PRNGKey(i), 16))
+        for i in range(3)
+    ]
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    # Reference arm: same seed, same fixed key -> identical step sequence,
+    # metrics collected one step at a time.
+    ref = Trainer(cfg, 2.0, 6.0, mesh=mesh)
+    key = jax.random.PRNGKey(99)
+    per_step = [ref.train_step(ref.put_batch(b), key) for b in batches]
+    want = {
+        k: float(np.mean([float(m[k]) for m in per_step]))
+        for k in per_step[0]
+    }
+    got = Trainer(cfg, 2.0, 6.0, mesh=mesh).train_epoch(iter(batches), key)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6)
+
+
 def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     """Preemption safety: SIGTERM mid-run must checkpoint at the next
     epoch boundary and exit 0 (the reference loses the run)."""
