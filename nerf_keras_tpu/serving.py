@@ -12,6 +12,9 @@ for smoke-serving a model from a TPU VM:
     GET /render?...&map=depth        -> normalized depth map as PNG
     GET /healthz                                                -> 200 ok
     GET /stats                                                  -> JSON
+    POST /reload                     -> re-resolve + install the latest
+                                        checkpoint (hot reload while a
+                                        training job keeps writing)
 
 Design: stdlib ``http.server`` with a threading mixin for concurrent
 connections; render requests serialize through a lock onto the single
@@ -46,6 +49,32 @@ class RenderService:
         sampler: str = "coarse", sampler_gate_db: float = 30.0,
         proposal_steps: int = 1500, infer_cache: str | None = None,
     ):
+        # Remember the request so a hot reload (POST /reload) can re-run
+        # the exact same resolution + gating against a newer checkpoint.
+        self._arg_checkpoint = checkpoint
+        self._arg_cfg = cfg
+        self._arg_near, self._arg_far = near, far
+        self._quant_requested = quant
+        self._quant_gate_db = quant_gate_db
+        self._sampler_requested = sampler
+        self._sampler_gate_db = sampler_gate_db
+        self._proposal_steps = proposal_steps
+        self._infer_cache = infer_cache
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.total_render_s = 0.0
+        self.reloads = 0
+        self.trainer = None
+        self.cfg = None
+        self.checkpoint = None
+        self.near = self.far = None
+        self._install()
+
+    def _install(self) -> None:
+        """Resolve the latest checkpoint from the original request and
+        install it: build/reuse the Trainer, load/derive the gated
+        acceleration artifacts.  Callers hold ``_lock`` (or are the
+        constructor, before the server exists)."""
         from nerf_keras_tpu.engine.trainer import Trainer
         from nerf_keras_tpu.utils import io as nio
         from nerf_keras_tpu.utils.checkpoint import (
@@ -55,6 +84,7 @@ class RenderService:
         )
         from nerf_keras_tpu.utils.infer_cache import StaleArtifactsError
 
+        checkpoint = self._arg_checkpoint
         if not checkpoint.endswith(".npz"):
             found = latest_checkpoint(checkpoint)
             if found is None:
@@ -62,26 +92,40 @@ class RenderService:
             checkpoint = found
         # scene bounds: explicit args > checkpoint sidecar > Lego defaults
         scene = load_checkpoint_scene(checkpoint) or {}
-        near = near if near is not None else scene.get("near", 2.0)
-        far = far if far is not None else scene.get("far", 6.0)
+        near = (
+            self._arg_near if self._arg_near is not None
+            else scene.get("near", 2.0)
+        )
+        far = (
+            self._arg_far if self._arg_far is not None
+            else scene.get("far", 6.0)
+        )
         self.default_focal = scene.get("focal")
         # Render-time-load-bearing sidecar fields (state-tree arch, EMA
         # routing) win over the passed config; the LR schedule is
         # neutralized — resolve_infer_config docstring.
-        cfg, notes = resolve_infer_config(cfg, checkpoint)
+        cfg, notes = resolve_infer_config(self._arg_cfg, checkpoint)
         for note in notes:
             print(f"[nerf-tpu] {note}")
-        self.trainer = Trainer(cfg, near, far).restore(checkpoint)
+        if (
+            self.trainer is not None
+            and cfg == self.cfg
+            and (near, far) == (self.near, self.far)
+        ):
+            # Hot-reload fast path: same wiring/bounds -> restore into the
+            # existing trainer and keep every compiled render program.
+            self.trainer.restore(checkpoint)
+        else:
+            self.trainer = Trainer(cfg, near, far).restore(checkpoint)
         self.checkpoint = checkpoint
         self.cfg = cfg
-        self._lock = threading.Lock()
-        self.requests = 0
-        self.total_render_s = 0.0
+        self.near, self.far = near, far
         # Artifact cache: int8 tables + distilled proposal net are pure
         # functions of the checkpoint weights (utils/infer_cache.py) —
         # a restart reuses them instead of paying the ~20 s rebuild.  A
         # digest mismatch (new weights) is IGNORED with a notice, and the
         # fresh build below overwrites the file.
+        infer_cache = self._infer_cache
         if infer_cache and nio.exists(infer_cache):
             try:
                 self.trainer.load_inference_artifacts(infer_cache)
@@ -91,22 +135,45 @@ class RenderService:
                 print(f"[nerf-tpu] ignoring artifact cache: {e}")
         pre = (self.trainer.quant_ready, self.trainer.proposal_ready)
         self.use_quant = False
-        if quant:
-            self.use_quant = self._setup_quant(quant_gate_db)
+        if self._quant_requested:
+            self.use_quant = self._setup_quant(self._quant_gate_db)
         self.use_sampler = "coarse"
-        if sampler == "proposal" and self.trainer.online_proposal:
+        if (
+            self._sampler_requested == "proposal"
+            and self.trainer.online_proposal
+        ):
             # TRAIN_SAMPLER='proposal' checkpoint: every render already
             # uses the in-state proposal net; nothing to distill or gate.
             print("[nerf-tpu] proposal-trained checkpoint: renders "
                   "already use the in-state proposal net")
-        elif sampler == "proposal":
+        elif self._sampler_requested == "proposal":
             self.use_sampler = self._setup_proposal(
-                sampler_gate_db, proposal_steps
+                self._sampler_gate_db, self._proposal_steps
             )
         post = (self.trainer.quant_ready, self.trainer.proposal_ready)
         if infer_cache and post != pre and any(post):
             self.trainer.save_inference_artifacts(infer_cache)
             print(f"[nerf-tpu] saved inference artifacts to {infer_cache}")
+
+    def reload(self) -> dict:
+        """Re-resolve the original checkpoint request and install the
+        newest checkpoint (hot reload: a long-lived server picks up what
+        the training job keeps writing).  Always reinstalls — an explicit
+        operator action, idempotent — and re-runs the int8/proposal
+        gates against the new weights.  Same wiring + bounds keep every
+        compiled render program (Trainer.restore); a changed config or
+        scene rebuilds the trainer."""
+        with self._lock:
+            previous = self.checkpoint
+            self._install()
+            self.reloads += 1
+            return {
+                "previous": previous,
+                "checkpoint": self.checkpoint,
+                "changed": self.checkpoint != previous,
+                "quant": "int8" if self.use_quant else "none",
+                "sampler": self.use_sampler,
+            }
 
     def _setup_quant(self, gate_db: float) -> bool:
         """Calibrate the int8 render path on the default serving pose and
@@ -221,6 +288,7 @@ class RenderService:
             ),
             "quant": "int8" if self.use_quant else "none",
             "sampler": self.use_sampler,
+            "reloads": self.reloads,
         }
 
 
@@ -268,6 +336,19 @@ def _make_handler(service: RenderService):
                     self._send(500, str(e).encode(), "text/plain")
                     return
                 self._send(200, png, "image/png")
+                return
+            self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            if urlparse(self.path).path == "/reload":
+                try:
+                    result = service.reload()
+                except Exception as e:  # surface reload errors as 500s
+                    self._send(500, str(e).encode(), "text/plain")
+                    return
+                self._send(
+                    200, json.dumps(result).encode(), "application/json"
+                )
                 return
             self._send(404, b"not found", "text/plain")
 
