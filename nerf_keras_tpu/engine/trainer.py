@@ -33,6 +33,19 @@ from nerf_keras_tpu.parallel.mesh import (
 )
 
 
+def _realize_means(acc: dict[str, list]) -> dict[str, float]:
+    """Mean the per-step metric scalars and fetch them in ONE transfer.
+
+    ``float(x)`` per metric costs a sequential device->host round trip
+    each; stacking the means into one (K,) vector realizes the whole
+    epoch's metrics in a single fetch (probe_e2e_gap.py leg E)."""
+    keys = list(acc)
+    vec = np.asarray(
+        jnp.stack([jnp.mean(jnp.stack(acc[k])) for k in keys])
+    )
+    return {k: float(v) for k, v in zip(keys, vec)}
+
+
 class Trainer:
     """Owns TrainState + compiled steps for one (config, dataset-bounds) run."""
 
@@ -269,10 +282,12 @@ class Trainer:
         ``log_every > 0`` prints per-step metrics every N steps — opt-in
         because each print forces a device sync (LOG_EVERY config key).
         """
-        # Accumulate LAZILY: per-step device-scalar adds each cost a
-        # dispatch through the tunnel (~1.4 ms/step measured,
-        # scripts/probe_e2e_gap.py leg E vs B); appending the async
-        # scalars and reducing once per epoch removes that entirely.
+        # Accumulate LAZILY and fetch ONCE: per-metric float() conversions
+        # at epoch end each cost a sequential device->host round trip
+        # through the tunnel (the whole E-vs-B gap in
+        # scripts/probe_e2e_gap.py — the per-step async adds themselves
+        # overlap with step compute for free).  Append the async scalars,
+        # reduce to one (K,) vector, and realize it in a single fetch.
         acc: dict[str, list] = {}
         count = 0
         for batch in batches:
@@ -287,9 +302,7 @@ class Trainer:
                     f"loss_coarse={float(metrics['loss_coarse']):.5f} "
                     f"psnr={float(metrics['psnr']):.2f}"
                 )
-        return {
-            k: float(jnp.mean(jnp.stack(vs))) for k, vs in acc.items()
-        }
+        return _realize_means(acc)
 
     def evaluate(self, batches: Iterable) -> dict:
         """Mean metrics over val batches.  Batches carry full (unsharded)
@@ -299,9 +312,7 @@ class Trainer:
             metrics = self.eval_step(self.put_global_batch(batch))
             for k, v in metrics.items():
                 acc.setdefault(k, []).append(v)
-        return {
-            k: float(jnp.mean(jnp.stack(vs))) for k, vs in acc.items()
-        }
+        return _realize_means(acc)
 
     # ------------------------------------------------------------------
     def _render_full(self):
