@@ -45,6 +45,11 @@ def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
     p.add_argument("--scene", type=str, default=None,
                    help="scene name within the dataset root (loaders that "
                         "support multi-scene roots, e.g. nerf_synthetic)")
+    p.add_argument("--views", type=int, default=None,
+                   help="number of capture views (loaders that generate "
+                        "their capture, e.g. the procedural synthetic "
+                        "scene; multi-object scenes need more views than "
+                        "the 12-view default — docs/TRAINING.md)")
     p.add_argument("--run-dir", type=str, default=None,
                    help="output run directory override")
     p.add_argument("--resume", type=str, default=None,
@@ -164,6 +169,12 @@ def run_training(
                 "--scene is not supported by this entry point's loader"
             )
         prepare_kwargs["scene"] = args.scene
+    if args.views is not None:
+        if "num_views" not in prepare_params:
+            raise SystemExit(
+                "--views is not supported by this entry point's loader"
+            )
+        prepare_kwargs["num_views"] = args.views
     train_ds, val_ds, (near, far), focal = prepare_data(
         cfg.height, cfg.width, **prepare_kwargs
     )

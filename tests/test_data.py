@@ -398,6 +398,18 @@ def test_train_synthetic_spheres_cli_end_to_end(tmp_path, capsys):
     assert hist["losses"][-1] < hist["losses"][0]
     assert (run_dir / "nerf_l2_d16_n12_ep3.ckpt.npz").exists()
 
+    # --views passthrough: 16 views -> 16*0.8=12 train views = 1728 rays
+    # (the playbook's add-views diagnostic must be reachable from the CLI).
+    out = capsys.readouterr()
+    run_training(
+        train_synthetic.prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path),
+              "--run-dir", str(tmp_path / "run_v16"),
+              "--scene", "spheres", "--views", "16"],
+    )
+    out = capsys.readouterr().out
+    assert "train=1728" in out  # 16 views, 12x12, 80/20 interleave split
+
 
 def test_train_fern_cli_end_to_end(tmp_path, capsys):
     """The fern entry point trains end-to-end (BatchNorm variant) against a
@@ -806,4 +818,11 @@ def test_train_blender_scene_flag(tmp_path):
             str(cfg_path), default_eval_every=5,
             argv=["--config", str(cfg_path), "--scene", "drums",
                   "--run-dir", str(tmp_path / "run2")],
+        )
+    with pytest.raises(SystemExit, match="--views is not supported"):
+        run_training(
+            lambda h, w, data_dir=None: prepare_synthetic_data(h, w),
+            str(cfg_path), default_eval_every=5,
+            argv=["--config", str(cfg_path), "--views", "16",
+                  "--run-dir", str(tmp_path / "run3")],
         )

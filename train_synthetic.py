@@ -9,9 +9,12 @@ from nerf_keras_tpu.cli.train import run_training
 from nerf_keras_tpu.data.synthetic import prepare_synthetic_data
 
 
-def prepare(height, width, data_dir=None, scene="sphere"):
+def prepare(height, width, data_dir=None, scene="sphere", num_views=12):
     # --scene sphere (default) | spheres (multi-object occlusion variant)
-    return prepare_synthetic_data(height, width, scene=scene)
+    # --views N: multi-object scenes need more than the 12-view default
+    #            at some seeds (docs/TRAINING.md, spheres_scene_quality)
+    return prepare_synthetic_data(height, width, scene=scene,
+                                  num_views=num_views)
 
 
 if __name__ == "__main__":
