@@ -212,6 +212,28 @@ def run_training(
         )
     steps_per_epoch = len(train_ds) // local_bs
 
+    if cfg.lr_decay_epochs > 0 or cfg.prop_anneal_epochs > 0:
+        # Epoch-unit horizons (the long-run pinned-schedule recipe,
+        # docs/evidence/long_horizon_quality.json) resolve to steps as
+        # soon as steps_per_epoch is known; config validation already
+        # rejected mixed units.
+        import dataclasses as _dc
+
+        repl = {}
+        if cfg.lr_decay_epochs > 0:
+            repl["lr_decay_steps"] = cfg.lr_decay_epochs * steps_per_epoch
+            repl["lr_decay_epochs"] = 0  # resolved; keeps cfg re-validatable
+        if cfg.prop_anneal_epochs > 0:
+            repl["prop_anneal_steps"] = cfg.prop_anneal_epochs * steps_per_epoch
+            repl["prop_anneal_epochs"] = 0
+        cfg = _dc.replace(cfg, **repl)
+        if "lr_decay_steps" in repl:
+            print(f"[nerf-tpu] lr decay horizon pinned: "
+                  f"{cfg.lr_decay_steps} steps")
+        if "prop_anneal_steps" in repl:
+            print(f"[nerf-tpu] proposal anneal pinned: "
+                  f"{cfg.prop_anneal_steps} steps")
+
     if cfg.lr_final is not None and cfg.lr_decay_steps == 0:
         # Resolve the LR-decay horizon (LR_DECAY_STEPS=0 = auto) to the
         # full schedule: epochs * steps-per-epoch.  Must happen before

@@ -123,6 +123,13 @@ class NeRFConfig:
     #         PROP_EXPLORE=0.1 (22.70 vs 22.14 un-annealed at
     #         NS_FINE=128); the remaining union-free gap is sample
     #         count, not early starvation (see prop_union).
+    prop_anneal_epochs: int = 0  # epoch-unit alternative to
+    #         PROP_ANNEAL_STEPS (mutually exclusive; the train CLI
+    #         converts epochs -> steps).  Pair with LR_DECAY_EPOCHS on
+    #         long runs — the pinned-schedule long-horizon recipe is
+    #         LR_DECAY_EPOCHS=PROP_ANNEAL_EPOCHS=80
+    #         (docs/evidence/long_horizon_quality.json; the LR pin is
+    #         the load-bearing one).
     prop_target_blur: bool | None = None  # [1/4, 1/2, 1/4] dilation of the
     #         binned fine-weights distillation target along the coarse
     #         bins (Mip-NeRF 360's histogram blur).  None (default) =
@@ -175,6 +182,16 @@ class NeRFConfig:
     #         steps.  0 = auto: the train CLI fills in epochs *
     #         steps-per-epoch once the dataset size is known; building an
     #         optimizer directly with LR_FINAL set and no horizon raises.
+    lr_decay_epochs: int = 0  # epoch-unit alternative to LR_DECAY_STEPS
+    #         (mutually exclusive; the train CLI converts epochs ->
+    #         steps once the dataset size is known).  Motivation
+    #         (docs/evidence/long_horizon_quality.json): on runs well
+    #         past ~80 epochs, auto-stretching the decay to the full
+    #         horizon keeps the LR high too long and collapses fragile
+    #         seeds (s7: 22.79 -> 17.96 at 200 epochs); pinning the
+    #         horizon at ~80 epochs made both seeds rise monotonically
+    #         through ep200 (26.91/25.85).  "LR_DECAY_EPOCHS": 80 is
+    #         that rule, scene-independent.
     ema_decay: float = 0.0  # exponential moving average of the params,
     #         updated every step (ema = d*ema + (1-d)*params) and used for
     #         ALL eval/render/serving paths when enabled; the raw params
@@ -302,6 +319,33 @@ class NeRFConfig:
                 f"LR_DECAY_STEPS must be >= 0 (0 = auto), got "
                 f"{self.lr_decay_steps}"
             )
+        if self.lr_decay_epochs < 0:
+            raise ValueError(
+                f"LR_DECAY_EPOCHS must be >= 0 (0 = unset), got "
+                f"{self.lr_decay_epochs}"
+            )
+        if self.lr_decay_epochs > 0 and self.lr_decay_steps > 0:
+            raise ValueError(
+                "LR_DECAY_EPOCHS and LR_DECAY_STEPS both set — pick one "
+                "horizon unit (epochs are converted to steps by the "
+                "train CLI)"
+            )
+        if self.prop_anneal_epochs < 0:
+            raise ValueError(
+                f"PROP_ANNEAL_EPOCHS must be >= 0 (0 = unset), got "
+                f"{self.prop_anneal_epochs}"
+            )
+        if self.prop_anneal_epochs > 0 and self.prop_anneal_steps != 0:
+            raise ValueError(
+                "PROP_ANNEAL_EPOCHS and PROP_ANNEAL_STEPS both set — pick "
+                "one horizon spec (epochs are converted to steps by the "
+                "train CLI)"
+            )
+        if self.prop_anneal_epochs != 0 and self.train_sampler != "proposal":
+            raise ValueError(
+                "PROP_ANNEAL_EPOCHS anneals the proposal draw; it only "
+                "applies to TRAIN_SAMPLER='proposal'"
+            )
         if not 0.0 <= self.ema_decay < 1.0:
             raise ValueError(
                 f"EMA_DECAY must be in [0, 1), got {self.ema_decay}"
@@ -346,10 +390,12 @@ _KEY_MAP = {
     "PROP_UNION": "prop_union",
     "PROP_TARGET_BLUR": "prop_target_blur",
     "PROP_ANNEAL_STEPS": "prop_anneal_steps",
+    "PROP_ANNEAL_EPOCHS": "prop_anneal_epochs",
     "DISTORTION_LOSS_MULT": "distortion_loss_mult",
     "WHITE_BKGD": "white_bkgd",
     "LR_FINAL": "lr_final",
     "LR_DECAY_STEPS": "lr_decay_steps",
+    "LR_DECAY_EPOCHS": "lr_decay_epochs",
     "EMA_DECAY": "ema_decay",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",

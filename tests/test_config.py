@@ -148,6 +148,39 @@ def test_lr_and_ema_validation():
         dataclasses.replace(base, ema_decay=-0.1).validate()
 
 
+def test_epoch_unit_schedule_validation():
+    """LR_DECAY_EPOCHS / PROP_ANNEAL_EPOCHS: epoch-unit horizons (the
+    long-run pinned-schedule recipe) are mutually exclusive with their
+    step-unit twins and bounded like them."""
+    import dataclasses
+
+    base = NeRFConfig(batch_size=32, ns_coarse=4, ns_fine=4)
+    dataclasses.replace(
+        base, lr_final=base.learning_rate / 10, lr_decay_epochs=80
+    ).validate()
+    dataclasses.replace(
+        base, train_sampler="proposal", prop_anneal_epochs=80
+    ).validate()
+    with pytest.raises(ValueError, match="LR_DECAY_EPOCHS"):
+        dataclasses.replace(base, lr_decay_epochs=-2).validate()
+    with pytest.raises(ValueError, match="both set"):
+        dataclasses.replace(
+            base, lr_decay_epochs=80, lr_decay_steps=100
+        ).validate()
+    with pytest.raises(ValueError, match="PROP_ANNEAL_EPOCHS"):
+        dataclasses.replace(
+            base, train_sampler="proposal", prop_anneal_epochs=-2
+        ).validate()
+    with pytest.raises(ValueError, match="both set"):
+        dataclasses.replace(
+            base, train_sampler="proposal",
+            prop_anneal_epochs=80, prop_anneal_steps=-1,
+        ).validate()
+    # anneal is a proposal-sampler knob in either unit
+    with pytest.raises(ValueError, match="PROP_ANNEAL_EPOCHS"):
+        dataclasses.replace(base, prop_anneal_epochs=80).validate()
+
+
 def test_lr_ema_json_roundtrip(tmp_path):
     """The new keys load from reference-style JSON and survive the sidecar
     round-trip; LR_FINAL=None is omitted like the other nullable keys."""

@@ -826,3 +826,39 @@ def test_train_blender_scene_flag(tmp_path):
             argv=["--config", str(cfg_path), "--views", "16",
                   "--run-dir", str(tmp_path / "run3")],
         )
+
+
+def test_epoch_unit_schedules_resolve_through_cli(tmp_path, capsys):
+    """LR_DECAY_EPOCHS / PROP_ANNEAL_EPOCHS convert to optimizer steps
+    once the CLI knows steps-per-epoch (the long-run pinned-schedule
+    recipe, docs/evidence/long_horizon_quality.json): the trainer's
+    config carries the step-unit horizons and the epoch fields are
+    zeroed so the resolved config stays re-validatable."""
+    import re
+
+    import train_synthetic
+    from nerf_keras_tpu.cli.train import run_training
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "BATCH_SIZE": 128, "NS_COARSE": 4, "NS_FINE": 8,
+        "HEIGHT": 12, "WIDTH": 12, "L_XYZ": 4, "L_DIR": 2,
+        "NUM_LAYERS": 2, "HIDDEN_DIM": 16, "SKIP_LAYER": 4, "EPOCHS": 2,
+        "LEARNING_RATE": 0.002, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 2,
+        "TRAIN_SAMPLER": "proposal",
+        "LR_FINAL": 2e-4, "LR_DECAY_EPOCHS": 3, "PROP_ANNEAL_EPOCHS": 2,
+    }))
+    trainer = run_training(
+        train_synthetic.prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path),
+              "--run-dir", str(tmp_path / "run")],
+    )
+    out = capsys.readouterr().out
+    n_train = int(re.search(r"train=(\d+)", out).group(1))
+    steps_per_epoch = n_train // 128
+    assert trainer.cfg.lr_decay_steps == 3 * steps_per_epoch
+    assert trainer.cfg.prop_anneal_steps == 2 * steps_per_epoch
+    assert trainer.cfg.lr_decay_epochs == 0
+    assert trainer.cfg.prop_anneal_epochs == 0
+    trainer.cfg.validate()  # resolved config has one horizon unit again
