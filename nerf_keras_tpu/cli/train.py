@@ -212,7 +212,8 @@ def run_training(
         )
     steps_per_epoch = len(train_ds) // local_bs
 
-    if cfg.lr_decay_epochs > 0 or cfg.prop_anneal_epochs > 0:
+    if cfg.lr_decay_epochs > 0 or cfg.prop_anneal_epochs > 0 \
+            or cfg.freq_anneal_epochs > 0:
         # Epoch-unit horizons (the long-run pinned-schedule recipe,
         # docs/evidence/long_horizon_quality.json) resolve to steps as
         # soon as steps_per_epoch is known; config validation already
@@ -226,6 +227,9 @@ def run_training(
         if cfg.prop_anneal_epochs > 0:
             repl["prop_anneal_steps"] = cfg.prop_anneal_epochs * steps_per_epoch
             repl["prop_anneal_epochs"] = 0
+        if cfg.freq_anneal_epochs > 0:
+            repl["freq_anneal_steps"] = cfg.freq_anneal_epochs * steps_per_epoch
+            repl["freq_anneal_epochs"] = 0
         cfg = _dc.replace(cfg, **repl)
         if "lr_decay_steps" in repl:
             print(f"[nerf-tpu] lr decay horizon pinned: "
@@ -233,6 +237,9 @@ def run_training(
         if "prop_anneal_steps" in repl:
             print(f"[nerf-tpu] proposal anneal pinned: "
                   f"{cfg.prop_anneal_steps} steps")
+        if "freq_anneal_steps" in repl:
+            print(f"[nerf-tpu] frequency anneal pinned: "
+                  f"{cfg.freq_anneal_steps} steps")
 
     if cfg.lr_final is not None and cfg.lr_decay_steps == 0:
         # Resolve the LR-decay horizon (LR_DECAY_STEPS=0 = auto) to the
@@ -251,6 +258,14 @@ def run_training(
 
         cfg = _dc.replace(cfg, prop_anneal_steps=cfg.epochs * steps_per_epoch)
         print(f"[nerf-tpu] proposal anneal over {cfg.prop_anneal_steps} steps")
+
+    if cfg.freq_anneal_steps == -1:
+        # FREQ_ANNEAL_STEPS=-1 = auto: open the encode octaves over the
+        # full run horizon (FreeNeRF anneals over most of the schedule).
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, freq_anneal_steps=cfg.epochs * steps_per_epoch)
+        print(f"[nerf-tpu] frequency anneal over {cfg.freq_anneal_steps} steps")
 
     trainer = Trainer(cfg, near, far)
     if args.resume:

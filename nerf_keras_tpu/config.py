@@ -198,6 +198,32 @@ class NeRFConfig:
     #         keep training.  0 (default) disables — reference parity.
     #         Standard stabilizer for noisy NeRF holdout evals (e.g.
     #         Instant-NGP); the EMA is checkpointed alongside the params.
+    freq_anneal_steps: int = 0  # coarse-to-fine FREQUENCY ANNEAL of the
+    #         positional encoding (FreeNeRF / Nerfies eq. 8): for the
+    #         first N optimizer steps the high encode octaves are masked
+    #         and eased in one by one, so early training fits the scene
+    #         layout before the high-frequency capacity can memorize the
+    #         training views — the standard remedy for the few-view
+    #         collapse documented in docs/PERF.md (val stuck ~11 dB under
+    #         a climbing train curve).  0 (default) disables — reference
+    #         parity; -1 = auto (the training CLI resolves it to the full
+    #         run horizon like PROP_ANNEAL_STEPS; direct Trainer callers
+    #         must resolve -1 themselves).  Implemented as a weight FOLD
+    #         (ops/freq_anneal.py): the window scales the rows of the
+    #         encode-consuming matrices inside the jitted step, so every
+    #         path (XLA, Pallas megakernel, int8) gets it with zero
+    #         kernel changes, and masked octaves receive exactly zero
+    #         gradient (they stay at init until their window opens).
+    #         Eval/render/derived artifacts fold the CURRENT step's
+    #         window; after the horizon the window is identity, so
+    #         completed checkpoints behave exactly like un-annealed ones.
+    #         Positions only (both nets, incl. the proposal net's own
+    #         encoding); view directions are never annealed.  No
+    #         BatchNorm variant (BN renormalizes per-channel batch stats,
+    #         which interacts with the row scaling).
+    freq_anneal_epochs: int = 0  # epoch-unit alternative to
+    #         FREQ_ANNEAL_STEPS (mutually exclusive; the train CLI
+    #         converts epochs -> steps once the dataset size is known).
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1  # >1 enables tensor-parallel MLP sharding
     seed: int = 42  # reference: keras.utils.set_random_seed(42), train_lego.py:22
@@ -350,6 +376,30 @@ class NeRFConfig:
             raise ValueError(
                 f"EMA_DECAY must be in [0, 1), got {self.ema_decay}"
             )
+        if self.freq_anneal_steps < -1:
+            raise ValueError(
+                "FREQ_ANNEAL_STEPS is a step count (0 disables, "
+                f"-1 = auto/full-horizon); got {self.freq_anneal_steps}"
+            )
+        if self.freq_anneal_epochs < 0:
+            raise ValueError(
+                f"FREQ_ANNEAL_EPOCHS must be >= 0 (0 = unset), got "
+                f"{self.freq_anneal_epochs}"
+            )
+        if self.freq_anneal_epochs > 0 and self.freq_anneal_steps != 0:
+            raise ValueError(
+                "FREQ_ANNEAL_EPOCHS and FREQ_ANNEAL_STEPS both set — pick "
+                "one horizon unit (epochs are converted to steps by the "
+                "train CLI)"
+            )
+        if (
+            self.freq_anneal_steps != 0 or self.freq_anneal_epochs != 0
+        ) and self.batch_norm:
+            raise ValueError(
+                "FREQ_ANNEAL has no BatchNorm variant: the window scales "
+                "encode-consuming weight rows, which BN's per-channel "
+                "batch statistics would partially renormalize away"
+            )
         if self.mesh_data == 0 or self.mesh_data < -1:
             raise ValueError(
                 f"MESH_DATA must be >= 1 or -1 (all devices), got "
@@ -397,6 +447,8 @@ _KEY_MAP = {
     "LR_DECAY_STEPS": "lr_decay_steps",
     "LR_DECAY_EPOCHS": "lr_decay_epochs",
     "EMA_DECAY": "ema_decay",
+    "FREQ_ANNEAL_STEPS": "freq_anneal_steps",
+    "FREQ_ANNEAL_EPOCHS": "freq_anneal_epochs",
     "MESH_DATA": "mesh_data",
     "MESH_MODEL": "mesh_model",
     "SEED": "seed",

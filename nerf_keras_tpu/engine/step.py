@@ -29,6 +29,7 @@ import optax
 
 from nerf_keras_tpu.config import NeRFConfig
 from nerf_keras_tpu.models.mlp import apply_nerf_mlp, init_bn_state, init_nerf_params
+from nerf_keras_tpu.ops.freq_anneal import fold_train_params
 from nerf_keras_tpu.ops import (
     composite_background,
     distortion_loss,
@@ -662,6 +663,34 @@ def make_quant_render_fn(
     return render
 
 
+def _check_freq_anneal_resolved(cfg: NeRFConfig) -> None:
+    if cfg.freq_anneal_steps == -1:
+        raise ValueError(
+            "FREQ_ANNEAL_STEPS=-1 (auto) must be resolved to a step count "
+            "before building steps — the training CLI does this; direct "
+            "callers pass an explicit count"
+        )
+
+
+def _wrap_state_fold(cfg: NeRFConfig, fn: Callable) -> Callable:
+    """Apply the frequency-anneal weight fold (ops/freq_anneal.py) to a
+    state-consuming eval/render function.  The fold uses the state's
+    CURRENT step — masked octaves hold random init values, so mid-anneal
+    eval must see the same window training does; past the horizon the
+    window is identity.  Traced inside whatever jit wraps ``fn``."""
+    if cfg.freq_anneal_steps == 0:
+        return fn
+    _check_freq_anneal_resolved(cfg)
+
+    def folded(state: TrainState, *args):
+        state = state._replace(
+            params=fold_train_params(cfg, state.params, state.step)
+        )
+        return fn(state, *args)
+
+    return folded
+
+
 def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Callable:
     """Build the jitted train step.
 
@@ -671,6 +700,7 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
     reference pipeline which ships frozen t-values with every batch
     (data_utils.py:156-157).
     """
+    _check_freq_anneal_resolved(cfg)
     optimizer = make_optimizer(cfg)
     fused_render = bool(cfg.use_pallas) and cfg.stop_pdf_gradient
 
@@ -838,6 +868,20 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
                 )
             return loss, (loss_coarse, loss_fine, rgb_fine, new_bn)
 
+    if cfg.freq_anneal_steps > 0:
+        # Frequency-anneal weight fold INSIDE the differentiated loss
+        # (ops/freq_anneal.py): every path below sees windowed weights,
+        # and autodiff chains dW = window * dW_folded — masked octave
+        # rows get exactly zero gradient and stay at init until their
+        # window opens.
+        inner_loss = loss_fn
+
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
+            folded = fold_train_params(cfg, params, step)
+            return inner_loss(
+                folded, bn, key_pdf, t_vals, images, origins, dirs, step
+            )
+
     def train_step(state: TrainState, batch, key: jax.Array):
         images, origins, dirs = batch
         key_t, key_pdf = jax.random.split(jax.random.fold_in(key, state.step))
@@ -918,7 +962,7 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
                 "psnr": psnr(images, rgb_fine),
             }
 
-        return eval_step_proposal
+        return _wrap_state_fold(cfg, eval_step_proposal)
 
     if cfg.use_pallas:
         fwd_fused = _make_fused_eval_forward(cfg, mesh)
@@ -935,7 +979,7 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
                 "psnr": psnr(images, out["rgb_fine"]),
             }
 
-        return eval_step
+        return _wrap_state_fold(cfg, eval_step)
 
     forward = make_forward_pass(cfg, mesh)
 
@@ -952,7 +996,7 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
             "psnr": psnr(images, rgb_fine),
         }
 
-    return eval_step
+    return _wrap_state_fold(cfg, eval_step)
 
 
 def make_render_fn(
@@ -996,7 +1040,7 @@ def make_render_fn(
                 origins, dirs,
             )
 
-        return render_proposal
+        return _wrap_state_fold(cfg, render_proposal)
 
     if cfg.use_pallas and not full:
         fwd_fused = _make_fused_eval_forward(cfg, mesh)
@@ -1011,7 +1055,7 @@ def make_render_fn(
                 for k in ("rgb_coarse", "rgb_fine", "depth_coarse", "depth_fine")
             }
 
-        return render_fused
+        return _wrap_state_fold(cfg, render_fused)
 
     forward = make_forward_pass(cfg, mesh)
 
@@ -1039,4 +1083,4 @@ def make_render_fn(
             )
         return result
 
-    return render
+    return _wrap_state_fold(cfg, render)

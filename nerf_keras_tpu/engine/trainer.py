@@ -257,6 +257,20 @@ class Trainer:
         """Params used for eval/render/derived artifacts (EMA if enabled)."""
         return self._eval_state().params
 
+    def _folded_eval_params(self) -> dict:
+        """Eval params with the frequency-anneal window folded in
+        (ops/freq_anneal.py) — what the compiled eval/render paths
+        actually consume.  Derived inference artifacts (int8 tables,
+        distilled proposal) must bake from THESE weights: mid-anneal,
+        masked octave rows hold random init values the live paths never
+        see.  Identity past the horizon (and when the knob is off)."""
+        params = self.eval_params
+        if self.cfg.freq_anneal_steps > 0:
+            from nerf_keras_tpu.ops.freq_anneal import fold_train_params
+
+            params = fold_train_params(self.cfg, params, self.state.step)
+        return params
+
     def train_step(self, batch, key: jax.Array | None = None):
         """One optimization step; returns metrics dict of scalars (device)."""
         key = self.train_key if key is None else key
@@ -342,7 +356,10 @@ class Trainer:
         reason as :meth:`_render_full`: the (B, S) maps are HBM writes +
         host fetches the common rgb/depth path shouldn't pay."""
         if self._render_prop_w_cache is None:
-            from nerf_keras_tpu.engine.step import make_proposal_render_fn
+            from nerf_keras_tpu.engine.step import (
+                _wrap_state_fold,
+                make_proposal_render_fn,
+            )
 
             cfg = self._fwd_cfg
             inner = make_proposal_render_fn(
@@ -351,9 +368,9 @@ class Trainer:
                 want_weights=True,
             )
             self._render_prop_w_cache = jax.jit(
-                lambda state, o, d: inner(
+                _wrap_state_fold(cfg, lambda state, o, d: inner(
                     state.params["proposal"], state.params["fine"], o, d
-                ),
+                )),
                 in_shardings=(
                     self._state_shardings,
                     self._batch_sharding,
@@ -399,7 +416,7 @@ class Trainer:
                 origins.shape[0], calib_rays, replace=False
             )
             origins, directions = origins[idx], directions[idx]
-        params = jax.device_get(self.eval_params)
+        params = jax.device_get(self._folded_eval_params())
         if self._online_proposal:
             # No coarse MLP exists: calibrate the fine net at the t-unions
             # the float in-state proposal places (the proposal net itself
@@ -439,8 +456,25 @@ class Trainer:
                 out_shardings=self._repl,
             )
 
+            cfg = self.cfg
+
             def render_q(state, o, d):
-                return inner(state.params["proposal"], self._qparams["fine"], o, d)
+                pp = state.params["proposal"]
+                if cfg.freq_anneal_steps > 0:
+                    # The baked int8 fine tables already carry the fold
+                    # (quantize_for_inference bakes folded weights); the
+                    # LIVE float proposal net needs the current window.
+                    from nerf_keras_tpu.ops.freq_anneal import (
+                        anneal_alpha,
+                        fold_proposal_params,
+                        freq_window,
+                    )
+
+                    pp = fold_proposal_params(pp, freq_window(
+                        cfg.prop_l_xyz,
+                        anneal_alpha(state.step, cfg.freq_anneal_steps),
+                    ))
+                return inner(pp, self._qparams["fine"], o, d)
 
             self._render_q = render_q
             return
@@ -517,7 +551,7 @@ class Trainer:
 
         # Host copy of the fine params: the distillation jit must not
         # capture mesh-committed arrays (single-device scan).
-        params = jax.device_get(self.eval_params)
+        params = jax.device_get(self._folded_eval_params())
         cdt = (
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
             else jnp.float32
@@ -583,7 +617,10 @@ class Trainer:
         from nerf_keras_tpu.utils.infer_cache import params_digest
 
         return params_digest(
-            jax.device_get(self.eval_params),
+            # Folded view: the artifacts are functions of the WINDOWED
+            # weights, so a mid-anneal cache entry must not match the
+            # same raw weights at a different step.
+            jax.device_get(self._folded_eval_params()),
             extra={
                 "skip_layer": self.cfg.skip_layer,
                 "l_xyz": self.cfg.l_xyz,
@@ -657,7 +694,7 @@ class Trainer:
             )
         pparams = self._pparams
         if not quant:
-            fine = self.eval_params["fine"]
+            fine = self._folded_eval_params()["fine"]
             return lambda state, o, d: self._render_p(pparams, fine, o, d)
         if self._qparams is None:
             raise RuntimeError(

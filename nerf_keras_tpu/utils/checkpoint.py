@@ -147,6 +147,9 @@ def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig,
       error — an NDC checkpoint rendered with world-space rays (or a
       white-background model composited onto black) just produces wrong
       frames silently — so the sidecar wins;
+    * ``freq_anneal_steps``: the encode-octave window the weights were
+      trained under (identity for completed runs, load-bearing for
+      mid-anneal checkpoints — see ops/freq_anneal.py);
     * the LR schedule is NEUTRALIZED (``lr_final=None``): the optimizer is
       never stepped at inference, a scheduled one can't even build with an
       unresolved auto horizon, and a constant-LR template restores from
@@ -191,6 +194,13 @@ def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig,
         trained = {
             "ndc": bool(scene["ndc"]) if "ndc" in scene else side.ndc,
             "white_bkgd": side.white_bkgd,
+            # Same silent-wrongness class: a mid-anneal checkpoint's
+            # masked octave rows hold random init values; rendering it
+            # without the training-time window (ops/freq_anneal.py)
+            # injects their noise.  The training CLI writes the RESOLVED
+            # horizon, and for completed runs the window is identity, so
+            # adopting it never changes a finished checkpoint's output.
+            "freq_anneal_steps": side.freq_anneal_steps,
         }
         for field, value in trained.items():
             if value != getattr(cfg, field):
@@ -201,6 +211,12 @@ def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig,
                 )
     if cfg.lr_final is not None:
         cfg = dataclasses.replace(cfg, lr_final=None, lr_decay_steps=0)
+    if cfg.freq_anneal_steps == -1:
+        # Unresolved auto horizon (a direct-caller sidecar): the true
+        # horizon is unknowable here, and every restored checkpoint has
+        # step >= 1, so a 1-step horizon gives the identity window —
+        # the completed-run semantics.
+        cfg = dataclasses.replace(cfg, freq_anneal_steps=1)
     return cfg, notes
 
 
