@@ -61,6 +61,15 @@ def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu'); overrides the "
                         "environment's default backend before initialization")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace (TensorBoard-loadable "
+                        "XLA op/HBM breakdown) of the first --profile-steps "
+                        "train steps into DIR, then continue training "
+                        "normally; process 0 only on multi-host")
+    p.add_argument("--profile-steps", type=int, default=20,
+                   help="train steps inside the --profile trace window "
+                        "(default 20 — a full flagship epoch is thousands "
+                        "of steps and would produce a multi-GB trace)")
     return p
 
 
@@ -365,7 +374,8 @@ def run_training(
             cfg, trainer, run_dir, viz_dir, scene, history, history_name,
             val_ds, start_epoch, steps_per_epoch, eval_every, eval_bs,
             test_bs, is_main, losses_for_plot, epoch_batches,
-            stop_requested,
+            stop_requested, profile_dir=args.profile,
+            profile_steps=args.profile_steps,
         )
     finally:
         if prev_sigterm is not None:
@@ -374,17 +384,62 @@ def run_training(
     return trainer
 
 
+def _profiled_first_epoch(cfg, trainer, batches, steps_per_epoch,
+                          profile_dir, profile_steps, is_main):
+    """First epoch with the head wrapped in a ``jax.profiler`` trace.
+
+    The trace window covers only ``profile_steps`` steps (a whole flagship
+    epoch is thousands of steps — a multi-GB trace); the epoch then
+    finishes OUTSIDE the window and the two partial epoch means are
+    step-weighted back into one epoch metric dict.  Every host must run
+    the same two ``train_epoch`` collectives, so only the trace context
+    is process-0-gated, not the step structure.  SURVEY.md §5 tracing row
+    (the reference has nothing beyond tqdm, models.py:196).
+    """
+    import contextlib
+    import itertools
+
+    from nerf_keras_tpu.utils import profiling
+
+    n_head = max(1, min(profile_steps, steps_per_epoch))
+    gen = iter(batches)
+    ctx = profiling.trace(profile_dir) if is_main else contextlib.nullcontext()
+    with ctx:
+        # train_epoch's closing single-vector fetch synchronizes, so every
+        # traced step's device work completes inside the window.
+        head = trainer.train_epoch(
+            itertools.islice(gen, n_head), log_every=cfg.log_every
+        )
+    if is_main:
+        print(f"[nerf-tpu] profiler trace of {n_head} steps -> "
+              f"{profile_dir} (view: tensorboard --logdir {profile_dir})")
+    n_tail = steps_per_epoch - n_head
+    if n_tail <= 0:
+        return head
+    tail = trainer.train_epoch(gen, log_every=cfg.log_every)
+    return {
+        k: (head[k] * n_head + tail[k] * n_tail) / steps_per_epoch
+        for k in head
+    }
+
+
 def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
                 val_ds, start_epoch, steps_per_epoch, eval_every, eval_bs,
                 test_bs, is_main, losses_for_plot, epoch_batches,
-                stop_requested):
+                stop_requested, profile_dir=None, profile_steps=20):
     """Epoch loop body of :func:`run_training` (split out so the SIGTERM
     handler restoration can wrap it in try/finally)."""
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
-        metrics = trainer.train_epoch(
-            epoch_batches(epoch), log_every=cfg.log_every
-        )
+        if profile_dir is not None and epoch == start_epoch:
+            metrics = _profiled_first_epoch(
+                cfg, trainer, epoch_batches(epoch), steps_per_epoch,
+                profile_dir, profile_steps, is_main,
+            )
+        else:
+            metrics = trainer.train_epoch(
+                epoch_batches(epoch), log_every=cfg.log_every
+            )
         dt = time.perf_counter() - t0
         # global rays this epoch: every step consumes cfg.batch_size rays
         # across all hosts (each host contributed local_bs of them)

@@ -263,6 +263,44 @@ def test_profiler_trace_writes_artifacts(tmp_path):
     assert found, "no trace files written"
 
 
+def test_train_cli_profile_flag(tmp_path):
+    """--profile wraps the first --profile-steps train steps in a
+    jax.profiler trace and the epoch still completes with merged metrics
+    (head/tail step-weighted mean) — the CLI surface for the SURVEY §5
+    tracing row."""
+    import json
+    import os
+
+    import train_synthetic
+    from nerf_keras_tpu.cli.train import run_training
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "BATCH_SIZE": 128, "NS_COARSE": 4, "NS_FINE": 8,
+        "HEIGHT": 12, "WIDTH": 12, "L_XYZ": 4, "L_DIR": 2,
+        "NUM_LAYERS": 2, "HIDDEN_DIM": 16, "SKIP_LAYER": 4, "EPOCHS": 1,
+        "LEARNING_RATE": 0.002, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32", "EVAL_EVERY": 1,
+    }))
+    run_dir = tmp_path / "run"
+    trace_dir = tmp_path / "trace"
+    trainer = run_training(
+        train_synthetic.prepare, str(cfg_path), default_eval_every=1,
+        argv=["--config", str(cfg_path), "--run-dir", str(run_dir),
+              "--profile", str(trace_dir), "--profile-steps", "3"],
+    )
+    found = []
+    for root, _, files in os.walk(str(trace_dir)):
+        found += files
+    assert found, "no trace files written by --profile"
+    # the profiled head (3 steps) + tail finished the full epoch
+    steps_per_epoch = len(
+        json.load(open(run_dir / "history_l2_d16_n12_ep1.json"))["losses"]
+    )
+    assert steps_per_epoch == 1  # one epoch recorded
+    assert int(trainer.state.step) > 3  # tail ran outside the trace
+
+
 def test_render_rays_full_outputs():
     """render_rays exposes compositing weights and raw MLP predictions —
     the reference's 8-tensor minibatched return (models.py:216-223)."""
