@@ -122,6 +122,11 @@ def run_inference(argv: list[str] | None = None) -> str:
     p.add_argument("--depth-video", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu') before init")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of ONE steady-state "
+                        "frame render into DIR (the first frame is rendered "
+                        "once untraced first, so compilation stays out of "
+                        "the trace); view with tensorboard --logdir DIR")
     p.add_argument("--ns-coarse", type=int, default=None,
                    help="override coarse samples/ray for rendering "
                         "(speed/quality knob; training checkpoint unchanged)")
@@ -333,10 +338,25 @@ def run_inference(argv: list[str] | None = None) -> str:
     ):
         trainer.save_inference_artifacts(args.infer_cache)
         print(f"[nerf-tpu] saved inference artifacts to {args.infer_cache}")
+    def render(pose):
+        return trainer.render_image(pose, cfg.height, cfg.width, focal,
+                                    chunk=args.chunk, quant=use_quant,
+                                    sampler=use_sampler)
+
     for i, pose in enumerate(poses):
-        out = trainer.render_image(pose, cfg.height, cfg.width, focal,
-                                   chunk=args.chunk, quant=use_quant,
-                                   sampler=use_sampler)
+        if args.profile is not None and i == 0:
+            # Steady-state trace (SURVEY.md §5 tracing row): render once
+            # untraced so the trace window holds the compiled per-chunk
+            # pipeline, not one-time compilation.
+            from nerf_keras_tpu.utils import profiling
+
+            render(pose)
+            with profiling.trace(args.profile):
+                out = render(pose)
+            print(f"[nerf-tpu] profiler trace of one "
+                  f"{cfg.height}x{cfg.width} frame -> {args.profile}")
+        else:
+            out = render(pose)
         frames.append(to_uint8(out["rgb"]))
         if args.depth_video:
             depth_frames.append(to_uint8(normalize_depth(out["depth"])))

@@ -80,6 +80,34 @@ def test_spiral_path_renders_forward_facing_checkpoint(tmp_path):
     assert os.path.exists(written) and os.path.getsize(written) > 0
 
 
+def test_infer_profile_flag_writes_trace(tmp_path):
+    """--profile traces one steady-state frame render (first frame is
+    pre-rendered untraced so compilation stays out of the window) and the
+    video still writes every requested frame."""
+    import os
+
+    from nerf_keras_tpu.cli.infer import run_inference
+
+    cfg_path = _write_config(tmp_path)
+    cfg = load_config(cfg_path)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "tiny.ckpt.npz")
+    save_checkpoint(ckpt, state, cfg,
+                    scene={"near": 2.0, "far": 6.0, "focal": 20.0})
+
+    trace_dir = str(tmp_path / "trace")
+    written = run_inference([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--frames", "2", "--chunk", "128",
+        "--out", str(tmp_path / "vid.mp4"), "--profile", trace_dir,
+    ])
+    assert os.path.exists(written) and os.path.getsize(written) > 0
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += files
+    assert found, "no trace files written by --profile"
+
+
 def test_spiral_path_requires_data_dir(tmp_path):
     from nerf_keras_tpu.cli.infer import run_inference
 
