@@ -29,7 +29,7 @@ round-trips or moves work ONTO the MXU; this kernel does neither.
 Numerics match ops/sampling.py exactly: +1e-5 weight floor, cdf prepend 0,
 ``cdf[k] <= u < cdf[k+1]`` bin windows with +inf terminal, shift-up value
 clamping, 1e-5 denominator floor, t-midpoint lookups clamped to the last
-midpoint.  Parity pinned in tests/test_pallas.py against the jnp chain
+midpoint.  Parity pinned in tests/test_experimental_pdf_union.py against the jnp chain
 (eval grid AND sorted-random-u train variant, plateau/degenerate rows,
 ray padding).
 """

@@ -402,23 +402,45 @@ def _profiled_first_epoch(cfg, trainer, batches, steps_per_epoch,
     from nerf_keras_tpu.utils import profiling
 
     n_head = max(1, min(profile_steps, steps_per_epoch))
+    # Count the steps each partial epoch ACTUALLY consumed instead of
+    # trusting steps_per_epoch: a batch source yielding fewer batches
+    # (drop_remainder=False, exhausted iterator) would otherwise hand the
+    # tail an empty iterator (jnp.stack([]) error) and mis-weight the
+    # merged means (round-3 advisory).
+    counts = {"head": 0, "tail": 0}
+
+    def counted(it, slot):
+        for b in it:
+            counts[slot] += 1
+            yield b
+
     gen = iter(batches)
     ctx = profiling.trace(profile_dir) if is_main else contextlib.nullcontext()
     with ctx:
         # train_epoch's closing single-vector fetch synchronizes, so every
         # traced step's device work completes inside the window.
         head = trainer.train_epoch(
-            itertools.islice(gen, n_head), log_every=cfg.log_every
+            counted(itertools.islice(gen, n_head), "head"),
+            log_every=cfg.log_every,
         )
     if is_main:
-        print(f"[nerf-tpu] profiler trace of {n_head} steps -> "
+        print(f"[nerf-tpu] profiler trace of {counts['head']} steps -> "
               f"{profile_dir} (view: tensorboard --logdir {profile_dir})")
-    n_tail = steps_per_epoch - n_head
-    if n_tail <= 0:
+    if counts["head"] >= steps_per_epoch:
         return head
-    tail = trainer.train_epoch(gen, log_every=cfg.log_every)
+    # Peek one batch so an exhausted source returns head unchanged rather
+    # than running an empty tail epoch.
+    try:
+        first_tail = next(gen)
+    except StopIteration:
+        return head
+    tail = trainer.train_epoch(
+        counted(itertools.chain([first_tail], gen), "tail"),
+        log_every=cfg.log_every,
+    )
+    total = counts["head"] + counts["tail"]
     return {
-        k: (head[k] * n_head + tail[k] * n_tail) / steps_per_epoch
+        k: (head[k] * counts["head"] + tail[k] * counts["tail"]) / total
         for k in head
     }
 
@@ -429,6 +451,15 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
                 stop_requested, profile_dir=None, profile_steps=20):
     """Epoch loop body of :func:`run_training` (split out so the SIGTERM
     handler restoration can wrap it in try/finally)."""
+    if profile_dir is not None and start_epoch >= cfg.epochs:
+        # --resume of a finished run + --profile: the loop below never
+        # executes, so say why the trace dir stays empty instead of
+        # silently producing nothing (round-3 advisory).
+        print(
+            f"[nerf-tpu] WARNING: --profile {profile_dir} captured nothing "
+            f"— the restored checkpoint is already at epoch {start_epoch} "
+            f">= EPOCHS ({cfg.epochs}); raise --epochs to trace steps"
+        )
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         if profile_dir is not None and epoch == start_epoch:

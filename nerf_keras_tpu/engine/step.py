@@ -367,7 +367,7 @@ def _make_fused_train_forward(
         # 16384-ray chunk) than the fused Pallas pdf+union kernel — the
         # kernel's rank-position merge is VPU-issue-bound at O((S+NF)^2)
         # per ray while the one-hot einsum rides the MXU; see
-        # ops/pallas/pdf_union.py for the measured negative result.
+        # experimental/pdf_union.py for the measured negative result.
         t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
         t_fine = sample_pdf(
             key, t_mid, jax.lax.stop_gradient(weights_coarse), cfg.ns_fine,
@@ -435,7 +435,7 @@ def _make_fused_eval_forward(cfg: NeRFConfig, mesh=None) -> Callable:
         depth_coarse = jnp.sum(w_coarse * t_vals, axis=-1)
 
         # pdf+union stays on the XLA path — the fused Pallas alternative
-        # measured SLOWER (ops/pallas/pdf_union.py docstring).
+        # measured SLOWER (experimental/pdf_union.py docstring).
         t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
         t_fine = sample_pdf(None, t_mid, w_coarse, cfg.ns_fine,
                             deterministic=True)

@@ -41,7 +41,7 @@ def main() -> None:
     from nerf_keras_tpu.config import NeRFConfig
     from nerf_keras_tpu.engine.trainer import Trainer
     from nerf_keras_tpu.ops import sample_pdf, sorted_union
-    from nerf_keras_tpu.ops.pallas.pdf_union import sample_pdf_union_eval
+    from experimental.pdf_union import sample_pdf_union_eval
     from nerf_keras_tpu.utils.profiling import StepTimer, bench_scalar
 
     timer = StepTimer(warmup=2, steps=args.steps)
