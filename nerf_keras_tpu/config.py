@@ -103,6 +103,28 @@ class NeRFConfig:
     #         (25.33/24.37 vs union 25.59/25.22, seeds 42/7;
     #         anneal_quality_matrix.json).
     #         Only meaningful with TRAIN_SAMPLER='proposal'.
+    prop_levels: int = 1  # proposal-chain depth (TRAIN_SAMPLER='proposal').
+    #         1 (default): one tiny net places the fine samples from the
+    #         NS_COARSE uniform bins — the round-3 online sampler.
+    #         2: Mip-NeRF 360's stacked recipe — a second net re-bins at
+    #         PROP_SAMPLES samples drawn from the first level's
+    #         histogram, so the final draw's placement resolution follows
+    #         the mass instead of the uniform grid.  Each level distills
+    #         from the fine pass's weights binned into ITS OWN partition
+    #         (exact aligned-bin MXU einsum — no outer-measure bound
+    #         needed); anneal/explore shape every training draw.
+    #         Motivation: the union-free (PROP_UNION=false) quality gap
+    #         at NS_FINE=128 was measured to be mostly placement-limited
+    #         sample count (round-3 close-out); the chain attacks the
+    #         placement term.  Quality evidence:
+    #         docs/evidence/hier_prop_quality.json (3-seed 80-epoch
+    #         flagship matrix).
+    prop_samples: int = 0  # level-2 partition size for PROP_LEVELS=2:
+    #         how many samples the first level places for the second
+    #         level to re-bin.  0 (default) = auto: NS_COARSE.  The
+    #         second net evaluates at PROP_SAMPLES points per ray (~60x
+    #         cheaper than fine-MLP points); raising it sharpens the
+    #         final draw's resolution at negligible FLOP cost.
     prop_anneal_steps: int = 0  # Mip-NeRF 360 sampling anneal: for the
     #         first N optimizer steps the TRAINING CDF draw is softened
     #         by w^b with b = 10f/(1+9f), f = step/N (b: 0 -> 1), so
@@ -285,6 +307,16 @@ class NeRFConfig:
                 "PROP_UNION=false only applies to TRAIN_SAMPLER='proposal' "
                 "(the parity path always unions coarse and fine samples)"
             )
+        if self.prop_levels != 1 and self.train_sampler != "proposal":
+            raise ValueError(
+                "PROP_LEVELS configures the proposal chain; it only "
+                "applies to TRAIN_SAMPLER='proposal'"
+            )
+        if self.prop_samples != 0 and self.train_sampler != "proposal":
+            raise ValueError(
+                "PROP_SAMPLES configures the proposal chain; it only "
+                "applies to TRAIN_SAMPLER='proposal'"
+            )
         if self.prop_anneal_steps != 0 and self.train_sampler != "proposal":
             raise ValueError(
                 "PROP_ANNEAL_STEPS anneals the proposal draw; it only "
@@ -321,6 +353,19 @@ class NeRFConfig:
                 raise ValueError(
                     "PROP_ANNEAL_STEPS is a step count (0 disables, "
                     f"-1 = auto/full-horizon); got {self.prop_anneal_steps}"
+                )
+            if self.prop_levels not in (1, 2):
+                raise ValueError(
+                    f"PROP_LEVELS must be 1 or 2, got {self.prop_levels}"
+                )
+            if self.prop_samples < 0 or self.prop_samples == 1:
+                raise ValueError(
+                    "PROP_SAMPLES is the level-2 partition size (0 = auto "
+                    f"= NS_COARSE, else >= 2); got {self.prop_samples}"
+                )
+            if self.prop_samples > 0 and self.prop_levels < 2:
+                raise ValueError(
+                    "PROP_SAMPLES only applies to the PROP_LEVELS=2 chain"
                 )
             if min(self.prop_l_xyz, self.prop_hidden) < 1 or self.prop_depth < 2:
                 raise ValueError(
@@ -436,6 +481,8 @@ _KEY_MAP = {
     "PROP_HIDDEN": "prop_hidden",
     "PROP_DEPTH": "prop_depth",
     "PROP_LOSS_MULT": "prop_loss_mult",
+    "PROP_LEVELS": "prop_levels",
+    "PROP_SAMPLES": "prop_samples",
     "PROP_EXPLORE": "prop_explore",
     "PROP_UNION": "prop_union",
     "PROP_TARGET_BLUR": "prop_target_blur",

@@ -30,6 +30,7 @@ import optax
 from nerf_keras_tpu.config import NeRFConfig
 from nerf_keras_tpu.models.mlp import apply_nerf_mlp, init_bn_state, init_nerf_params
 from nerf_keras_tpu.ops.freq_anneal import fold_train_params
+from nerf_keras_tpu.ops.proposal import make_chain_sampler as _make_chain_sampler
 from nerf_keras_tpu.ops import (
     composite_background,
     distortion_loss,
@@ -104,13 +105,13 @@ def init_train_state(key: jax.Array, cfg: NeRFConfig) -> TrainState:
         batch_norm=cfg.batch_norm,
     )
     if cfg.train_sampler == "proposal":
-        from nerf_keras_tpu.ops.proposal import init_proposal
+        from nerf_keras_tpu.ops.proposal import init_proposal_chain
 
         # Config validation rejects batch_norm in proposal mode.
         params = {
-            "proposal": init_proposal(
-                k_coarse, l_xyz=cfg.prop_l_xyz, hidden=cfg.prop_hidden,
-                depth=cfg.prop_depth,
+            "proposal": init_proposal_chain(
+                k_coarse, cfg.prop_levels, l_xyz=cfg.prop_l_xyz,
+                hidden=cfg.prop_hidden, depth=cfg.prop_depth,
             ),
             "fine": init_nerf_params(k_fine, **kwargs),
         }
@@ -551,6 +552,8 @@ def make_proposal_render_fn(
     prop_l_xyz: int = 4,
     union: bool = True,
     want_weights: bool = False,
+    levels: int = 1,
+    prop_samples: int = 0,
 ) -> Callable:
     """Build the proposal-sampled render for a flat ray batch
     (beyond-reference; design rationale in ops/proposal.py).
@@ -576,24 +579,19 @@ def make_proposal_render_fn(
     same (B, ns_coarse + ns_fine) shape either way.  With ``union=False``
     (online ``PROP_UNION=false`` configs) the fine kernel sees ONLY the
     ``ns_fine`` placed samples — Mip-NeRF-360 layout, ~33% fewer
-    fine-pass FLOPs at flagship counts.
+    fine-pass FLOPs at flagship counts.  ``levels``/``prop_samples``
+    select the stacked proposal chain (:func:`_make_chain_sampler`).
     """
-    from nerf_keras_tpu.ops.proposal import proposal_weights
-
     fine_pass = _make_pass_fn(cfg, mesh=mesh, quant=quant)
+    chain = _make_chain_sampler(
+        cfg, prop_l_xyz, union, levels, prop_samples, train=False
+    )
 
     def render(pparams, fine_params, origins, dirs):
         t_vals = generate_t_vals(
             None, near, far, origins.shape[:-1], cfg.ns_coarse, "center"
         )
-        w = proposal_weights(pparams, origins, dirs, t_vals, prop_l_xyz)
-
-        t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-        t_fine = sample_pdf(None, t_mid, w, cfg.ns_fine, deterministic=True)
-        if union:
-            t_all = sorted_union(t_vals, t_fine)
-        else:
-            t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
+        t_all, _ = chain(pparams, origins, dirs, t_vals, None, None)
 
         rgb_fine, w_fine = fine_pass(fine_params, origins, dirs, t_all)
         depth_fine = jnp.sum(w_fine * t_all, axis=-1)
@@ -716,7 +714,6 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
         from nerf_keras_tpu.ops.proposal import (
             binned_fine_weights,
             interlevel_loss,
-            proposal_weights,
         )
 
         if cfg.prop_anneal_steps < 0:
@@ -730,70 +727,21 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             cfg, mesh=mesh,
             weights_grad=cfg.distortion_loss_mult > 0.0 or cfg.white_bkgd,
         )
+        chain = _make_chain_sampler(
+            cfg, cfg.prop_l_xyz, cfg.prop_union, cfg.prop_levels,
+            cfg.prop_samples, train=True,
+        )
+        blur = (
+            cfg.prop_target_blur
+            if cfg.prop_target_blur is not None
+            else not cfg.prop_union
+        )
 
-        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
-            w_prop = proposal_weights(
-                params["proposal"], origins, dirs, t_vals, cfg.prop_l_xyz
-            )
-            # The CDF draw consumes detached weights (config validation
-            # requires stop_pdf_gradient in this mode): the proposal
-            # learns from its distillation loss below, never through the
-            # clamped inverse-CDF interpolation.
-            w_draw = jax.lax.stop_gradient(w_prop)
-            if cfg.prop_anneal_steps > 0:
-                # Mip-NeRF 360 sampling anneal (draw-side only): soften
-                # the draw by w^b, b = 10f/(1+9f) with f = step/N, so the
-                # first steps draw near-uniformly (b~0 => w^0 = 1) and
-                # sharpen to the raw proposal over PROP_ANNEAL_STEPS.
-                # The +1e-5 floor keeps zero-weight bins reachable at
-                # small b (0^b = 0 would pin them closed forever).
-                f = jnp.clip(
-                    step.astype(jnp.float32) / cfg.prop_anneal_steps,
-                    0.0, 1.0,
-                )
-                b = 10.0 * f / (1.0 + 9.0 * f)
-                w_draw = jnp.power(w_draw + 1e-5, b)
-            if cfg.prop_explore > 0.0:
-                # Exploration floor (TRAINING draw only): mix a uniform
-                # fraction into the draw distribution so a momentarily
-                # collapsed proposal can't starve whole regions of fine
-                # samples — without it a 40-epoch flagship run showed a
-                # transient loss blowup once the proposal sharpened
-                # (docs/PERF.md online-proposal section).  The LOSS still
-                # sees the raw w_prop: exploration must not teach the
-                # proposal to hedge.
-                e = cfg.prop_explore
-                w_draw = (1.0 - e) * w_draw + e * jnp.mean(
-                    w_draw, axis=-1, keepdims=True
-                )
-            t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-            t_fine = sample_pdf(
-                key_pdf, t_mid, w_draw, cfg.ns_fine,
-                deterministic=key_pdf is None,
-            )
-            if cfg.prop_union:
-                t_all = sorted_union(t_vals, t_fine)
-            else:
-                # Mip-NeRF-360 layout: the fine net sees ONLY the placed
-                # samples (the draws are monotone in u but u is random in
-                # training — sort for the compositing deltas).
-                t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
-
-            rgb_fine, w_fine = fine_pass(params["fine"], origins, dirs, t_all)
-            if cfg.white_bkgd:
-                rgb_fine = composite_background(rgb_fine, w_fine)
-            loss_fine = mse(images, rgb_fine)
+        def distill_target(t_all, w_fine_sg, t_part):
             # Detached target (the Pallas path already stop-gradients its
             # weights output; the jnp path needs it explicit): the fine
             # model must never be pulled toward the proposal.
-            target = binned_fine_weights(
-                t_all, jax.lax.stop_gradient(w_fine), t_vals
-            )
-            blur = (
-                cfg.prop_target_blur
-                if cfg.prop_target_blur is not None
-                else not cfg.prop_union
-            )
+            target = binned_fine_weights(t_all, w_fine_sg, t_part)
             if blur:
                 # Union-free target is a HIGH-VARIANCE estimate: bins get
                 # mass only where samples landed, and an isolated
@@ -812,7 +760,25 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
                     [target[..., 1:], target[..., -1:]], axis=-1
                 )
                 target = 0.25 * left + 0.5 * target + 0.25 * right
-            loss_prop = interlevel_loss(w_prop, target)
+            return target
+
+        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
+            t_all, levels = chain(
+                params["proposal"], origins, dirs, t_vals, key_pdf, step
+            )
+            rgb_fine, w_fine = fine_pass(params["fine"], origins, dirs, t_all)
+            if cfg.white_bkgd:
+                rgb_fine = composite_background(rgb_fine, w_fine)
+            loss_fine = mse(images, rgb_fine)
+            # Every proposal level distills from the fine pass's weights
+            # binned into ITS OWN partition (Mip-NeRF 360 trains each
+            # proposal against the final NeRF histogram).
+            w_fine_sg = jax.lax.stop_gradient(w_fine)
+            loss_prop = 0.0
+            for w_prop, t_part in levels:
+                loss_prop = loss_prop + interlevel_loss(
+                    w_prop, distill_target(t_all, w_fine_sg, t_part)
+                )
             loss = loss_fine + cfg.prop_loss_mult * loss_prop
             if cfg.distortion_loss_mult > 0.0:
                 # Undetached w_fine: distortion needs gradients into the
@@ -926,38 +892,37 @@ def make_eval_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Calla
         from nerf_keras_tpu.ops.proposal import (
             binned_fine_weights,
             interlevel_loss,
-            proposal_weights,
         )
 
         fine_pass = _make_pass_fn(cfg, mesh=mesh)
+        chain = _make_chain_sampler(
+            cfg, cfg.prop_l_xyz, cfg.prop_union, cfg.prop_levels,
+            cfg.prop_samples, train=False,
+        )
 
         def eval_step_proposal(state: TrainState, batch):
             images, origins, dirs = batch
             t_vals = generate_t_vals(
                 None, near, far, images.shape[:-1], cfg.ns_coarse, "center"
             )
-            w_prop = proposal_weights(
-                state.params["proposal"], origins, dirs, t_vals,
-                cfg.prop_l_xyz,
+            t_all, levels = chain(
+                state.params["proposal"], origins, dirs, t_vals, None, None
             )
-            t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-            t_fine = sample_pdf(None, t_mid, w_prop, cfg.ns_fine,
-                                deterministic=True)
-            if cfg.prop_union:
-                t_all = sorted_union(t_vals, t_fine)
-            else:
-                t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
             rgb_fine, w_fine = fine_pass(
                 state.params["fine"], origins, dirs, t_all
             )
             if cfg.white_bkgd:
                 rgb_fine = composite_background(rgb_fine, w_fine)
+            # No coarse rgb exists; the slot reports the distillation
+            # loss summed over levels (how well the chain tracks the
+            # fine histogram).
+            distill = 0.0
+            for w_prop, t_part in levels:
+                distill = distill + interlevel_loss(
+                    w_prop, binned_fine_weights(t_all, w_fine, t_part)
+                )
             return {
-                # No coarse rgb exists; the slot reports the distillation
-                # loss (how well the proposal tracks the fine histogram).
-                "loss_coarse": interlevel_loss(
-                    w_prop, binned_fine_weights(t_all, w_fine, t_vals)
-                ),
+                "loss_coarse": distill,
                 "loss": mse(images, rgb_fine),
                 "psnr": psnr(images, rgb_fine),
             }
@@ -1031,7 +996,8 @@ def make_render_fn(
             )
         inner = make_proposal_render_fn(
             cfg, near, far, mesh=mesh, prop_l_xyz=cfg.prop_l_xyz,
-            union=cfg.prop_union,
+            union=cfg.prop_union, levels=cfg.prop_levels,
+            prop_samples=cfg.prop_samples,
         )
 
         def render_proposal(state: TrainState, origins, dirs):

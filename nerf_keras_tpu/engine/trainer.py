@@ -365,7 +365,8 @@ class Trainer:
             inner = make_proposal_render_fn(
                 cfg, self.near, self.far, mesh=self.mesh,
                 prop_l_xyz=cfg.prop_l_xyz, union=cfg.prop_union,
-                want_weights=True,
+                want_weights=True, levels=cfg.prop_levels,
+                prop_samples=cfg.prop_samples,
             )
             self._render_prop_w_cache = jax.jit(
                 _wrap_state_fold(cfg, lambda state, o, d: inner(
@@ -447,7 +448,8 @@ class Trainer:
                 make_proposal_render_fn(
                     self._fwd_cfg, self.near, self.far, mesh=self.mesh,
                     quant=True, prop_l_xyz=self.cfg.prop_l_xyz,
-                    union=self.cfg.prop_union,
+                    union=self.cfg.prop_union, levels=self.cfg.prop_levels,
+                    prop_samples=self.cfg.prop_samples,
                 ),
                 in_shardings=(
                     self._state_shardings.params["proposal"], self._repl,

@@ -113,7 +113,11 @@ def fold_nerf_params(params: dict, w_xyz: jnp.ndarray) -> dict:
 
 def fold_proposal_params(params: dict, w_xyz: jnp.ndarray) -> dict:
     """Fold the window into the proposal net (first layer consumes the
-    encoding directly; no skip concat — ops/proposal.py:init_proposal)."""
+    encoding directly; no skip concat — ops/proposal.py:init_proposal).
+    Chain trees (``{'l1': ..., 'l2': ...}``, PROP_LEVELS=2) fold every
+    level — each net consumes the same PROP_L_XYZ encoding."""
+    if "layers" not in params:
+        return {k: fold_proposal_params(v, w_xyz) for k, v in params.items()}
     layers = params["layers"]
     return {
         **params,

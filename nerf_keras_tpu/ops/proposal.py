@@ -43,6 +43,7 @@ import optax
 
 from nerf_keras_tpu.ops.encoding import encode_position
 from nerf_keras_tpu.ops.rays import sample_rays
+from nerf_keras_tpu.ops.sampling import sample_pdf, sorted_union
 from nerf_keras_tpu.ops.volume import volume_render
 
 ProposalParams = dict
@@ -96,6 +97,42 @@ def proposal_sigma(
     ``log1p`` target transform, clamped nonnegative."""
     raw = apply_proposal(params, encode_position(pts, l_xyz), compute_dtype)
     return jnp.expm1(jnp.maximum(raw, 0.0))
+
+
+def init_proposal_chain(
+    key: jax.Array, levels: int, l_xyz: int = 4, hidden: int = 64,
+    depth: int = 3,
+) -> ProposalParams:
+    """Proposal net(s) for a ``levels``-deep sampling chain.
+
+    ``levels == 1`` returns the single-net ``{'layers': ...}`` tree
+    (checkpoint-compatible with every pre-chain run); ``levels == 2``
+    returns ``{'l1': net, 'l2': net}`` — two independent tiny nets, one
+    per refinement iteration (Mip-NeRF 360 §3.3 trains one proposal MLP
+    per level; https://arxiv.org/pdf/2111.12077).  The chain exists to
+    fix the PLACEMENT RESOLUTION limit of a single level: fine samples
+    drawn from one ``ns_coarse``-bin histogram are uniform within a bin,
+    so surface placement error is ~the uniform bin width; a second level
+    re-bins at the first draw's samples, concentrating its bins where
+    the mass is before the final draw.
+    """
+    if levels == 1:
+        return init_proposal(key, l_xyz=l_xyz, hidden=hidden, depth=depth)
+    keys = jax.random.split(key, levels)
+    return {
+        f"l{i + 1}": init_proposal(k, l_xyz=l_xyz, hidden=hidden, depth=depth)
+        for i, k in enumerate(keys)
+    }
+
+
+def chain_nets(pparams: ProposalParams) -> list:
+    """The per-level net params of a proposal chain, in draw order.
+
+    Accepts both the single-net ``{'layers': ...}`` tree and the
+    ``{'l1': ..., 'l2': ...}`` chain tree."""
+    if "layers" in pparams:
+        return [pparams]
+    return [pparams[f"l{i + 1}"] for i in range(len(pparams))]
 
 
 def proposal_weights(
@@ -242,3 +279,108 @@ def distill_proposal(
 
     params, final_loss = run(params)
     return params, float(final_loss)
+
+
+def make_chain_sampler(
+    cfg,
+    l_xyz: int,
+    union: bool,
+    levels: int,
+    prop_samples: int,
+    train: bool,
+) -> Callable:
+    """Build the proposal sampling chain shared by the online train step,
+    the proposal eval step and every proposal render path.
+
+    ``chain(pparams, origins, dirs, t_vals, key, step) ->
+    (t_all, [(w_prop, t_partition), ...])`` — one ``(weights, partition)``
+    pair per proposal level, in draw order.  Level 1 evaluates its net on
+    the ``t_vals`` grid; with ``levels == 2`` (Mip-NeRF 360's stacked
+    recipe, :func:`init_proposal_chain`) the second net re-bins at
+    ``prop_samples`` samples drawn from the first histogram, so the final
+    draw's placement resolution follows the mass instead of the uniform
+    grid.  ``t_all`` is the fine pass's sample positions (sorted union
+    with ``t_vals`` when ``union``, else the sorted final draws alone).
+
+    ``train=True`` draws with the caller's PRNG key and shapes every draw
+    with the sampling anneal + exploration floor (TRAINING draws only —
+    config docstrings); ``train=False`` draws deterministically (midpoint
+    u, no shaping) for reproducible eval/render.
+    """
+    n2 = prop_samples or cfg.ns_coarse
+
+    def shape_draw(w, step):
+        # The CDF draw always consumes detached weights (the proposal
+        # chain learns from its distillation losses, never through the
+        # clamped inverse-CDF interpolation — config validation requires
+        # stop_pdf_gradient in proposal mode).
+        w_draw = jax.lax.stop_gradient(w)
+        if not train:
+            return w_draw
+        if cfg.prop_anneal_steps > 0:
+            # Mip-NeRF 360 sampling anneal (draw-side only): soften the
+            # draw by w^b, b = 10f/(1+9f) with f = step/N, so the first
+            # steps draw near-uniformly and sharpen to the raw proposal
+            # over PROP_ANNEAL_STEPS.  The +1e-5 floor keeps zero-weight
+            # bins reachable at small b (0^b = 0 would pin them closed).
+            f = jnp.clip(
+                step.astype(jnp.float32) / cfg.prop_anneal_steps, 0.0, 1.0
+            )
+            b = 10.0 * f / (1.0 + 9.0 * f)
+            w_draw = jnp.power(w_draw + 1e-5, b)
+        if cfg.prop_explore > 0.0:
+            # Exploration floor (TRAINING draw only): mix a uniform
+            # fraction into the draw distribution so a momentarily
+            # collapsed proposal can't starve whole regions of samples
+            # (docs/PERF.md online-proposal section).  The LOSS still
+            # sees the raw w_prop: exploration must not teach the
+            # proposal to hedge.
+            e = cfg.prop_explore
+            w_draw = (1.0 - e) * w_draw + e * jnp.mean(
+                w_draw, axis=-1, keepdims=True
+            )
+        return w_draw
+
+    def chain(pparams, origins, dirs, t_vals, key, step):
+        nets = chain_nets(pparams)
+        if len(nets) != levels:
+            raise ValueError(
+                f"proposal params carry {len(nets)} level(s) but the "
+                f"config says PROP_LEVELS={levels}"
+            )
+        level_outs = []
+        t_part = t_vals
+        t_all = None
+        for i, net in enumerate(nets):
+            w = proposal_weights(net, origins, dirs, t_part, l_xyz)
+            level_outs.append((w, t_part))
+            last = i == len(nets) - 1
+            n_draw = cfg.ns_fine if last else n2
+            t_mid = 0.5 * (t_part[..., 1:] + t_part[..., :-1])
+            if train:
+                key, sub = jax.random.split(key)
+                t_draw = sample_pdf(
+                    sub, t_mid, shape_draw(w, step), n_draw,
+                    deterministic=False,
+                )
+            else:
+                t_draw = sample_pdf(
+                    None, t_mid, shape_draw(w, step), n_draw,
+                    deterministic=True,
+                )
+            if last:
+                if union:
+                    t_all = sorted_union(t_vals, t_draw)
+                else:
+                    # Mip-NeRF-360 layout: the fine net sees ONLY the
+                    # placed samples (sorted for the compositing deltas).
+                    t_all = jax.lax.sort(
+                        t_draw, dimension=-1, is_stable=False
+                    )
+            else:
+                # The draws become the next level's PARTITION — ascending
+                # bin edges for its weights and its distillation binning.
+                t_part = jax.lax.sort(t_draw, dimension=-1, is_stable=False)
+        return t_all, level_outs
+
+    return chain

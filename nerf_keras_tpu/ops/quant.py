@@ -406,22 +406,19 @@ def calibrate_render_proposal(
     The proposal net itself stays float: its ~60x-smaller matmuls are not
     worth quantizing.  Returns ``{'fine': stats}``.
     """
-    from nerf_keras_tpu.ops.proposal import proposal_weights
+    from nerf_keras_tpu.ops.proposal import make_chain_sampler
 
     origins = jnp.asarray(origins, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
     t_vals = generate_t_vals(
         None, near, far, origins.shape[:-1], cfg.ns_coarse, "center"
     )
-    w = proposal_weights(
-        params["proposal"], origins, directions, t_vals, cfg.prop_l_xyz
+    chain = make_chain_sampler(
+        cfg, cfg.prop_l_xyz, cfg.prop_union, cfg.prop_levels,
+        cfg.prop_samples, train=False,
     )
-    t_mid = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-    t_fine = sample_pdf(None, t_mid, w, cfg.ns_fine, deterministic=True)
-    if cfg.prop_union:
-        t_all = sorted_union(t_vals, t_fine)
-    else:  # PROP_UNION=false: calibrate at the fine-only sample layout
-        t_all = jax.lax.sort(t_fine, dimension=-1, is_stable=False)
+    t_all, _ = chain(params["proposal"], origins, directions, t_vals,
+                     None, None)
 
     points_f, dirs_f = sample_rays(origins, directions, t_all)
     xf_enc = encode_position(points_f, cfg.l_xyz)

@@ -94,11 +94,11 @@ def nerf_param_shardings(mesh: Mesh, params: Any) -> Any:
         return P(MODEL_AXIS, None) if tp > 1 and w.shape[0] % tp == 0 else P()
 
     def one_mlp(mlp: dict) -> dict:
-        if "layers" in mlp:
-            # Tiny proposal net (ops/proposal.py; train_sampler='proposal'):
-            # ~30 KB of params — replicate everywhere, its matmuls are
-            # negligible and replication avoids any collective in the
-            # sampling chain.
+        if "trunk" not in mlp:
+            # Tiny proposal net or {'l1','l2'} chain (ops/proposal.py;
+            # train_sampler='proposal'): ~30 KB of params per level —
+            # replicate everywhere, its matmuls are negligible and
+            # replication avoids any collective in the sampling chain.
             return jax.tree_util.tree_map(lambda _: P(), mlp)
         out: dict = {"trunk": []}
         for i, layer in enumerate(mlp["trunk"]):

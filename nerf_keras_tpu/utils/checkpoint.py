@@ -171,7 +171,7 @@ def resolve_infer_config(cfg: NeRFConfig, path: str | None) -> tuple[NeRFConfig,
     if path is not None and io.exists(path + ".config.json"):
         side = load_checkpoint_config(path)
         arch = ("train_sampler", "prop_l_xyz", "prop_hidden", "prop_depth",
-                "prop_union")
+                "prop_union", "prop_levels", "prop_samples")
         if any(getattr(side, f) != getattr(cfg, f) for f in arch):
             cfg = dataclasses.replace(
                 cfg, **{f: getattr(side, f) for f in arch}

@@ -481,3 +481,164 @@ def test_prop_anneal_steps():
     raw = to_reference_json(cfg)
     assert raw["PROP_ANNEAL_STEPS"] == 512
     assert config_from_dict(raw) == cfg
+
+# ------------------------------------------------- hierarchical chain
+
+
+def test_chain_init_and_nets():
+    from nerf_keras_tpu.ops.proposal import chain_nets, init_proposal_chain
+
+    key = jax.random.PRNGKey(0)
+    single = init_proposal_chain(key, 1, l_xyz=2, hidden=16, depth=2)
+    assert "layers" in single and chain_nets(single) == [single]
+
+    two = init_proposal_chain(key, 2, l_xyz=2, hidden=16, depth=2)
+    assert set(two) == {"l1", "l2"}
+    nets = chain_nets(two)
+    assert nets[0] is two["l1"] and nets[1] is two["l2"]
+    # independent nets (different init draws)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()),
+        two["l1"]["layers"][0]["w"], two["l2"]["layers"][0]["w"],
+    )
+    assert d > 0.0
+
+
+def test_chain_sampler_shapes_and_monotone():
+    """Deterministic chain: t_all ascending, right shapes for both
+    layouts, level partitions ascending."""
+    from nerf_keras_tpu.ops.proposal import (
+        init_proposal_chain,
+        make_chain_sampler,
+    )
+    from nerf_keras_tpu.ops.sampling import generate_t_vals
+
+    cfg = _tiny_cfg(prop_levels=2, prop_samples=6, prop_union=False)
+    pp = init_proposal_chain(jax.random.PRNGKey(1), 2, l_xyz=cfg.prop_l_xyz,
+                             hidden=16, depth=2)
+    _, o, d = _batch(16)
+    t_vals = generate_t_vals(None, 2.0, 6.0, (16,), cfg.ns_coarse, "center")
+
+    chain = make_chain_sampler(cfg, cfg.prop_l_xyz, False, 2, 6, train=False)
+    t_all, levels = chain(pp, jnp.asarray(o), jnp.asarray(d), t_vals,
+                          None, None)
+    assert t_all.shape == (16, cfg.ns_fine)
+    assert (np.diff(np.asarray(t_all), axis=-1) >= 0).all()
+    (w1, p1), (w2, p2) = levels
+    assert w1.shape == p1.shape == (16, cfg.ns_coarse)
+    assert w2.shape == p2.shape == (16, 6)
+    assert (np.diff(np.asarray(p2), axis=-1) >= 0).all()
+
+    chain_u = make_chain_sampler(cfg, cfg.prop_l_xyz, True, 2, 6, train=False)
+    t_u, _ = chain_u(pp, jnp.asarray(o), jnp.asarray(d), t_vals, None, None)
+    assert t_u.shape == (16, cfg.ns_coarse + cfg.ns_fine)
+    assert (np.diff(np.asarray(t_u), axis=-1) >= 0).all()
+
+    # level-count mismatch raises
+    with pytest.raises(ValueError, match="PROP_LEVELS"):
+        make_chain_sampler(cfg, cfg.prop_l_xyz, False, 1, 0, train=False)(
+            pp, jnp.asarray(o), jnp.asarray(d), t_vals, None, None
+        )
+
+
+def test_chain_config_validation():
+    with pytest.raises(ValueError, match="PROP_LEVELS"):
+        _tiny_cfg(prop_levels=3)
+    with pytest.raises(ValueError, match="PROP_SAMPLES"):
+        _tiny_cfg(prop_levels=2, prop_samples=1)
+    with pytest.raises(ValueError, match="PROP_SAMPLES"):
+        _tiny_cfg(prop_samples=8)  # needs levels=2
+    with pytest.raises(ValueError, match="PROP_LEVELS"):
+        NeRFConfig(train_sampler="coarse", prop_levels=2).validate()
+    # JSON roundtrip carries the chain knobs
+    cfg = _tiny_cfg(prop_levels=2, prop_samples=12)
+    raw = to_reference_json(cfg)
+    assert raw["PROP_LEVELS"] == 2 and raw["PROP_SAMPLES"] == 12
+    assert config_from_dict(raw) == cfg
+
+
+def test_chain_train_eval_render_learns():
+    """2-level chain: losses fall, BOTH level nets get updates, eval and
+    render work, union-free layout."""
+    trainer, cfg = _tiny_trainer(prop_levels=2, prop_samples=6,
+                                 prop_union=False)
+    assert set(trainer.state.params["proposal"]) == {"l1", "l2"}
+    imgs, o, d = _batch()
+    batch = trainer.put_batch((imgs, o, d))
+    p0 = jax.device_get(trainer.state.params["proposal"])
+    m0 = trainer.train_step(batch)
+    for _ in range(15):
+        m = trainer.train_step(batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    p1 = jax.device_get(trainer.state.params["proposal"])
+    for lvl in ("l1", "l2"):
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(a - b).max()), p0[lvl], p1[lvl]
+        )
+        assert max(jax.tree_util.tree_leaves(moved)) > 0.0, lvl
+
+    ev = trainer.eval_step(trainer.put_global_batch((imgs, o, d)))
+    assert all(np.isfinite(float(v)) for v in ev.values())
+    out = trainer.render_rays(o, d, chunk=64)
+    assert out["rgb_fine"].shape == (64, 3)
+    assert np.isfinite(out["rgb_fine"]).all()
+
+
+def test_chain_checkpoint_roundtrip_and_sidecar(tmp_path):
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.utils.checkpoint import (
+        resolve_infer_config,
+        save_checkpoint,
+    )
+
+    trainer, cfg = _tiny_trainer(prop_levels=2, prop_samples=6)
+    imgs, o, d = _batch()
+    for _ in range(3):
+        trainer.train_step(trainer.put_batch((imgs, o, d)))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, trainer.state, cfg,
+                    scene={"near": 2.0, "far": 6.0, "focal": 10.0,
+                           "ndc": False})
+
+    restored = Trainer(cfg, 2.0, 6.0).restore(path)
+    np.testing.assert_allclose(
+        trainer.render_rays(o, d, chunk=64)["rgb_fine"],
+        restored.render_rays(o, d, chunk=64)["rgb_fine"],
+    )
+    # a plain (non-chain) user config adopts the sidecar's chain arch
+    plain = NeRFConfig(**{
+        f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
+        if f.name not in ("prop_levels", "prop_samples")
+    }).validate()
+    resolved, notes = resolve_infer_config(plain, path)
+    assert resolved.prop_levels == 2 and resolved.prop_samples == 6
+    assert any("train_sampler" in n for n in notes)
+
+
+def test_chain_quant_and_pallas_interpret():
+    """int8 fine pass under the 2-level chain sampler; Pallas interpret
+    fine megakernel agrees with the XLA fine pass."""
+    trainer, cfg = _tiny_trainer(prop_levels=2, prop_samples=6,
+                                 prop_union=False)
+    imgs, o, d = _batch()
+    for _ in range(5):
+        trainer.train_step(trainer.put_batch((imgs, o, d)))
+    trainer.quantize_for_inference(o, d)
+    q = trainer.render_rays(o, d, chunk=64, quant=True)
+    f = trainer.render_rays(o, d, chunk=64)
+    err = np.sqrt(np.mean((q["rgb_fine"] - f["rgb_fine"]) ** 2))
+    assert err < 0.05
+
+    tr_p, _ = _tiny_trainer(prop_levels=2, prop_samples=6,
+                            prop_union=False, use_pallas=True,
+                            sampling_mode="center")
+    tr_x, _ = _tiny_trainer(prop_levels=2, prop_samples=6,
+                            prop_union=False, use_pallas=False,
+                            sampling_mode="center")
+    tr_p.state = jax.device_put(
+        jax.device_get(tr_x.state), tr_p._state_shardings
+    )
+    key = jax.random.PRNGKey(3)
+    m_x = tr_x.train_step(tr_x.put_batch((imgs, o, d)), key)
+    m_p = tr_p.train_step(tr_p.put_batch((imgs, o, d)), key)
+    assert float(m_x["loss"]) == pytest.approx(float(m_p["loss"]), rel=1e-4)
