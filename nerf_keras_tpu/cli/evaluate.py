@@ -27,7 +27,7 @@ from nerf_keras_tpu.config import load_config
 from nerf_keras_tpu.engine.trainer import Trainer
 from nerf_keras_tpu.utils import io
 from nerf_keras_tpu.utils.checkpoint import (
-    latest_checkpoint,
+    resolve_checkpoint,
     load_checkpoint_scene,
     resolve_infer_config,
 )
@@ -180,7 +180,7 @@ def run_evaluation(argv: list[str] | None = None) -> dict:
     cfg = load_config(args.config)
     ckpt = args.checkpoint
     if not ckpt.endswith(".npz"):
-        found = latest_checkpoint(ckpt)
+        found = resolve_checkpoint(ckpt)
         if found is None:
             raise FileNotFoundError(f"no .ckpt.npz under {ckpt}")
         ckpt = found

@@ -20,7 +20,7 @@ import argparse
 
 from nerf_keras_tpu.config import load_config
 from nerf_keras_tpu.utils.checkpoint import (
-    latest_checkpoint,
+    resolve_checkpoint,
     resolve_infer_config,
 )
 
@@ -55,7 +55,7 @@ def run_export(argv: list[str] | None = None) -> str:
 
     ckpt = args.checkpoint
     if not ckpt.endswith(".npz"):
-        found = latest_checkpoint(ckpt)
+        found = resolve_checkpoint(ckpt)
         if found is None:
             raise FileNotFoundError(f"no .ckpt.npz under {ckpt}")
         ckpt = found

@@ -39,7 +39,7 @@ from nerf_keras_tpu.config import config_name, load_config
 from nerf_keras_tpu.engine.trainer import Trainer
 from nerf_keras_tpu.ops.rays import pose_spherical
 from nerf_keras_tpu.utils.checkpoint import (
-    latest_checkpoint,
+    resolve_checkpoint,
     load_checkpoint_scene,
 )
 from nerf_keras_tpu.utils.image import normalize_depth, to_uint8
@@ -197,7 +197,7 @@ def run_inference(argv: list[str] | None = None) -> str:
         )
     ckpt = args.checkpoint
     if ckpt is not None and not ckpt.endswith(".npz"):
-        found = latest_checkpoint(ckpt)
+        found = resolve_checkpoint(ckpt)
         if found is None:
             raise FileNotFoundError(f"no .ckpt.npz under {ckpt}")
         ckpt = found

@@ -34,6 +34,19 @@ GCS_BUCKET_NAME = "keras-models"
 GCS_MODEL_DIR = f"gs://{GCS_BUCKET_NAME}/nerf/models"
 GCS_IMAGE_DIR = f"gs://{GCS_BUCKET_NAME}/nerf/images"
 
+# Auto-resolved schedule horizons (LR decay, proposal anneal) cap at this
+# many epochs' worth of steps instead of stretching to the full run:
+# auto-stretch past ~80 epochs is a measured seed lottery (200-epoch s7
+# collapse 22.79 -> 17.96, docs/evidence/long_horizon_quality.json), and
+# the pinned ~80-epoch horizon made every tried seed rise monotonically
+# through ep200.  --no-pin-schedules opts out; explicit LR_DECAY_STEPS/
+# _EPOCHS always win.
+VALIDATED_HORIZON_EPOCHS = 80
+
+# An eval this many dB below the run's best val PSNR prints the collapse
+# warning (the documented late-decay failure modes lose 2-8 dB).
+COLLAPSE_WARN_DB = 2.0
+
 
 def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
@@ -66,6 +79,12 @@ def build_arg_parser(default_config: str) -> argparse.ArgumentParser:
                         "XLA op/HBM breakdown) of the first --profile-steps "
                         "train steps into DIR, then continue training "
                         "normally; process 0 only on multi-host")
+    p.add_argument("--no-pin-schedules", action="store_true",
+                   help="let auto-resolved schedule horizons (LR_FINAL "
+                        "decay, PROP_ANNEAL_STEPS=-1) stretch to the full "
+                        "run instead of capping at the validated ~80-epoch "
+                        "step count (capping is the measured long-run "
+                        "stability rule, docs/TRAINING.md)")
     p.add_argument("--profile-steps", type=int, default=20,
                    help="train steps inside the --profile trace window "
                         "(default 20 — a full flagship epoch is thousands "
@@ -250,23 +269,41 @@ def run_training(
             print(f"[nerf-tpu] frequency anneal pinned: "
                   f"{cfg.freq_anneal_steps} steps")
 
+    # Auto horizons cap at the validated ~80-epoch step count (the
+    # long-run schedule rule, docs/TRAINING.md: auto-stretch past ~80
+    # epochs is a measured seed lottery; the pin makes long runs rise
+    # monotonically).  Explicit step/epoch horizons always win; the flag
+    # opts out.
+    horizon_epochs = (
+        cfg.epochs if args.no_pin_schedules
+        else min(cfg.epochs, VALIDATED_HORIZON_EPOCHS)
+    )
+    pinned = horizon_epochs < cfg.epochs
+
     if cfg.lr_final is not None and cfg.lr_decay_steps == 0:
-        # Resolve the LR-decay horizon (LR_DECAY_STEPS=0 = auto) to the
-        # full schedule: epochs * steps-per-epoch.  Must happen before
-        # the Trainer builds its optimizer.
+        # Resolve the LR-decay horizon (LR_DECAY_STEPS=0 = auto).  Must
+        # happen before the Trainer builds its optimizer.
         import dataclasses as _dc
 
-        cfg = _dc.replace(cfg, lr_decay_steps=cfg.epochs * steps_per_epoch)
+        cfg = _dc.replace(cfg, lr_decay_steps=horizon_epochs * steps_per_epoch)
         print(f"[nerf-tpu] lr decay: {cfg.learning_rate} -> {cfg.lr_final} "
-              f"over {cfg.lr_decay_steps} steps")
+              f"over {cfg.lr_decay_steps} steps"
+              + (f" (pinned to the validated {VALIDATED_HORIZON_EPOCHS}-"
+                 f"epoch horizon; --no-pin-schedules to stretch to "
+                 f"{cfg.epochs} epochs)" if pinned else ""))
 
     if cfg.prop_anneal_steps == -1:
-        # PROP_ANNEAL_STEPS=-1 = auto: anneal over the full run horizon
-        # (Mip-NeRF 360's schedule), same accounting as the LR horizon.
+        # PROP_ANNEAL_STEPS=-1 = auto: anneal over the run horizon
+        # (Mip-NeRF 360's schedule), same accounting + pin as the LR
+        # horizon.
         import dataclasses as _dc
 
-        cfg = _dc.replace(cfg, prop_anneal_steps=cfg.epochs * steps_per_epoch)
-        print(f"[nerf-tpu] proposal anneal over {cfg.prop_anneal_steps} steps")
+        cfg = _dc.replace(
+            cfg, prop_anneal_steps=horizon_epochs * steps_per_epoch
+        )
+        print(f"[nerf-tpu] proposal anneal over {cfg.prop_anneal_steps} steps"
+              + (" (pinned; --no-pin-schedules to stretch)" if pinned
+                 else ""))
 
     if cfg.freq_anneal_steps == -1:
         # FREQ_ANNEAL_STEPS=-1 = auto: open the encode octaves over the
@@ -312,6 +349,11 @@ def run_training(
                 print(f"[nerf-tpu] continuing history from {cand} "
                       f"({len(history.losses)} epochs recorded)")
                 break
+
+    # Best-val retention seed: resuming a run must not treat its first
+    # post-resume eval as a fresh record (the pre-resume peak counts).
+    best_val = {"psnr": max(history.val["psnrs"])
+                if history.val["psnrs"] else None}
 
     test_bs = cfg.test_batch_size or cfg.batch_size
     eval_bs = resolve_eval_batch(
@@ -374,12 +416,16 @@ def run_training(
             cfg, trainer, run_dir, viz_dir, scene, history, history_name,
             val_ds, start_epoch, steps_per_epoch, eval_every, eval_bs,
             test_bs, is_main, losses_for_plot, epoch_batches,
-            stop_requested, profile_dir=args.profile,
+            stop_requested, best_val, profile_dir=args.profile,
             profile_steps=args.profile_steps,
         )
     finally:
         if prev_sigterm is not None:
             signal.signal(signal.SIGTERM, prev_sigterm)
+    if best_val["psnr"] is not None:
+        print(f"[nerf-tpu] best val PSNR {best_val['psnr']:.2f} retained in "
+              f"best.{checkpoint_name(cfg)} (inference/serving resolve to "
+              f"it by default)")
     print(f"[nerf-tpu] done; run dir: {run_dir}")
     return trainer
 
@@ -448,7 +494,8 @@ def _profiled_first_epoch(cfg, trainer, batches, steps_per_epoch,
 def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
                 val_ds, start_epoch, steps_per_epoch, eval_every, eval_bs,
                 test_bs, is_main, losses_for_plot, epoch_batches,
-                stop_requested, profile_dir=None, profile_steps=20):
+                stop_requested, best_val=None, profile_dir=None,
+                profile_steps=20):
     """Epoch loop body of :func:`run_training` (split out so the SIGTERM
     handler restoration can wrap it in try/finally)."""
     if profile_dir is not None and start_epoch >= cfg.epochs:
@@ -532,6 +579,27 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
             )
             history.append(metrics, val_metrics)
 
+            # Best-val retention + collapse guard (round-3 VERDICT: three
+            # documented late-decay modes destroy a run's peak weights
+            # when only the latest checkpoint is kept; the reference
+            # saves every epoch, train_lego.py:213, and loses nothing).
+            # The retained state is whatever eval scored — EMA-aware by
+            # construction (evaluate reads Trainer._eval_state).
+            if best_val is None:
+                best_val = {"psnr": None}
+            vp = val_metrics["psnr"]
+            is_best = best_val["psnr"] is None or vp > best_val["psnr"]
+            if is_best:
+                best_val["psnr"] = vp
+            elif vp <= best_val["psnr"] - COLLAPSE_WARN_DB:
+                print(
+                    f"[nerf-tpu] WARNING: val PSNR {vp:.2f} is "
+                    f"{best_val['psnr'] - vp:.2f} dB below this run's best "
+                    f"({best_val['psnr']:.2f}) — late-decay signature "
+                    f"(docs/TRAINING.md long-run schedule rule); the best."
+                    f"* checkpoint retains the peak weights"
+                )
+
             if is_main:
                 io.makedirs(run_dir)
                 io.makedirs(viz_dir)
@@ -543,6 +611,11 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
                     io.join(run_dir, checkpoint_name(cfg)), trainer.state, cfg,
                     scene=scene,
                 )
+                if is_best:
+                    save_checkpoint(
+                        io.join(run_dir, "best." + checkpoint_name(cfg)),
+                        trainer.state, cfg, scene=scene,
+                    )
                 history.save(io.join(run_dir, history_name))
         else:
             history.append(metrics)

@@ -78,7 +78,7 @@ class RenderService:
         from nerf_keras_tpu.engine.trainer import Trainer
         from nerf_keras_tpu.utils import io as nio
         from nerf_keras_tpu.utils.checkpoint import (
-            latest_checkpoint,
+            resolve_checkpoint,
             load_checkpoint_scene,
             resolve_infer_config,
         )
@@ -86,7 +86,7 @@ class RenderService:
 
         checkpoint = self._arg_checkpoint
         if not checkpoint.endswith(".npz"):
-            found = latest_checkpoint(checkpoint)
+            found = resolve_checkpoint(checkpoint)
             if found is None:
                 raise FileNotFoundError(f"no .ckpt.npz under {checkpoint}")
             checkpoint = found

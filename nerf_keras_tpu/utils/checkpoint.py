@@ -248,10 +248,42 @@ def _numeric_sort_key(name: str) -> tuple:
 
 def latest_checkpoint(run_dir: str) -> str | None:
     """Newest ``*.ckpt.npz`` in a run directory (natural name order, so
-    the highest-epoch file wins), or None."""
+    the highest-epoch file wins), or None.  ``best.*`` retention copies
+    are excluded — they snapshot a PAST eval, not the latest state (use
+    :func:`best_checkpoint` / :func:`resolve_checkpoint`)."""
     if not io.exists(run_dir):
         return None
-    names = [n for n in io.listdir(run_dir) if n.endswith(".ckpt.npz")]
+    names = [
+        n for n in io.listdir(run_dir)
+        if n.endswith(".ckpt.npz") and not n.startswith("best.")
+    ]
     if not names:
         return None
     return io.join(run_dir, sorted(names, key=_numeric_sort_key)[-1])
+
+
+def best_checkpoint(run_dir: str) -> str | None:
+    """The best-val retention checkpoint (``best.*.ckpt.npz``, written by
+    the training loop whenever an eval improves val PSNR), or None."""
+    if not io.exists(run_dir):
+        return None
+    names = [
+        n for n in io.listdir(run_dir)
+        if n.startswith("best.") and n.endswith(".ckpt.npz")
+    ]
+    if not names:
+        return None
+    return io.join(run_dir, sorted(names, key=_numeric_sort_key)[-1])
+
+
+def resolve_checkpoint(run_dir: str) -> str | None:
+    """Checkpoint to SERVE from a run directory: the best-val retention
+    copy when present, else the latest.
+
+    Motivation (round-3 evidence, docs/evidence/long_horizon_quality.json
+    + anneal_quality_matrix.json): three documented late-decay failure
+    modes overwrite a run's peak weights with collapsed ones when only
+    the latest checkpoint is kept; the reference saves every epoch
+    (train_lego.py:213) and so never loses its peak.  Inference, eval,
+    serving and export all resolve through this."""
+    return best_checkpoint(run_dir) or latest_checkpoint(run_dir)
