@@ -34,8 +34,10 @@ helper (no persistent cache).  By default the bench tries Pallas in a
 guarded subprocess with a time budget and falls back to the XLA path if
 the budget is blown — so the driver always gets a result.
 
-Extra diagnostics (step time, frame render time) go to stderr with
---full; the JSON contract line is always the only stdout output.
+The JSON line also carries ``frame_s`` — the 800x800 steady-state frame
+render, best of N (round-3 VERDICT: render regressions must be
+driver-visible) — measured on TPU runs by default.  Extra diagnostics go
+to stderr; the JSON contract line is always the only stdout output.
 """
 
 from __future__ import annotations
@@ -138,7 +140,19 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         file=sys.stderr,
     )
 
-    if full:
+    # Steady-frame render time is part of the official JSON contract
+    # (round-3 VERDICT #6: render regressions must be driver-visible
+    # round over round).  Measured on accelerators by default; an
+    # 800x800 flagship frame on CPU would blow any budget, so non-TPU
+    # backends skip it unless BENCH_FRAME=1 forces (tests).
+    frame_best = None
+    steady_n = 0
+    measure_frame = not degraded and (
+        jax.default_backend() == "tpu"
+        or full
+        or os.environ.get("BENCH_FRAME") == "1"
+    )
+    if measure_frame:
         h = w = 800
         chunk = int(os.environ.get("BENCH_RENDER_CHUNK", "16384"))
         pose = np.eye(4, dtype=np.float32)
@@ -159,9 +173,11 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
             out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
             np.asarray(out["rgb"])
             steady.append(time.perf_counter() - t0)
+        frame_best = min(steady)
+        steady_n = len(steady)
         print(
             f"[bench] 800x800 frame (chunk {chunk}): {frame_time:.2f}s "
-            f"(first) {min(steady):.2f}s (steady, best of {len(steady)}; "
+            f"(first) {frame_best:.2f}s (steady, best of {steady_n}; "
             f"target <2s)",
             file=sys.stderr,
         )
@@ -173,6 +189,12 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         "vs_baseline": round(rays_per_sec_per_chip / 1e6, 4),
         "backend": jax.default_backend(),
     }
+    if frame_best is not None:
+        # 800x800 steady-state frame render, best of N same-process
+        # repeats (the render path the serving layer runs; the train
+        # metric alone would hide render regressions).
+        result["frame_s"] = round(frame_best, 3)
+        result["frame_steady_n"] = steady_n
     if train_sampler != "coarse":
         # machine-detectable marker: a different TRAINING ALGORITHM than
         # the reference-parity coarse+fine step the r1/r2 official rows
@@ -199,14 +221,16 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--full", action="store_true",
-                   help="also time an 800x800 frame render (stderr)")
+                   help="force the 800x800 frame-render measurement on "
+                        "non-TPU backends too (TPU runs measure it by "
+                        "default; frame_s lands in the JSON line)")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"],
                    default="auto",
                    help="auto: try pallas in a guarded subprocess, fall "
                         "back to xla on failure/timeout")
     p.add_argument("--use-pallas", action="store_true",
                    help="alias for --kernel pallas")
-    p.add_argument("--pallas-budget", type=float, default=1500.0,
+    p.add_argument("--pallas-budget", type=float, default=2100.0,
                    help="seconds allowed for the guarded pallas run")
     p.add_argument("--platform", type=str, default=None,
                    help="pin a JAX platform (e.g. 'cpu') before backend init")
@@ -387,7 +411,7 @@ def main() -> None:
         line = run_child("pallas", args.pallas_budget)
         if line is None:
             print("[bench] falling back to xla", file=sys.stderr)
-            line = run_child("xla", 900.0)
+            line = run_child("xla", 1200.0)
     elif backend is not None:
         # healthy non-TPU backend: pallas only has an interpret-mode
         # fallback there, which would burn the whole budget — go XLA.
