@@ -22,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = textwrap.dedent(
     """
+    USE_PALLAS = __USE_PALLAS__
     import json, os, sys
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -53,7 +54,7 @@ WORKER = textwrap.dedent(
 
     cfg = NeRFConfig(
         batch_size=32, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
-        compute_dtype="float32", use_pallas=False,
+        compute_dtype="float32", use_pallas=USE_PALLAS,
     ).validate()
     trainer = Trainer(cfg, 2.0, 6.0)
     assert trainer.mesh.shape["data"] == 2
@@ -85,9 +86,14 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_two_process_training_matches_single_process(tmp_path, use_pallas):
+    """use_pallas=True is the real pod configuration: the fused megakernel
+    under shard_map over a mesh that SPANS PROCESSES (jax.distributed +
+    gloo collectives) — round-3 VERDICT #4b; kernels run in Pallas
+    interpret mode on CPU, the partitioning/collective layer is real."""
     script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script.write_text(WORKER.replace("__USE_PALLAS__", str(use_pallas)))
     port = _free_port()
 
     procs = []
@@ -143,7 +149,7 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     cfg = NeRFConfig(
         batch_size=32, ns_coarse=4, ns_fine=8, num_layers=2, hidden_dim=16,
-        compute_dtype="float32", use_pallas=False,
+        compute_dtype="float32", use_pallas=use_pallas,
     ).validate()
     trainer = Trainer(cfg, 2.0, 6.0,
                       mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
