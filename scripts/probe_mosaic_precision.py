@@ -101,5 +101,42 @@ def run(verbose: bool = True) -> dict:
     return res
 
 
+def gate(res: dict) -> tuple[bool, list[str]]:
+    """Pass/fail the precision contract (round-4 regression gate).
+
+    Healthy values on v5e (docs/evidence/mosaic_precision_fix.json):
+    selector limb movements EXACT (0.0), generic movements at bf16
+    rounding (~2e-3 by design), encode feature error at the
+    cos-phase-trick floor (~1.2e-4 at octave 9).  The broken state this
+    gate exists to catch is O(1) encode error at octaves >= 6 and ~4e-3
+    relative error on selector-moved values — both invisible to the CPU
+    suite (interpret mode computes true f32).
+    """
+    reasons = []
+    if res["exact_from_rs_err"] != 0.0 or res["exact_expand_err"] != 0.0:
+        reasons.append(
+            f"selector limb movements not exact: from_rs="
+            f"{res['exact_from_rs_err']} expand={res['exact_expand_err']} "
+            "(three-limb bf16 decomposition regressed)"
+        )
+    if res["generic_to_rs_rel"] > 4e-3:
+        reasons.append(
+            f"generic selector movement rel err "
+            f"{res['generic_to_rs_rel']} > 4e-3 (beyond bf16 rounding)"
+        )
+    high = max(res["encode_err_by_octave"][6:])
+    if high > 1e-3:
+        reasons.append(
+            f"encode octaves >= 6 max err {high} > 1e-3 (encode dot no "
+            "longer precision=HIGHEST — octaves would train as noise)"
+        )
+    return (not reasons), reasons
+
+
 if __name__ == "__main__":
-    run()
+    res = run()
+    ok, reasons = gate(res)
+    print(f"gate: {'PASS' if ok else 'FAIL'}")
+    for r in reasons:
+        print("  " + r)
+    sys.exit(0 if ok else 1)

@@ -121,3 +121,33 @@ def test_bench_terminal_error_record_when_everything_wedges(monkeypatch, capsys)
     assert rec["value"] == 0.0
     assert rec["degraded"] is True
     assert "error" in rec
+
+
+def test_precision_gate_logic():
+    """The gate passes healthy v5e values and fails each documented
+    breakage mode (pure function — the hardware probe itself is
+    tests/test_tpu_hardware.py + the bench integration)."""
+    from scripts.probe_mosaic_precision import gate
+
+    healthy = {
+        "exact_from_rs_err": 0.0,
+        "exact_expand_err": 0.0,
+        "generic_to_rs_rel": 2e-3,
+        "encode_err_by_octave": [1e-5] * 6 + [5e-5, 8e-5, 1e-4, 1.2e-4],
+    }
+    ok, reasons = gate(healthy)
+    assert ok and not reasons
+
+    broken_encode = dict(healthy,
+                         encode_err_by_octave=[1e-5] * 6 + [0.9, 1.5, 2.0,
+                                                            1.8])
+    ok, reasons = gate(broken_encode)
+    assert not ok and any("octaves >= 6" in r for r in reasons)
+
+    broken_limb = dict(healthy, exact_from_rs_err=3.9e-3)
+    ok, reasons = gate(broken_limb)
+    assert not ok and any("limb" in r for r in reasons)
+
+    broken_generic = dict(healthy, generic_to_rs_rel=1e-2)
+    ok, reasons = gate(broken_generic)
+    assert not ok and any("generic" in r for r in reasons)
