@@ -157,8 +157,14 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         chunk = int(os.environ.get("BENCH_RENDER_CHUNK", "16384"))
         pose = np.eye(4, dtype=np.float32)
         pose[2, 3] = 4.0
+        # The serving configuration (what cli/infer video frames and the
+        # render server fetch): device-side uint8 rgb, no depth — the
+        # 4-16x smaller payload removes most of the residual tunneled
+        # end-of-frame transfer (docs/PERF.md round-4).
+        render_kw = dict(focal=1000.0, chunk=chunk, uint8_rgb=True,
+                         need_depth=False)
         t0 = time.perf_counter()
-        out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
+        out = trainer.render_image(pose, h, w, **render_kw)
         np.asarray(out["rgb"])
         frame_time = time.perf_counter() - t0
         # steady frames: compiled path only.  Best of N (default 4) —
@@ -170,7 +176,7 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         for _ in range(max(1, int(os.environ.get("BENCH_RENDER_STEADY_N",
                                                  "4")))):
             t0 = time.perf_counter()
-            out = trainer.render_image(pose, h, w, focal=1000.0, chunk=chunk)
+            out = trainer.render_image(pose, h, w, **render_kw)
             np.asarray(out["rgb"])
             steady.append(time.perf_counter() - t0)
         frame_best = min(steady)

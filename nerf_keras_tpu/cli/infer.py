@@ -339,9 +339,14 @@ def run_inference(argv: list[str] | None = None) -> str:
         trainer.save_inference_artifacts(args.infer_cache)
         print(f"[nerf-tpu] saved inference artifacts to {args.infer_cache}")
     def render(pose):
+        # Device-side uint8 conversion + depth fetch only when the depth
+        # video consumes it: the end-of-frame fetch payload drops 4x
+        # (16x without depth), which is the dominant residual transfer
+        # term on the tunnel (docs/PERF.md round-4).
         return trainer.render_image(pose, cfg.height, cfg.width, focal,
                                     chunk=args.chunk, quant=use_quant,
-                                    sampler=use_sampler)
+                                    sampler=use_sampler, uint8_rgb=True,
+                                    need_depth=args.depth_video)
 
     for i, pose in enumerate(poses):
         if args.profile is not None and i == 0:

@@ -329,6 +329,14 @@ class Trainer:
         return _realize_means(acc)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    @jax.jit
+    def _rgb_to_u8(rgb):
+        """[0,1] f32 -> uint8 on device, matching the host-side
+        utils/image.to_uint8 exactly (clip*255 then truncating cast —
+        the reference's conversion, inference.py:260)."""
+        return jnp.clip(255.0 * rgb, 0.0, 255.0).astype(jnp.uint8)
+
     def _render_full(self):
         """Lazily compile the full-output render (adds compositing weights
         and raw MLP predictions — the reference's 8-tensor return,
@@ -728,6 +736,7 @@ class Trainer:
         staged: bool = False,
         quant: bool = False,
         sampler: str = "coarse",
+        uint8_rgb: bool = False,
     ) -> dict:
         """Render a flat ray batch, chunked to bound memory.
 
@@ -747,6 +756,12 @@ class Trainer:
         proposal net instead of the coarse MLP
         (:meth:`build_proposal_sampler` must have run; fine outputs only,
         composable with ``quant=True``).
+        ``uint8_rgb=True`` converts rgb maps to uint8 ON DEVICE (the
+        reference's ``clip*255`` display conversion, inference.py:260)
+        before the host copy — a 4x smaller fetch payload, which is the
+        dominant residual term of the tunneled end-of-frame transfer
+        (docs/PERF.md round-4).  Bit-identical to converting the f32
+        fetch on the host; video/serving consumers want uint8 anyway.
 
         Online-proposal checkpoints (``TRAIN_SAMPLER='proposal'``) have no
         coarse pass: they render fine rgb/depth, plus the fine compositing
@@ -893,6 +908,11 @@ class Trainer:
                 if keys is not None and k not in keys:
                     continue
                 part = v[: chunk - pad] if pad else v
+                if uint8_rgb and k.startswith("rgb"):
+                    # Tiny jitted elementwise kernel per chunk (dispatch
+                    # overlaps the pipeline like the copies do); avoids
+                    # recompiling any render program for the u8 variant.
+                    part = self._rgb_to_u8(part)
                 try:
                     part.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -938,6 +958,7 @@ class Trainer:
         self, pose: np.ndarray, height: int, width: int, focal: float,
         chunk: int = 16384, include_coarse: bool = False,
         quant: bool = False, sampler: str = "coarse",
+        uint8_rgb: bool = False, need_depth: bool = True,
     ) -> dict:
         """Render one full frame from a camera pose; returns HxW maps.
 
@@ -953,6 +974,10 @@ class Trainer:
         ``sampler="proposal"``: fine samples placed by the distilled
         proposal net (requires :meth:`build_proposal_sampler`; no coarse
         outputs — composes with ``quant``).
+        ``uint8_rgb=True``: rgb maps come back uint8, converted on
+        device before the fetch (4x smaller payload — see
+        :meth:`render_rays`); ``need_depth=False`` skips the depth
+        fetch entirely (video/serving frames that only consume rgb).
         """
         if include_coarse and (sampler == "proposal" or self._online_proposal):
             raise ValueError(
@@ -961,15 +986,19 @@ class Trainer:
             )
         origins, dirs = self.pose_rays(pose, height, width, focal)
 
-        keys = None if include_coarse else ("rgb_fine", "depth_fine")
+        if include_coarse:
+            keys = None
+        elif need_depth:
+            keys = ("rgb_fine", "depth_fine")
+        else:
+            keys = ("rgb_fine",)
         out = self.render_rays(
             origins, dirs, chunk=chunk, keys=keys, quant=quant,
-            sampler=sampler,
+            sampler=sampler, uint8_rgb=uint8_rgb,
         )
-        result = {
-            "rgb": out["rgb_fine"].reshape(height, width, 3),
-            "depth": out["depth_fine"].reshape(height, width),
-        }
+        result = {"rgb": out["rgb_fine"].reshape(height, width, 3)}
+        if "depth_fine" in out:
+            result["depth"] = out["depth_fine"].reshape(height, width)
         if include_coarse:
             result["rgb_coarse"] = out["rgb_coarse"].reshape(height, width, 3)
             result["depth_coarse"] = out["depth_coarse"].reshape(height, width)

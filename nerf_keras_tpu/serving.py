@@ -265,9 +265,14 @@ class RenderService:
             # the counters under it too: handler threads come from
             # ThreadingHTTPServer and += is not atomic under the GIL.
             t0 = time.perf_counter()
+            # rgb requests: uint8 on device + no depth fetch (the 4-16x
+            # smaller payload is the dominant residual transfer term on
+            # tunneled backends; to_uint8 below is idempotent).
             out = self.trainer.render_image(
                 pose, height, width, focal, chunk=chunk,
                 quant=self.use_quant, sampler=self.use_sampler,
+                uint8_rgb=(map_name == "rgb"),
+                need_depth=(map_name == "depth"),
             )
             self.total_render_s += time.perf_counter() - t0
             self.requests += 1

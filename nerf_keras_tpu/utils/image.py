@@ -34,8 +34,15 @@ def resize_bilinear(images: np.ndarray, height: int, width: int) -> np.ndarray:
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
-    """[0,1] float -> uint8 with the reference's clip*255 (inference.py:260)."""
-    return np.clip(255.0 * np.asarray(img), 0.0, 255.0).astype(np.uint8)
+    """[0,1] float -> uint8 with the reference's clip*255 (inference.py:260).
+
+    Idempotent: already-uint8 input (the device-side conversion path,
+    ``Trainer.render_rays(uint8_rgb=True)``) passes through unchanged —
+    re-scaling it by 255 would white-out the frame."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    return np.clip(255.0 * img, 0.0, 255.0).astype(np.uint8)
 
 
 def normalize_depth(depth: np.ndarray) -> np.ndarray:

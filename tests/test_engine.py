@@ -857,3 +857,34 @@ def test_distortion_allowed_on_pallas_path():
         CFG, distortion_loss_mult=0.01, use_pallas=True
     ).validate()
     assert cfg.distortion_loss_mult == 0.01 and cfg.use_pallas
+
+
+def test_uint8_device_fetch_matches_host_conversion():
+    """render_rays(uint8_rgb=True) must equal to_uint8(float fetch)
+    bit-for-bit, and render_image(need_depth=False) must omit depth."""
+    from nerf_keras_tpu.engine.trainer import Trainer
+    from nerf_keras_tpu.ops.rays import pose_spherical
+    from nerf_keras_tpu.utils.image import to_uint8
+
+    trainer = Trainer(CFG, 2.0, 6.0)
+    import numpy as np
+    rng = np.random.default_rng(0)
+    o = np.tile(np.array([0, 0, 4.0], np.float32), (40, 1))
+    d = rng.normal(size=(40, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    f = trainer.render_rays(o, d, chunk=32, keys=("rgb_fine", "depth_fine"))
+    u = trainer.render_rays(o, d, chunk=32, keys=("rgb_fine", "depth_fine"),
+                            uint8_rgb=True)
+    assert u["rgb_fine"].dtype == np.uint8
+    np.testing.assert_array_equal(u["rgb_fine"], to_uint8(f["rgb_fine"]))
+    # idempotence guard: double conversion must not re-scale
+    np.testing.assert_array_equal(to_uint8(u["rgb_fine"]), u["rgb_fine"])
+    # depth untouched by the rgb conversion
+    np.testing.assert_allclose(u["depth_fine"], f["depth_fine"])
+
+    img = trainer.render_image(pose_spherical(30.0, -30.0, 4.0), 8, 8,
+                               focal=10.0, chunk=32, uint8_rgb=True,
+                               need_depth=False)
+    assert img["rgb"].dtype == np.uint8 and img["rgb"].shape == (8, 8, 3)
+    assert "depth" not in img
