@@ -104,6 +104,10 @@ def main():
         modes = {
             "baseline": dict(sampler="coarse", quant=False),
             "stacked": dict(sampler="proposal", quant=True),
+            # the serving configuration (round-4): device-side uint8 rgb
+            # + no depth fetch on top of the stacked accelerations
+            "stacked_u8": dict(sampler="proposal", quant=True,
+                               uint8_rgb=True, need_depth=False),
         }
         times = {k: [] for k in modes}
         for name, kw in modes.items():  # compile/warm both before timing
@@ -123,15 +127,20 @@ def main():
             "psnr_stacked_vs_baseline": psnr(rgb_s, rgb_b),
             "frame_s_baseline_best": min(times["baseline"]),
             "frame_s_stacked_best": min(times["stacked"]),
+            "frame_s_stacked_u8_best": min(times["stacked_u8"]),
             "frame_times_baseline": [round(t, 3) for t in times["baseline"]],
             "frame_times_stacked": [round(t, 3) for t in times["stacked"]],
+            "frame_times_stacked_u8":
+                [round(t, 3) for t in times["stacked_u8"]],
             "speedup": min(times["baseline"]) / min(times["stacked"]),
+            "speedup_u8": min(times["baseline"]) / min(times["stacked_u8"]),
         }
         rows.append(row)
         print(f"{nsc}+{nsf}: baseline {row['psnr_baseline_vs_gt']:.2f} dB / "
               f"{row['frame_s_baseline_best']:.3f} s | stacked "
               f"{row['psnr_stacked_vs_gt']:.2f} dB / "
               f"{row['frame_s_stacked_best']:.3f} s "
+              f"(u8 {row['frame_s_stacked_u8_best']:.3f} s) "
               f"({row['speedup']:.2f}x, vs-baseline "
               f"{row['psnr_stacked_vs_baseline']:.1f} dB)", flush=True)
 
