@@ -119,12 +119,13 @@ class NeRFConfig:
     #         placement term.  Quality evidence:
     #         docs/evidence/hier_prop_quality.json (3-seed 80-epoch
     #         flagship matrix).
-    prop_samples: int = 0  # level-2 partition size for PROP_LEVELS=2:
-    #         how many samples the first level places for the second
-    #         level to re-bin.  0 (default) = auto: NS_COARSE.  The
-    #         second net evaluates at PROP_SAMPLES points per ray (~60x
-    #         cheaper than fine-MLP points); raising it sharpens the
-    #         final draw's resolution at negligible FLOP cost.
+    prop_samples: int = 0  # refinement draws for PROP_LEVELS=2: how many
+    #         stratified samples the first level places; the second
+    #         level's partition is their UNION with the NS_COARSE
+    #         uniform grid (coverage guaranteed — see
+    #         ops/proposal.make_chain_sampler), so it evaluates at
+    #         NS_COARSE + PROP_SAMPLES points per ray (~60x cheaper than
+    #         fine-MLP points).  0 (default) = auto: NS_COARSE.
     prop_anneal_steps: int = 0  # Mip-NeRF 360 sampling anneal: for the
     #         first N optimizer steps the TRAINING CDF draw is softened
     #         by w^b with b = 10f/(1+9f), f = step/N (b: 0 -> 1), so

@@ -296,11 +296,29 @@ def make_chain_sampler(
     (t_all, [(w_prop, t_partition), ...])`` — one ``(weights, partition)``
     pair per proposal level, in draw order.  Level 1 evaluates its net on
     the ``t_vals`` grid; with ``levels == 2`` (Mip-NeRF 360's stacked
-    recipe, :func:`init_proposal_chain`) the second net re-bins at
-    ``prop_samples`` samples drawn from the first histogram, so the final
-    draw's placement resolution follows the mass instead of the uniform
-    grid.  ``t_all`` is the fine pass's sample positions (sorted union
-    with ``t_vals`` when ``union``, else the sorted final draws alone).
+    recipe, :func:`init_proposal_chain`) the second net re-bins at the
+    UNION of the uniform grid and ``prop_samples`` stratified draws from
+    the first histogram, so the final draw's placement resolution follows
+    the mass where it is while the partition still covers all of
+    ``[near, far]``.  ``t_all`` is the fine pass's sample positions
+    (sorted union with ``t_vals`` when ``union``, else the sorted final
+    draws alone).
+
+    Two load-bearing intermediate-draw choices (the v1 chain without
+    them trained BELOW the single level it refines — 22.07 vs 22.70 peak
+    at seed 42, /tmp chain64_s42 run, round 4):
+
+    * **grid union**: a draws-only partition can never cover space the
+      first level abandoned — the level-2 exploration floor mixes over
+      already-collapsed bins, so a transiently-wrong level 1 starves
+      level 2 (and therefore the fine pass, and therefore its own
+      distillation target) of whole regions, a self-reinforcing
+      collapse.  Unioning the uniform grid restores the guaranteed
+      coverage that makes the union fine-layout stable, at proposal
+      (not fine-MLP) cost;
+    * **stratified draws** (Mip-NeRF 360 draws every level stratified):
+      iid uniforms leave random gaps/clumps in the partition that the
+      next level inherits as resolution holes.
 
     ``train=True`` draws with the caller's PRNG key and shapes every draw
     with the sampling anneal + exploration floor (TRAINING draws only —
@@ -362,6 +380,9 @@ def make_chain_sampler(
                 t_draw = sample_pdf(
                     sub, t_mid, shape_draw(w, step), n_draw,
                     deterministic=False,
+                    # intermediate draws form the next PARTITION:
+                    # stratified, never iid (docstring)
+                    stratified=not last,
                 )
             else:
                 t_draw = sample_pdf(
@@ -378,9 +399,11 @@ def make_chain_sampler(
                         t_draw, dimension=-1, is_stable=False
                     )
             else:
-                # The draws become the next level's PARTITION — ascending
-                # bin edges for its weights and its distillation binning.
-                t_part = jax.lax.sort(t_draw, dimension=-1, is_stable=False)
+                # Next level's PARTITION: the refinement draws UNIONED
+                # with the uniform grid — guaranteed [near, far]
+                # coverage (docstring: a draws-only partition
+                # self-reinforces collapse).
+                t_part = sorted_union(t_vals, t_draw)
         return t_all, level_outs
 
     return chain

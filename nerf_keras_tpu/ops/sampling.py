@@ -90,6 +90,7 @@ def sample_pdf(
     weights: jnp.ndarray,
     ns_fine: int,
     deterministic: bool = False,
+    stratified: bool = False,
 ) -> jnp.ndarray:
     """Hierarchical sampling: draw ``ns_fine`` t-values ∝ coarse weights.
 
@@ -105,6 +106,14 @@ def sample_pdf(
         ns_fine: number of fine samples to draw.
         deterministic: if True, use evenly spaced u in (0, 1) instead of
             uniforms (useful for reproducible eval; not in the reference).
+        stratified: if True (and not deterministic), draw one uniform per
+            equal-width u-stratum — ``u_j = (j + U_j) / F`` — instead of
+            iid uniforms.  The draws are then ascending per ray and cover
+            the whole CDF, which matters when they form the next level's
+            PARTITION in a proposal chain (Mip-NeRF 360 draws each level
+            stratified): iid draws leave random gaps/clumps the next
+            level inherits.  Not reference semantics — the parity path
+            never sets it.
 
     Returns:
         ``(..., ns_fine)`` new sample distances (unsorted, as reference).
@@ -122,6 +131,11 @@ def sample_pdf(
     if deterministic:
         u = jnp.linspace(0.5 / ns_fine, 1.0 - 0.5 / ns_fine, ns_fine)
         u = jnp.broadcast_to(u, u_shape).astype(jnp.float32)
+    elif stratified:
+        base = jnp.arange(ns_fine, dtype=jnp.float32) / ns_fine
+        u = base + jax.random.uniform(
+            key, u_shape, dtype=jnp.float32
+        ) / ns_fine
     else:
         u = jax.random.uniform(key, u_shape, dtype=jnp.float32)
 

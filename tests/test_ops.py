@@ -433,3 +433,28 @@ def test_composite_background_math_and_grads():
     )
     g = jax.grad(lambda w_: jnp.sum(composite_background(rgb, w_)))(w)
     np.testing.assert_allclose(np.asarray(g), -3.0, rtol=1e-6)  # -bkgd per channel
+
+
+def test_sample_pdf_stratified_draws():
+    """Stratified u: ascending per ray, one draw per CDF stratum, within
+    the sample range — and distinct from the iid path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_keras_tpu.ops import sample_pdf
+
+    rng = np.random.default_rng(0)
+    b, s, nf = 8, 16, 12
+    t = jnp.sort(jnp.asarray(
+        rng.uniform(2.0, 6.0, size=(b, s)).astype(np.float32)), axis=-1)
+    t_mid = 0.5 * (t[..., 1:] + t[..., :-1])
+    w = jnp.asarray(rng.uniform(0, 1, size=(b, s)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    strat = np.asarray(sample_pdf(key, t_mid, w, nf, stratified=True))
+    assert (np.diff(strat, axis=-1) >= -1e-6).all()  # ascending
+    assert (strat >= float(t_mid.min()) - 1e-5).all()
+    assert (strat <= float(t_mid.max()) + 1e-5).all()
+    iid = np.asarray(sample_pdf(key, t_mid, w, nf, stratified=False))
+    assert np.abs(strat - iid).max() > 1e-4

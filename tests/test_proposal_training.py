@@ -526,8 +526,12 @@ def test_chain_sampler_shapes_and_monotone():
     assert (np.diff(np.asarray(t_all), axis=-1) >= 0).all()
     (w1, p1), (w2, p2) = levels
     assert w1.shape == p1.shape == (16, cfg.ns_coarse)
-    assert w2.shape == p2.shape == (16, 6)
+    # level-2 partition = uniform grid UNION the 6 refinement draws
+    assert w2.shape == p2.shape == (16, cfg.ns_coarse + 6)
     assert (np.diff(np.asarray(p2), axis=-1) >= 0).all()
+    # coverage guarantee: the grid edges are in the partition
+    grid = np.asarray(t_vals[0])
+    assert all(np.isin(g, np.asarray(p2[0])).all() for g in (grid,))
 
     chain_u = make_chain_sampler(cfg, cfg.prop_l_xyz, True, 2, 6, train=False)
     t_u, _ = chain_u(pp, jnp.asarray(o), jnp.asarray(d), t_vals, None, None)
