@@ -300,10 +300,31 @@ def main() -> None:
                         "docs/evidence/sample_budget_quality.json), 128 "
                         "for the parity step. --ns-fine 128 reproduces "
                         "the early-r3 proposal rows (119.0 Krays/s)")
+    p.add_argument("--precision", action="store_true",
+                   help="run ONLY the on-TPU Mosaic precision gate "
+                        "(scripts/probe_mosaic_precision.py) and print its "
+                        "JSON record; exits nonzero on gate failure")
     p.add_argument("--_child", choices=["pallas", "xla"], default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("--_degraded", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
+
+    if args.precision:
+        if args.platform:
+            import jax
+
+            jax.config.update("jax_platforms", args.platform)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.probe_mosaic_precision import gate as prec_gate
+        from scripts.probe_mosaic_precision import run as prec_run
+
+        res = prec_run(verbose=False)
+        ok, reasons = prec_gate(res)
+        import jax
+
+        print(json.dumps(dict(res, gate_ok=ok, gate_violations=reasons,
+                              backend=jax.default_backend())))
+        sys.exit(0 if ok else 1)
 
     if args.use_pallas:
         args.kernel = "pallas"

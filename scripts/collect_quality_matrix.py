@@ -41,7 +41,8 @@ def summarize(run_dir: str, cfg_path: str) -> dict | None:
             for k in (
                 "SEED", "TRAIN_SAMPLER", "PROP_UNION", "PROP_EXPLORE",
                 "PROP_TARGET_BLUR", "PROP_ANNEAL_STEPS",
-                "DISTORTION_LOSS_MULT",
+                "DISTORTION_LOSS_MULT", "PROP_LEVELS", "PROP_SAMPLES",
+                "NS_COARSE", "NS_FINE",
             )
             if k in cfg
         },
