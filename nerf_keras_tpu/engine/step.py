@@ -731,13 +731,20 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             cfg, cfg.prop_l_xyz, cfg.prop_union, cfg.prop_levels,
             cfg.prop_samples, train=True,
         )
-        blur = (
-            cfg.prop_target_blur
-            if cfg.prop_target_blur is not None
-            else not cfg.prop_union
-        )
+        def _blur_level(i: int) -> bool:
+            # Blur rule (PROP_TARGET_BLUR=None = auto): blur any target
+            # whose partition is at SAMPLE resolution — the union-free
+            # layout (every level), and every non-first chain level (its
+            # partition is built from draws, so ~1 fine sample per bin
+            # makes the binned target a high-variance placement
+            # estimate).  The union layout's level-1 target (128 samples
+            # into 64 uniform bins) stays unblurred — measured no
+            # benefit there (config docstring).
+            if cfg.prop_target_blur is not None:
+                return cfg.prop_target_blur
+            return (not cfg.prop_union) or i > 0
 
-        def distill_target(t_all, w_fine_sg, t_part):
+        def distill_target(t_all, w_fine_sg, t_part, blur):
             # Detached target (the Pallas path already stop-gradients its
             # weights output; the jnp path needs it explicit): the fine
             # model must never be pulled toward the proposal.
@@ -775,9 +782,10 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             # proposal against the final NeRF histogram).
             w_fine_sg = jax.lax.stop_gradient(w_fine)
             loss_prop = 0.0
-            for w_prop, t_part in levels:
+            for i, (w_prop, t_part) in enumerate(levels):
                 loss_prop = loss_prop + interlevel_loss(
-                    w_prop, distill_target(t_all, w_fine_sg, t_part)
+                    w_prop,
+                    distill_target(t_all, w_fine_sg, t_part, _blur_level(i)),
                 )
             loss = loss_fine + cfg.prop_loss_mult * loss_prop
             if cfg.distortion_loss_mult > 0.0:
