@@ -113,12 +113,16 @@ class NeRFConfig:
     #         from the fine pass's weights binned into ITS OWN partition
     #         (exact aligned-bin MXU einsum — no outer-measure bound
     #         needed); anneal/explore shape every training draw.
-    #         Motivation: the union-free (PROP_UNION=false) quality gap
-    #         at NS_FINE=128 was measured to be mostly placement-limited
-    #         sample count (round-3 close-out); the chain attacks the
-    #         placement term.  Quality evidence:
-    #         docs/evidence/hier_prop_quality.json (3-seed 80-epoch
-    #         flagship matrix).
+    #         Measured (3-seed 80-epoch flagship matrix,
+    #         docs/evidence/hier_prop_quality.json): on the UNION layout
+    #         at 64+64 the chain converges 26.14/24.83/24.63 (s42/7/23)
+    #         — mean +0.48 dB over the coarse 64+128 baseline, +0.9/
+    #         +0.05/+0.3 over single-level 64+64, monotone, still rising
+    #         at ep80.  On the union-FREE layout the chain does NOT
+    #         close the converged gap (two variants measured, both below
+    #         the single level): that gap is the loss of uniform-
+    #         coverage supervision of the fine MLP, not placement
+    #         (docs/PERF.md round-4).  Step cost ~+1.7 ms at flagship.
     prop_samples: int = 0  # refinement draws for PROP_LEVELS=2: how many
     #         stratified samples the first level places; the second
     #         level's partition is their UNION with the NS_COARSE
