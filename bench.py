@@ -54,7 +54,7 @@ import time
 def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
               full: bool, platform: str | None = None,
               degraded: bool = False, train_sampler: str = "coarse",
-              ns_fine: int | None = None) -> dict:
+              ns_fine: int | None = None, prop_levels: int = 1) -> dict:
     if platform:
         import jax
 
@@ -85,6 +85,11 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         # the same program — so a nominal horizon stands in for the
         # run-length auto value the CLI uses.
         recipe = dict(distortion_loss_mult=1e-4, prop_anneal_steps=1000)
+        if prop_levels == 2:
+            # The round-4 quality-first recipe's step (hierarchical
+            # chain, union 64+64 by default via --ns-fine 64): timed
+            # with its production knobs like the official step.
+            recipe.update(prop_levels=2, prop_samples=64)
     cfg = NeRFConfig(
         batch_size=batch_size,
         ns_coarse=64,
@@ -245,6 +250,10 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         # metric alone would hide render regressions).
         result["frame_s"] = round(frame_best, 3)
         result["frame_steady_n"] = steady_n
+    if prop_levels == 2:
+        # honesty marker: the hierarchical-chain step, not the official
+        # single-level recipe
+        result["prop_levels"] = 2
     if train_sampler != "coarse":
         # machine-detectable marker: a different TRAINING ALGORITHM than
         # the reference-parity coarse+fine step the r1/r2 official rows
@@ -294,6 +303,11 @@ def main() -> None:
                         "train_sampler=proposal. 'coarse' reproduces the "
                         "reference-parity coarse+fine step (the r1/r2 "
                         "official series)")
+    p.add_argument("--prop-levels", type=int, choices=[1, 2], default=1,
+                   help="2 = time the round-4 hierarchical-chain step "
+                        "(quality-first recipe; pair with --ns-fine 64). "
+                        "The JSON line carries prop_levels=2 as a series "
+                        "marker")
     p.add_argument("--ns-fine", type=int, default=None,
                    help="placed fine samples per ray; default: 96 for the "
                         "proposal step (3-seed quality-matched cut, "
@@ -335,7 +349,8 @@ def main() -> None:
                            args.batch_size, args.full, platform=args.platform,
                            degraded=args._degraded,
                            train_sampler=args.train_sampler,
-                           ns_fine=args.ns_fine)
+                           ns_fine=args.ns_fine,
+                           prop_levels=args.prop_levels)
         print(json.dumps(result))
         return
 
@@ -385,6 +400,7 @@ def main() -> None:
         ] + (["--full"] if full else []) \
           + (["--platform", platform] if platform else []) \
           + (["--train-sampler", args.train_sampler]) \
+          + (["--prop-levels", str(args.prop_levels)]) \
           + (["--ns-fine", str(args.ns_fine)]
              if args.ns_fine is not None else []) \
           + (["--_degraded"] if degraded else [])
