@@ -29,8 +29,9 @@ backward is measured AT the platform envelope (~80% of padded bf16
 peak); `--ns-fine 128` reproduces the early-r3 proposal rows.
 
 Kernel-path selection: the fused Pallas MLP path is ~1.7x faster than the
-XLA path but takes ~10 min to compile through the axon remote-compile
-helper (no persistent cache).  By default the bench tries Pallas in a
+XLA path but takes ~10-40 min to compile a NEVER-SEEN program through the
+axon remote-compile helper (no client-side persistent cache; the helper
+does keep a server-side program cache, so warm re-compiles take ~1 min).  By default the bench tries Pallas in a
 guarded subprocess with a time budget and falls back to the XLA path if
 the budget is blown — so the driver always gets a result.
 
