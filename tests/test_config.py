@@ -12,8 +12,9 @@ from nerf_keras_tpu.config import (
 
 
 def test_all_shipped_configs_load():
+    # 6 reference-mirroring configs + the round-4 quality recipe
     paths = sorted(glob.glob("config/*.json"))
-    assert len(paths) == 6, f"expected 6 shipped configs, found {paths}"
+    assert len(paths) == 7, f"expected 7 shipped configs, found {paths}"
     for p in paths:
         cfg = load_config(p)
         assert cfg.num_layers == 8
@@ -204,3 +205,18 @@ def test_lr_ema_json_roundtrip(tmp_path):
     assert "LR_FINAL" not in to_reference_json(
         NeRFConfig(batch_size=32, ns_coarse=4, ns_fine=4)
     )
+
+
+def test_shipped_quality_config_loads():
+    """config/lego_quality_tpu.json — the round-4 chain quality recipe
+    (docs/TRAINING.md short version) — must load and validate; the CLI
+    auto-pins its schedule horizons at the 80-epoch count."""
+    import os
+
+    from nerf_keras_tpu.config import load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "config", "lego_quality_tpu.json"))
+    assert cfg.train_sampler == "proposal" and cfg.prop_levels == 2
+    assert cfg.ns_fine == 64 and cfg.prop_union
+    assert cfg.epochs == 200 and cfg.lr_final == 5e-5
