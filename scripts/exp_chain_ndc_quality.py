@@ -34,6 +34,7 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--views", type=int, default=12)
     p.add_argument("--size", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", type=str, default="docs/evidence")
     args = p.parse_args()
 
@@ -53,6 +54,7 @@ def main() -> None:
         "EPOCHS": args.epochs, "LEARNING_RATE": 5e-4,
         "BATCH_NORM": False, "WITH_GCS": False, "NDC": True,
         "LR_FINAL": 5e-5, "EMA_DECAY": 0.995, "EVAL_EVERY": 10,
+        "SEED": args.seed,
     }
     arms = {
         "coarse": {"DISTORTION_LOSS_MULT": 1e-3},
@@ -102,7 +104,8 @@ def main() -> None:
         "epochs": args.epochs,
         "arms": results,
     }
-    out_path = os.path.join(args.out, "chain_ndc_quality.json")
+    suffix = "" if args.seed == 42 else f"_s{args.seed}"
+    out_path = os.path.join(args.out, f"chain_ndc_quality{suffix}.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"[chain_ndc] report at {out_path}", flush=True)
