@@ -52,6 +52,63 @@ import tempfile
 import time
 
 
+V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 MXU peak (docs/PERF.md
+# speed-of-light section); the mfu denominator for TPU runs.
+
+
+def model_flops_per_step(cfg, params) -> int:
+    """Modeled MLP matmul FLOPs per optimizer step (round-4 VERDICT #3).
+
+    Counts ONLY the dense matmuls (where the MXU FLOPs are): forward =
+    2 * (matmul param count) per MLP point, backward = 2x forward (dW and
+    dX products), so train = 3x forward — the same accounting as
+    docs/PERF.md's speed-of-light model.  Encode/composite/sample_pdf
+    glue (VPU work, ~6% of the measured step) is deliberately excluded:
+    this is the MXU numerator for ``mfu``, not a total-work estimate.
+    """
+    import jax
+
+    def matmul_params(tree) -> int:
+        return int(sum(
+            x.size for x in jax.tree_util.tree_leaves(tree)
+            if getattr(x, "ndim", 0) == 2
+        ))
+
+    b = cfg.batch_size
+    if cfg.train_sampler == "proposal":
+        p_fine = matmul_params(params["fine"])
+        p_prop = matmul_params(params["proposal"])  # all levels together
+        union_pts = cfg.ns_coarse + cfg.ns_fine
+        free_pts = cfg.ns_fine
+        if cfg.prop_union:
+            fine_pts = union_pts
+        elif cfg.prop_union_every > 0:
+            # amortized over the interleave period
+            n = cfg.prop_union_every
+            fine_pts = (union_pts + (n - 1) * free_pts) / n
+        else:
+            fine_pts = free_pts
+        fine_pts += cfg.prop_aux_samples  # aux coverage composite
+        # proposal evaluation points: level 1 on the NS_COARSE grid;
+        # level 2 (chain) on grid UNION PROP_SAMPLES draws.  p_prop sums
+        # both nets, so split evenly per level (the nets are identical).
+        if cfg.prop_levels == 2:
+            n2 = cfg.prop_samples or cfg.ns_coarse
+            prop_flops = (p_prop / 2) * cfg.ns_coarse \
+                + (p_prop / 2) * (cfg.ns_coarse + n2)
+        else:
+            prop_flops = p_prop * cfg.ns_coarse
+        fwd = 2 * b * (p_fine * fine_pts + prop_flops)
+    else:
+        p_coarse = matmul_params(params["coarse"])
+        p_fine = matmul_params(params["fine"])
+        fwd = 2 * b * (
+            p_coarse * cfg.ns_coarse
+            + p_fine * (cfg.ns_coarse + cfg.ns_fine)
+        )
+    return int(3 * fwd)  # fwd + 2x-fwd backward
+
+
 def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
               full: bool, platform: str | None = None,
               degraded: bool = False, train_sampler: str = "coarse",
@@ -152,6 +209,8 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
     # 800x800 flagship frame on CPU would blow any budget, so non-TPU
     # backends skip it unless BENCH_FRAME=1 forces (tests).
     frame_best = None
+    frame_accel = None
+    accel_gate = None
     steady_n = 0
     measure_frame = not degraded and (
         jax.default_backend() == "tpu"
@@ -193,6 +252,52 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
             f"target <2s)",
             file=sys.stderr,
         )
+
+        # Accelerated SERVING frame (round-4 VERDICT #2): the int8
+        # stacked path (in-state proposal sampler + int8 fine megakernel)
+        # needs no trained checkpoint to be timed — its gate is
+        # int8-vs-float on the SAME params — so the sub-2 s serving
+        # configuration joins the JSON contract.  Guarded: any failure
+        # reports in-band and never kills the contract line.
+        if use_pallas and os.environ.get("BENCH_ACCEL", "1") != "0":
+            try:
+                t0 = time.perf_counter()
+                o_cal, d_cal = trainer.pose_rays(pose, 64, 64, 1000.0)
+                trainer.quantize_for_inference(o_cal, d_cal)
+                q0 = trainer.render_image(pose, h, w, quant=True,
+                                          **render_kw)
+                q_rgb = np.asarray(q0["rgb"])
+                print(f"[bench] int8 calibrate+compile+first frame: "
+                      f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+                # gate: int8-vs-float cross-PSNR on the same params and
+                # frame (both device-converted uint8; conversion exact)
+                f_rgb = np.asarray(out["rgb"])
+                diff = (q_rgb.astype(np.float32)
+                        - f_rgb.astype(np.float32)) / 255.0
+                gate_mse = float(np.mean(diff * diff))
+                gate_psnr = (float("inf") if gate_mse == 0.0
+                             else -10.0 * np.log10(gate_mse))
+                accel_steady = []
+                for _ in range(steady_n):
+                    t0 = time.perf_counter()
+                    q0 = trainer.render_image(pose, h, w, quant=True,
+                                              **render_kw)
+                    np.asarray(q0["rgb"])
+                    accel_steady.append(time.perf_counter() - t0)
+                frame_accel = min(accel_steady)
+                accel_gate = {
+                    "int8_vs_float_psnr": round(gate_psnr, 2),
+                    "ok": bool(gate_psnr >= 30.0),  # default serving gate
+                }
+                print(f"[bench] accel (int8+proposal) frame: "
+                      f"{frame_accel:.2f}s steady best of {steady_n}, "
+                      f"gate {gate_psnr:.1f} dB "
+                      f"({'PASS' if accel_gate['ok'] else 'FAIL'})",
+                      file=sys.stderr)
+            except Exception as e:
+                frame_accel = None
+                accel_gate = {"error": f"{type(e).__name__}: {e}"}
+                print(f"[bench] accel frame error: {e}", file=sys.stderr)
 
     # On-TPU precision regression gate (round-3 VERDICT #5): the Mosaic
     # bf16-truncation class cost 0.6 dB and is PROVABLY invisible to the
@@ -236,13 +341,35 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
             precision = {"ok": False, "error": f"{type(e).__name__}: {e}"}
             print(f"[bench] precision probe error: {e}", file=sys.stderr)
 
+    # Speed-of-light context (round-4 VERDICT #3): vs_baseline alone
+    # reads as "86% missing" against the aspirational 1 Mrays/s north
+    # star; the modeled MXU FLOPs + mfu put the number against the
+    # PLATFORM ceiling instead (the parity step's fine backward measures
+    # ~80% of padded bf16 peak — docs/PERF.md speed-of-light section).
+    flops_step = model_flops_per_step(cfg, trainer.state.params)
+    mfu = None
+    if jax.default_backend() == "tpu":
+        mfu = flops_step / step_time / (V5E_BF16_PEAK_TFLOPS * 1e12 * n_dev)
+        print(f"[bench] modeled {flops_step / 1e9:.1f} GFLOP/step -> "
+              f"mfu {mfu:.3f} of v5e bf16 peak", file=sys.stderr)
+
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec_per_chip, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec_per_chip / 1e6, 4),
         "backend": jax.default_backend(),
+        "model_flops_per_step": flops_step,
     }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+        result["mfu_peak_tflops"] = V5E_BF16_PEAK_TFLOPS
+        result["platform_note"] = (
+            "mfu = modeled MLP matmul FLOPs/step over v5e bf16 peak; the "
+            "1 Mrays/s vs_baseline target is aspirational (~v6e-class) — "
+            "measured v5e envelope is ~160-215 Krays/s at this workload "
+            "(docs/PERF.md speed-of-light)"
+        )
     if precision is not None:
         result["precision"] = precision
     if frame_best is not None:
@@ -251,9 +378,19 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
         # metric alone would hide render regressions).
         result["frame_s"] = round(frame_best, 3)
         result["frame_steady_n"] = steady_n
-    if prop_levels == 2:
+    if frame_accel is not None:
+        # Accelerated serving frame: int8 fine megakernel + in-state
+        # proposal sampler, same serving config as frame_s (800x800,
+        # device uint8, no depth), best of the same N.
+        result["frame_accel_s"] = round(frame_accel, 3)
+    if accel_gate is not None:
+        result["frame_accel_gate"] = accel_gate
+    if prop_levels == 2 and train_sampler == "proposal":
         # honesty marker: the hierarchical-chain step, not the official
-        # single-level recipe
+        # single-level recipe.  Guarded on the sampler too (main() also
+        # rejects the combination): the chain recipe only exists inside
+        # the proposal branch, and stamping prop_levels=2 on a coarse-step
+        # measurement would mislabel the series (round-4 ADVICE).
         result["prop_levels"] = 2
     if train_sampler != "coarse":
         # machine-detectable marker: a different TRAINING ALGORITHM than
@@ -323,6 +460,13 @@ def main() -> None:
                    help=argparse.SUPPRESS)
     p.add_argument("--_degraded", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
+
+    if args.prop_levels == 2 and args.train_sampler != "proposal":
+        # The chain recipe lives inside the proposal branch only; a
+        # coarse-sampler run would silently ignore --prop-levels and the
+        # JSON marker would mislabel the series (round-4 ADVICE).
+        p.error("--prop-levels 2 requires --train-sampler proposal "
+                "(the hierarchical chain is a proposal-sampler recipe)")
 
     if args.precision:
         if args.platform:

@@ -423,9 +423,18 @@ def run_training(
         if prev_sigterm is not None:
             signal.signal(signal.SIGTERM, prev_sigterm)
     if best_val["psnr"] is not None:
-        print(f"[nerf-tpu] best val PSNR {best_val['psnr']:.2f} retained in "
-              f"best.{checkpoint_name(cfg)} (inference/serving resolve to "
-              f"it by default)")
+        # Only claim retention when the best.* file is actually there: a
+        # record seeded from a resumed pre-retention history that no
+        # post-resume eval beat writes nothing, and resolve_checkpoint
+        # then serves latest (round-4 ADVICE).
+        if io.exists(io.join(run_dir, "best." + checkpoint_name(cfg))):
+            print(f"[nerf-tpu] best val PSNR {best_val['psnr']:.2f} "
+                  f"retained in best.{checkpoint_name(cfg)} "
+                  f"(inference/serving resolve to it by default)")
+        else:
+            print(f"[nerf-tpu] best val PSNR {best_val['psnr']:.2f} "
+                  f"(from pre-resume history; no best.* checkpoint "
+                  f"written this run — serving resolves to latest)")
     print(f"[nerf-tpu] done; run dir: {run_dir}")
     return trainer
 

@@ -150,6 +150,33 @@ class NeRFConfig:
     #         PROP_EXPLORE=0.1 (22.70 vs 22.14 un-annealed at
     #         NS_FINE=128); the remaining union-free gap is sample
     #         count, not early starvation (see prop_union).
+    prop_aux_samples: int = 0  # union-free coverage supervision (round 5):
+    #         with PROP_UNION=false, render an AUXILIARY composite from
+    #         this many fresh stratified-uniform samples per ray through
+    #         the FINE MLP each training step, with its own image MSE
+    #         (PROP_AUX_LOSS_MULT).  Rationale: the round-4 chain
+    #         refutation proved the union-free converged gap is the fine
+    #         MLP losing uniform-coverage supervision, not placement
+    #         (docs/PERF.md round-4) — this restores that supervision at
+    #         K/NS_FINE of the fine-pass cost instead of the union
+    #         layout's NS_COARSE/NS_FINE.  Training-only: eval/render/
+    #         serving stay on the union-free layout.  0 (default)
+    #         disables; >= 2 (a 1-sample composite is all terminal
+    #         delta).  Only meaningful with TRAIN_SAMPLER='proposal' and
+    #         PROP_UNION=false.
+    prop_aux_loss_mult: float = 1.0  # weight of the auxiliary coverage
+    #         MSE above.  1.0 mirrors the reference's full-weight coarse
+    #         rgb loss (models.py:88-120), which is the signal the union
+    #         layout loses.
+    prop_union_every: int = 0  # union-free interleave (round 5): with
+    #         PROP_UNION=false, every Nth training step (step % N == 0)
+    #         runs the UNION layout inside the same compiled step
+    #         (lax.cond) — periodic uniform-coverage supervision of the
+    #         fine MLP at amortized ~1/N of the union layout's extra
+    #         cost.  Training-only; eval/render/serving stay union-free.
+    #         0 (default) disables; >= 2 (1 would be every step — just
+    #         set PROP_UNION=true).  Composes with PROP_AUX_SAMPLES (the
+    #         aux pass rides the union-free steps only).
     prop_anneal_epochs: int = 0  # epoch-unit alternative to
     #         PROP_ANNEAL_STEPS (mutually exclusive; the train CLI
     #         converts epochs -> steps).  Pair with LR_DECAY_EPOCHS on
@@ -327,6 +354,16 @@ class NeRFConfig:
                 "PROP_ANNEAL_STEPS anneals the proposal draw; it only "
                 "applies to TRAIN_SAMPLER='proposal'"
             )
+        if self.prop_aux_samples != 0 and self.train_sampler != "proposal":
+            raise ValueError(
+                "PROP_AUX_SAMPLES supervises the union-free proposal "
+                "layout; it only applies to TRAIN_SAMPLER='proposal'"
+            )
+        if self.prop_union_every != 0 and self.train_sampler != "proposal":
+            raise ValueError(
+                "PROP_UNION_EVERY interleaves proposal layouts; it only "
+                "applies to TRAIN_SAMPLER='proposal'"
+            )
         if self.train_sampler not in ("coarse", "proposal"):
             raise ValueError(
                 f"unknown train_sampler: {self.train_sampler!r} "
@@ -371,6 +408,35 @@ class NeRFConfig:
             if self.prop_samples > 0 and self.prop_levels < 2:
                 raise ValueError(
                     "PROP_SAMPLES only applies to the PROP_LEVELS=2 chain"
+                )
+            if self.prop_aux_samples < 0 or self.prop_aux_samples == 1:
+                raise ValueError(
+                    "PROP_AUX_SAMPLES is the auxiliary coverage-composite "
+                    "size (0 disables, else >= 2 — a 1-sample composite "
+                    f"is all terminal delta); got {self.prop_aux_samples}"
+                )
+            if self.prop_aux_samples > 0 and self.prop_union:
+                raise ValueError(
+                    "PROP_AUX_SAMPLES restores uniform-coverage "
+                    "supervision to the UNION-FREE layout; the union "
+                    "layout already has it (set PROP_UNION=false)"
+                )
+            if self.prop_aux_loss_mult < 0:
+                raise ValueError(
+                    f"PROP_AUX_LOSS_MULT must be >= 0, got "
+                    f"{self.prop_aux_loss_mult}"
+                )
+            if self.prop_union_every < 0 or self.prop_union_every == 1:
+                raise ValueError(
+                    "PROP_UNION_EVERY interleaves union steps into "
+                    "union-free training (0 disables, else >= 2; every "
+                    "step = just set PROP_UNION=true); got "
+                    f"{self.prop_union_every}"
+                )
+            if self.prop_union_every > 0 and self.prop_union:
+                raise ValueError(
+                    "PROP_UNION_EVERY only applies to PROP_UNION=false "
+                    "(the union layout runs every step already)"
                 )
             if min(self.prop_l_xyz, self.prop_hidden) < 1 or self.prop_depth < 2:
                 raise ValueError(
@@ -493,6 +559,9 @@ _KEY_MAP = {
     "PROP_TARGET_BLUR": "prop_target_blur",
     "PROP_ANNEAL_STEPS": "prop_anneal_steps",
     "PROP_ANNEAL_EPOCHS": "prop_anneal_epochs",
+    "PROP_AUX_SAMPLES": "prop_aux_samples",
+    "PROP_AUX_LOSS_MULT": "prop_aux_loss_mult",
+    "PROP_UNION_EVERY": "prop_union_every",
     "DISTORTION_LOSS_MULT": "distortion_loss_mult",
     "WHITE_BKGD": "white_bkgd",
     "LR_FINAL": "lr_final",

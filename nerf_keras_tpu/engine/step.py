@@ -701,6 +701,7 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
     _check_freq_anneal_resolved(cfg)
     optimizer = make_optimizer(cfg)
     fused_render = bool(cfg.use_pallas) and cfg.stop_pdf_gradient
+    loss_union_il = None  # set by the proposal branch under PROP_UNION_EVERY
 
     if cfg.train_sampler == "proposal":
         # Online proposal-sampler training (beyond-reference; config
@@ -727,80 +728,130 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
             cfg, mesh=mesh,
             weights_grad=cfg.distortion_loss_mult > 0.0 or cfg.white_bkgd,
         )
-        chain = _make_chain_sampler(
-            cfg, cfg.prop_l_xyz, cfg.prop_union, cfg.prop_levels,
-            cfg.prop_samples, train=True,
-        )
-        def _blur_level(i: int) -> bool:
-            # Blur rule (PROP_TARGET_BLUR=None = auto): blur any target
-            # whose partition is at SAMPLE resolution — the union-free
-            # layout (every level), and every non-first chain level (its
-            # partition is built from draws, so ~1 fine sample per bin
-            # makes the binned target a high-variance placement
-            # estimate).  The union layout's level-1 target (128 samples
-            # into 64 uniform bins) stays unblurred — measured no
-            # benefit there (config docstring).
-            if cfg.prop_target_blur is not None:
-                return cfg.prop_target_blur
-            return (not cfg.prop_union) or i > 0
 
-        def distill_target(t_all, w_fine_sg, t_part, blur):
-            # Detached target (the Pallas path already stop-gradients its
-            # weights output; the jnp path needs it explicit): the fine
-            # model must never be pulled toward the proposal.
-            target = binned_fine_weights(t_all, w_fine_sg, t_part)
-            if blur:
-                # Union-free target is a HIGH-VARIANCE estimate: bins get
-                # mass only where samples landed, and an isolated
-                # exploration sample carries a huge compositing delta —
-                # measured as 1-2 dB val loss and transient collapses
-                # (docs/PERF.md).  A [1/4, 1/2, 1/4] dilation along the
-                # bins (Mip-NeRF 360's histogram blur) spreads each
-                # sample's mass to its neighbours, cutting the spike
-                # variance while preserving total mass (edge bins keep
-                # their outward quarter).  PROP_TARGET_BLUR overrides the
-                # layout rule (None = blur iff union-free).
-                left = jnp.concatenate(
-                    [target[..., :1], target[..., :-1]], axis=-1
-                )
-                right = jnp.concatenate(
-                    [target[..., 1:], target[..., -1:]], axis=-1
-                )
-                target = 0.25 * left + 0.5 * target + 0.25 * right
-            return target
-
-        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
-            t_all, levels = chain(
-                params["proposal"], origins, dirs, t_vals, key_pdf, step
+        def _build_prop_loss(union: bool):
+            """Loss for one sample LAYOUT.  Built twice under
+            PROP_UNION_EVERY (interleaved union/union-free steps, one
+            lax.cond in the compiled step); once otherwise."""
+            chain = _make_chain_sampler(
+                cfg, cfg.prop_l_xyz, union, cfg.prop_levels,
+                cfg.prop_samples, train=True,
             )
-            rgb_fine, w_fine = fine_pass(params["fine"], origins, dirs, t_all)
-            if cfg.white_bkgd:
-                rgb_fine = composite_background(rgb_fine, w_fine)
-            loss_fine = mse(images, rgb_fine)
-            # Every proposal level distills from the fine pass's weights
-            # binned into ITS OWN partition (Mip-NeRF 360 trains each
-            # proposal against the final NeRF histogram).
-            w_fine_sg = jax.lax.stop_gradient(w_fine)
-            loss_prop = 0.0
-            for i, (w_prop, t_part) in enumerate(levels):
-                loss_prop = loss_prop + interlevel_loss(
-                    w_prop,
-                    distill_target(t_all, w_fine_sg, t_part, _blur_level(i)),
+            # Aux coverage pass rides the UNION-FREE layout only (the
+            # union layout's uniform samples already supervise the fine
+            # MLP everywhere — config docstring).
+            aux_n = 0 if union else cfg.prop_aux_samples
+
+            def _blur_level(i: int) -> bool:
+                # Blur rule (PROP_TARGET_BLUR=None = auto): blur any target
+                # whose partition is at SAMPLE resolution — the union-free
+                # layout (every level), and every non-first chain level (its
+                # partition is built from draws, so ~1 fine sample per bin
+                # makes the binned target a high-variance placement
+                # estimate).  The union layout's level-1 target (128 samples
+                # into 64 uniform bins) stays unblurred — measured no
+                # benefit there (config docstring).
+                if cfg.prop_target_blur is not None:
+                    return cfg.prop_target_blur
+                return (not union) or i > 0
+
+            def distill_target(t_all, w_fine_sg, t_part, blur):
+                # Detached target (the Pallas path already stop-gradients its
+                # weights output; the jnp path needs it explicit): the fine
+                # model must never be pulled toward the proposal.
+                target = binned_fine_weights(t_all, w_fine_sg, t_part)
+                if blur:
+                    # Union-free target is a HIGH-VARIANCE estimate: bins get
+                    # mass only where samples landed, and an isolated
+                    # exploration sample carries a huge compositing delta —
+                    # measured as 1-2 dB val loss and transient collapses
+                    # (docs/PERF.md).  A [1/4, 1/2, 1/4] dilation along the
+                    # bins (Mip-NeRF 360's histogram blur) spreads each
+                    # sample's mass to its neighbours, cutting the spike
+                    # variance while preserving total mass (edge bins keep
+                    # their outward quarter).  PROP_TARGET_BLUR overrides the
+                    # layout rule (None = blur iff union-free).
+                    left = jnp.concatenate(
+                        [target[..., :1], target[..., :-1]], axis=-1
+                    )
+                    right = jnp.concatenate(
+                        [target[..., 1:], target[..., -1:]], axis=-1
+                    )
+                    target = 0.25 * left + 0.5 * target + 0.25 * right
+                return target
+
+            def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs,
+                        step):
+                if aux_n:
+                    key_pdf, key_aux = jax.random.split(key_pdf)
+                t_all, levels = chain(
+                    params["proposal"], origins, dirs, t_vals, key_pdf, step
                 )
-            loss = loss_fine + cfg.prop_loss_mult * loss_prop
-            if cfg.distortion_loss_mult > 0.0:
-                # Undetached w_fine: distortion needs gradients into the
-                # fine density head (the fused kernel provides them via
-                # its weights-cotangent path when the pass was built with
-                # weights_grad=True; the jnp path natively).
-                loss = loss + cfg.distortion_loss_mult * distortion_loss(
-                    t_all, w_fine, near, far
+                rgb_fine, w_fine = fine_pass(
+                    params["fine"], origins, dirs, t_all
                 )
-            # loss_prop rides the 'loss_coarse' metric slot: there is no
-            # coarse rgb loss in this mode, and keeping the reference's
-            # history keys lets every consumer (History, panels, CLI
-            # prints) work unchanged.
-            return loss, (loss_prop, loss_fine, rgb_fine, bn)
+                if cfg.white_bkgd:
+                    rgb_fine = composite_background(rgb_fine, w_fine)
+                loss_fine = mse(images, rgb_fine)
+                # Every proposal level distills from the fine pass's weights
+                # binned into ITS OWN partition (Mip-NeRF 360 trains each
+                # proposal against the final NeRF histogram).
+                w_fine_sg = jax.lax.stop_gradient(w_fine)
+                loss_prop = jnp.zeros((), jnp.float32)
+                for i, (w_prop, t_part) in enumerate(levels):
+                    loss_prop = loss_prop + interlevel_loss(
+                        w_prop,
+                        distill_target(t_all, w_fine_sg, t_part,
+                                       _blur_level(i)),
+                    )
+                loss = loss_fine + cfg.prop_loss_mult * loss_prop
+                if cfg.distortion_loss_mult > 0.0:
+                    # Undetached w_fine: distortion needs gradients into the
+                    # fine density head (the fused kernel provides them via
+                    # its weights-cotangent path when the pass was built with
+                    # weights_grad=True; the jnp path natively).
+                    loss = loss + cfg.distortion_loss_mult * distortion_loss(
+                        t_all, w_fine, near, far
+                    )
+                if aux_n:
+                    # Auxiliary coverage composite (PROP_AUX_SAMPLES):
+                    # aux_n fresh stratified-uniform samples through the
+                    # SAME fine MLP, composited and supervised by the
+                    # image like the reference's coarse rgb loss — the
+                    # uniform-coverage supervision the union-free layout
+                    # loses (the proven mechanism of its ~2 dB converged
+                    # gap, docs/PERF.md round-4).  Training-only.
+                    t_aux = generate_t_vals(
+                        key_aux, near, far, images.shape[:-1], aux_n,
+                        "stratified",
+                    )
+                    rgb_aux, w_aux = fine_pass(
+                        params["fine"], origins, dirs, t_aux
+                    )
+                    if cfg.white_bkgd:
+                        rgb_aux = composite_background(rgb_aux, w_aux)
+                    loss = loss + cfg.prop_aux_loss_mult * mse(
+                        images, rgb_aux
+                    )
+                # loss_prop rides the 'loss_coarse' metric slot: there is no
+                # coarse rgb loss in this mode, and keeping the reference's
+                # history keys lets every consumer (History, panels, CLI
+                # prints) work unchanged.
+                return loss, (loss_prop, loss_fine, rgb_fine, bn)
+
+            return loss_fn
+
+        if cfg.prop_union_every > 0:
+            # Interleaved layouts (PROP_UNION_EVERY=N): both losses live
+            # in ONE compiled step behind a lax.cond on the step counter
+            # — every Nth step pays the union layout's uniform samples,
+            # the rest run the fast union-free layout.  Both branches
+            # produce identical grads/aux pytree structures.
+            loss_union_il = _build_prop_loss(True)
+            loss_fn = _build_prop_loss(False)
+        else:
+            loss_union_il = None
+            loss_fn = _build_prop_loss(cfg.prop_union)
     elif fused_render:
         want_dist = cfg.distortion_loss_mult > 0.0
         fwd_fused = _make_fused_train_forward(cfg, mesh,
@@ -848,13 +899,36 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
         # and autodiff chains dW = window * dW_folded — masked octave
         # rows get exactly zero gradient and stay at init until their
         # window opens.
-        inner_loss = loss_fn
+        def _fold_wrap(inner_loss):
+            def wrapped(params, bn, key_pdf, t_vals, images, origins, dirs,
+                        step):
+                folded = fold_train_params(cfg, params, step)
+                return inner_loss(
+                    folded, bn, key_pdf, t_vals, images, origins, dirs, step
+                )
 
-        def loss_fn(params, bn, key_pdf, t_vals, images, origins, dirs, step):
-            folded = fold_train_params(cfg, params, step)
-            return inner_loss(
-                folded, bn, key_pdf, t_vals, images, origins, dirs, step
+            return wrapped
+
+        loss_fn = _fold_wrap(loss_fn)
+        if loss_union_il is not None:
+            loss_union_il = _fold_wrap(loss_union_il)
+
+    if loss_union_il is not None:
+        # PROP_UNION_EVERY: both layouts compile into the step; the cond
+        # dispatches per step counter at runtime.  Pytree structures of
+        # (grads, aux) are identical across branches (same params, same
+        # metric shapes), which lax.cond requires.
+        def grad_fn(params, bn, key_pdf, t_vals, images, origins, dirs,
+                    step):
+            return jax.lax.cond(
+                (step % cfg.prop_union_every) == 0,
+                lambda a: jax.grad(loss_union_il, has_aux=True)(*a),
+                lambda a: jax.grad(loss_fn, has_aux=True)(*a),
+                (params, bn, key_pdf, t_vals, images, origins, dirs, step),
             )
+    else:
+        def grad_fn(*args):
+            return jax.grad(loss_fn, has_aux=True)(*args)
 
     def train_step(state: TrainState, batch, key: jax.Array):
         images, origins, dirs = batch
@@ -862,10 +936,9 @@ def make_train_step(cfg: NeRFConfig, near: float, far: float, mesh=None) -> Call
         t_vals = generate_t_vals(
             key_t, near, far, images.shape[:-1], cfg.ns_coarse, cfg.sampling_mode
         )
-        grads, (loss_coarse, loss_fine, rgb_fine, new_bn) = jax.grad(
-            loss_fn, has_aux=True
-        )(state.params, state.bn, key_pdf, t_vals, images, origins, dirs,
-          state.step)
+        grads, (loss_coarse, loss_fine, rgb_fine, new_bn) = grad_fn(
+            state.params, state.bn, key_pdf, t_vals, images, origins, dirs,
+            state.step)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if cfg.ema_decay > 0.0:

@@ -55,10 +55,14 @@ def collect_collectives(hlo_text: str) -> dict[str, list[str]]:
 
 
 def _result_elements(line: str) -> int:
-    """Total elements of the op's RESULT (the text before ``= op(...)``:
-    a single shape or a tuple of shapes)."""
-    lhs = line.split(" all-reduce(")[0].split(" all-gather(")[0]
-    lhs = lhs.split(" = ", 1)[-1]
+    """Total elements of the op's RESULT (the text between ``= `` and the
+    op name: a single shape or a tuple of shapes).  Splitting on `` = ``
+    FIRST keeps the parse correct for async forms too (``all-reduce-start``
+    etc.), whose operand shapes would otherwise stay in the parsed text
+    and double the count (round-4 ADVICE)."""
+    lhs = line.split(" = ", 1)[-1]
+    for kind in _COLLECTIVES:
+        lhs = lhs.split(f" {kind}(")[0].split(f" {kind}-start(")[0]
     total = 0
     for dims in _SHAPE_RE.findall(lhs):
         n = 1

@@ -104,3 +104,18 @@ def test_collect_collectives_parses_async_forms():
     assert len(coll["all-reduce"]) == 1
     assert len(coll["all-gather"]) == 1
     assert not coll["all-to-all"]
+
+def test_result_elements_async_forms():
+    """Async-start lines parse the RESULT tuple only — operand shapes in
+    the call args must not be double-counted (round-4 ADVICE)."""
+    from nerf_keras_tpu.parallel.audit import _result_elements
+
+    sync = "%ar = f32[8,4]{1,0} all-reduce(f32[8,4]{1,0} %x), to_apply=%sum"
+    assert _result_elements(sync) == 32
+    async_line = ("%ars = (f32[8,4]{1,0}, f32[8,4]{1,0}) "
+                  "all-reduce-start(f32[8,4]{1,0} %x), to_apply=%sum")
+    # result tuple = (operand alias, result) -> 64, NOT 96 (operand again)
+    assert _result_elements(async_line) == 64
+    ag = ("%ag = (f32[16,3]{1,0}, f32[64,3]{1,0}) "
+          "all-gather-start(f32[16,3]{1,0} %y), channel_id=2")
+    assert _result_elements(ag) == 48 + 192

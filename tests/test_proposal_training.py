@@ -646,3 +646,132 @@ def test_chain_quant_and_pallas_interpret():
     m_x = tr_x.train_step(tr_x.put_batch((imgs, o, d)), key)
     m_p = tr_p.train_step(tr_p.put_batch((imgs, o, d)), key)
     assert float(m_x["loss"]) == pytest.approx(float(m_p["loss"]), rel=1e-4)
+
+
+# ---------------------------------- union-free coverage supervision (r5)
+
+
+def test_aux_coverage_config_validation():
+    with pytest.raises(ValueError, match="PROP_AUX_SAMPLES"):
+        _tiny_cfg(prop_union=False, prop_aux_samples=1)
+    with pytest.raises(ValueError, match="PROP_AUX_SAMPLES"):
+        _tiny_cfg(prop_union=False, prop_aux_samples=-4)
+    with pytest.raises(ValueError, match="union"):
+        _tiny_cfg(prop_aux_samples=8)  # union layout already has coverage
+    with pytest.raises(ValueError, match="PROP_AUX_SAMPLES"):
+        NeRFConfig(train_sampler="coarse", prop_aux_samples=8).validate()
+    with pytest.raises(ValueError, match="PROP_AUX_LOSS_MULT"):
+        _tiny_cfg(prop_union=False, prop_aux_samples=8,
+                  prop_aux_loss_mult=-1.0)
+    with pytest.raises(ValueError, match="PROP_UNION_EVERY"):
+        _tiny_cfg(prop_union=False, prop_union_every=1)
+    with pytest.raises(ValueError, match="PROP_UNION_EVERY"):
+        _tiny_cfg(prop_union_every=4)  # needs PROP_UNION=false
+    with pytest.raises(ValueError, match="PROP_UNION_EVERY"):
+        NeRFConfig(train_sampler="coarse", prop_union_every=4).validate()
+    # JSON roundtrip carries the r5 knobs
+    cfg = _tiny_cfg(prop_union=False, prop_aux_samples=8,
+                    prop_aux_loss_mult=0.5, prop_union_every=4)
+    raw = to_reference_json(cfg)
+    assert raw["PROP_AUX_SAMPLES"] == 8
+    assert raw["PROP_AUX_LOSS_MULT"] == 0.5
+    assert raw["PROP_UNION_EVERY"] == 4
+    assert config_from_dict(raw) == cfg
+
+
+def test_aux_coverage_trains_and_contributes():
+    """PROP_AUX_SAMPLES: loss decreases, and the aux term actually moves
+    the fine params (identically-seeded control with mult=0 differs after
+    one step)."""
+    batch = _batch()
+    tr, _ = _tiny_trainer(prop_union=False, prop_aux_samples=4)
+    b = tr.put_batch(batch)
+    m0 = tr.train_step(b)
+    tr0, _ = _tiny_trainer(prop_union=False, prop_aux_samples=4,
+                           prop_aux_loss_mult=0.0)
+    tr0.train_step(tr0.put_batch(batch))
+    leaves_a = jax.tree_util.tree_leaves(
+        jax.device_get(tr.state.params["fine"]))
+    leaves_0 = jax.tree_util.tree_leaves(
+        jax.device_get(tr0.state.params["fine"]))
+    delta = max(float(np.max(np.abs(a - b)))
+                for a, b in zip(leaves_a, leaves_0))
+    assert delta > 1e-7
+    for _ in range(15):
+        m = tr.train_step(b)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_aux_coverage_training_only():
+    """The aux pass never touches eval/render: identically-initialized
+    trainers with and without it render bit-identically before training."""
+    _, o, d = _batch()
+    tr_a, _ = _tiny_trainer(prop_union=False, prop_aux_samples=4)
+    tr_b, _ = _tiny_trainer(prop_union=False)
+    np.testing.assert_allclose(
+        tr_a.render_rays(o, d, chunk=64)["rgb_fine"],
+        tr_b.render_rays(o, d, chunk=64)["rgb_fine"], atol=0,
+    )
+
+
+def test_aux_coverage_pallas_interpret_matches_xla():
+    tr_x, _ = _tiny_trainer(use_pallas=False, sampling_mode="center",
+                            prop_union=False, prop_aux_samples=8)
+    tr_p, _ = _tiny_trainer(use_pallas=True, sampling_mode="center",
+                            prop_union=False, prop_aux_samples=8)
+    tr_p.state = jax.device_put(
+        jax.device_get(tr_x.state), tr_p._state_shardings
+    )
+    batch = _batch()
+    key = jax.random.PRNGKey(3)
+    m_x = tr_x.train_step(tr_x.put_batch(batch), key)
+    m_p = tr_p.train_step(tr_p.put_batch(batch), key)
+    assert float(m_x["loss"]) == pytest.approx(float(m_p["loss"]), rel=1e-4)
+
+
+def test_interleaved_union_branches():
+    """PROP_UNION_EVERY=2: step 0 runs the UNION branch — bit-identical
+    params to a pure-union trainer after one identically-seeded step —
+    and step 1 runs the union-free branch (diverges from pure union)."""
+    batch = _batch()
+    key = jax.random.PRNGKey(11)
+    tr_il, _ = _tiny_trainer(prop_union=False, prop_union_every=2)
+    tr_u, _ = _tiny_trainer(prop_union=True)
+    m_il = tr_il.train_step(tr_il.put_batch(batch), key)
+    m_u = tr_u.train_step(tr_u.put_batch(batch), key)
+    # step 0: 0 % 2 == 0 -> union branch; same init/key -> identical step
+    assert float(m_il["loss"]) == pytest.approx(float(m_u["loss"]),
+                                                abs=1e-7)
+    leaves_il = jax.tree_util.tree_leaves(
+        jax.device_get(tr_il.state.params))
+    leaves_u = jax.tree_util.tree_leaves(jax.device_get(tr_u.state.params))
+    for a, b in zip(leaves_il, leaves_u):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    # step 1 dispatches the union-free branch: the trainers diverge
+    m_il = tr_il.train_step(tr_il.put_batch(batch), key)
+    m_u = tr_u.train_step(tr_u.put_batch(batch), key)
+    leaves_il = jax.tree_util.tree_leaves(
+        jax.device_get(tr_il.state.params))
+    leaves_u = jax.tree_util.tree_leaves(jax.device_get(tr_u.state.params))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        for a, b in zip(leaves_il, leaves_u)
+    )
+    # and keeps training stably (both branches keep compiling/learning)
+    for _ in range(10):
+        m = tr_il.train_step(tr_il.put_batch(batch))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_interleaved_union_composes_with_aux():
+    """PROP_UNION_EVERY + PROP_AUX_SAMPLES: the aux pass rides only the
+    union-free steps; training is finite and learns."""
+    tr, _ = _tiny_trainer(prop_union=False, prop_union_every=2,
+                          prop_aux_samples=4)
+    b = tr.put_batch(_batch())
+    m0 = tr.train_step(b)
+    for _ in range(15):
+        m = tr.train_step(b)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
