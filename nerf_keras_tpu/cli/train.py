@@ -109,6 +109,33 @@ def resolve_eval_every(
     return default
 
 
+CHAIN_MIN_EPOCHS = 150  # measured crossover of the hierarchical-chain
+# quality recipe: at 80 epochs chain-u6464 trails the coarse baseline at
+# one seed class (s7 24.83 vs 25.43, docs/evidence/hier_prop_quality.json)
+# and only passes it at EVERY seed once resumed to 160-200 pinned epochs
+# (26.44 vs 25.43 at s7).  The chain uses the long horizon; coarse cannot.
+
+
+def warn_chain_horizon(cfg: NeRFConfig) -> bool:
+    """Round-4 VERDICT #5: nothing stopped an operator from running the
+    'quality recipe' (PROP_LEVELS>=2) at the 80-epoch standard horizon,
+    where it underdelivers on one seed class.  Returns True when the
+    warning fired (tests)."""
+    if cfg.train_sampler == "proposal" and cfg.prop_levels >= 2 \
+            and cfg.epochs < CHAIN_MIN_EPOCHS:
+        print(
+            f"[nerf-tpu] WARNING: PROP_LEVELS={cfg.prop_levels} (the "
+            f"hierarchical-chain quality recipe) is validated for LONG "
+            f"runs: at 80 epochs it can trail the coarse baseline on "
+            f"some seeds and only wins at every seed by 160-200 pinned "
+            f"epochs (docs/evidence/hier_prop_quality.json).  EPOCHS="
+            f"{cfg.epochs} < {CHAIN_MIN_EPOCHS}: consider --epochs 200 "
+            f"(schedules auto-pin at the validated ~80-epoch horizon)"
+        )
+        return True
+    return False
+
+
 def resolve_eval_batch(
     test_bs: int, n_val: int, data_div: int, proc_count: int = 1
 ) -> int:
@@ -176,6 +203,7 @@ def run_training(
 
         cfg = dataclasses.replace(cfg, epochs=args.epochs)
     eval_every = resolve_eval_every(args.eval_every, cfg, default_eval_every)
+    warn_chain_horizon(cfg)
     name = config_name(args.config)
 
     print(f"[nerf-tpu] config={name} devices={jax.device_count()} "
@@ -516,6 +544,7 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
             f"— the restored checkpoint is already at epoch {start_epoch} "
             f">= EPOCHS ({cfg.epochs}); raise --epochs to trace steps"
         )
+    fvc_warned = False
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         if profile_dir is not None and epoch == start_epoch:
@@ -607,6 +636,25 @@ def _run_epochs(cfg, trainer, run_dir, viz_dir, scene, history, history_name,
                     f"({best_val['psnr']:.2f}) — late-decay signature "
                     f"(docs/TRAINING.md long-run schedule rule); the best."
                     f"* checkpoint retains the peak weights"
+                )
+
+            # Few-view collapse auto-diagnosis (round-4 VERDICT #8): a
+            # DIFFERENT failure from late decay — val never had a peak,
+            # it sits low and flat while train memorizes.  Detection +
+            # the measured remedies live on History; warn once per run.
+            if not fvc_warned and history.few_view_collapse():
+                fvc_warned = True
+                print(
+                    "[nerf-tpu] WARNING: few-view collapse signature — "
+                    "val PSNR is flat and low while train PSNR keeps "
+                    "rising (the model is memorizing the training views; "
+                    "measured class: 12-view multi-object scenes at some "
+                    "seeds, docs/evidence/spheres_scene_quality.json).  "
+                    "Sampler tuning does NOT fix this.  Measured "
+                    "remedies: ADD TRAINING VIEWS (24 views rescued "
+                    "every seed), or FREQ_ANNEAL_STEPS=-1 as a last "
+                    "resort (rescues this class but costs dBs on healthy "
+                    "runs — docs/TRAINING.md knob table)"
                 )
 
             if is_main:

@@ -50,6 +50,43 @@ class History:
         with io.open_file(path, "w") as f:
             json.dump(self.to_dict(), f)
 
+    def few_view_collapse(
+        self,
+        k: int = 3,
+        val_flat_db: float = 0.75,
+        val_ceiling_db: float = 16.0,
+        train_rise_db: float = 1.5,
+    ) -> bool:
+        """Detect the measured FEW-VIEW COLLAPSE signature (round-4
+        VERDICT #8): val PSNR stuck low and flat while the train PSNR
+        keeps climbing — the model is memorizing the training views
+        instead of the scene (docs/evidence/spheres_scene_quality.json:
+        seed-23 12-view arms sit at ~11 dB val under a rising train
+        curve, under BOTH samplers).
+
+        Fires when the last ``k`` evals' val PSNR (a) spans less than
+        ``val_flat_db``, (b) never exceeds ``val_ceiling_db``, and (c)
+        the train PSNR rose at least ``train_rise_db`` over the epochs
+        those evals cover (estimated from the epoch/eval cadence ratio).
+        Distinct from the late-decay guard (a fall from a healthy peak);
+        this signature never had a peak.  Measured remedies, in order:
+        add training views (24 rescued every seed), or FREQ_ANNEAL_STEPS
+        as a last resort (rescues 12-view s23 11.5 -> 22.0 dB but costs
+        -6.5 dB on healthy flagship runs — docs/TRAINING.md).
+        """
+        val = self.val["psnrs"]
+        if len(val) < k or not self.psnrs:
+            return False
+        recent = val[-k:]
+        if max(recent) > val_ceiling_db:
+            return False
+        if max(recent) - min(recent) > val_flat_db:
+            return False
+        # epochs spanned by the last k evals, from the recorded cadence
+        span = max(2, round(k * len(self.psnrs) / len(val)))
+        train = self.psnrs[-span:]
+        return train[-1] - train[0] >= train_rise_db
+
     @classmethod
     def load(cls, path: str) -> "History":
         """Rebuild from a saved history JSON (resume continues the record

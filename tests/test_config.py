@@ -220,3 +220,33 @@ def test_shipped_quality_config_loads():
     assert cfg.train_sampler == "proposal" and cfg.prop_levels == 2
     assert cfg.ns_fine == 64 and cfg.prop_union
     assert cfg.epochs == 200 and cfg.lr_final == 5e-5
+    # round-5: the config ENCODES the validated pinned-schedule setup
+    # (hier_prop_quality.json measured 200 epochs with both horizons
+    # pinned at the 80-epoch step count) instead of relying on auto-pin
+    assert cfg.lr_decay_epochs == 80 and cfg.prop_anneal_epochs == 80
+    # and the long-horizon recipe never trips the chain-horizon warning
+    from nerf_keras_tpu.cli.train import warn_chain_horizon
+
+    assert not warn_chain_horizon(cfg)
+
+
+def test_chain_horizon_warning(capsys):
+    """PROP_LEVELS>=2 below the validated ~150-epoch crossover warns
+    (round-4 VERDICT #5: chain-u6464 trails coarse at s7/80-epochs and
+    only wins at every seed by 160-200 pinned epochs)."""
+    from nerf_keras_tpu.cli.train import warn_chain_horizon
+
+    chain = NeRFConfig(
+        batch_size=32, ns_coarse=8, ns_fine=8, train_sampler="proposal",
+        prop_levels=2, epochs=80,
+    ).validate()
+    assert warn_chain_horizon(chain)
+    assert "hier_prop_quality" in capsys.readouterr().out
+    # long runs and non-chain configs stay quiet
+    import dataclasses
+
+    assert not warn_chain_horizon(dataclasses.replace(chain, epochs=200))
+    assert not warn_chain_horizon(
+        dataclasses.replace(chain, prop_levels=1, prop_samples=0)
+    )
+    assert not warn_chain_horizon(NeRFConfig(epochs=80).validate())

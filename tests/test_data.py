@@ -862,3 +862,47 @@ def test_epoch_unit_schedules_resolve_through_cli(tmp_path, capsys):
     assert trainer.cfg.lr_decay_epochs == 0
     assert trainer.cfg.prop_anneal_epochs == 0
     trainer.cfg.validate()  # resolved config has one horizon unit again
+
+
+def test_few_view_collapse_detection():
+    """Replay of the MEASURED spheres seed-23 collapse (val stuck ~11 dB
+    under a climbing train curve, docs/evidence/spheres_scene_quality
+    .json) fires the signature; healthy and late-decay curves do not."""
+    from nerf_keras_tpu.utils.metrics import History
+
+    def replay(val_evals, train_start, train_end, eval_every=10):
+        h = History()
+        n_epochs = len(val_evals) * eval_every
+        for e in range(n_epochs):
+            train_psnr = train_start + (train_end - train_start) * e / n_epochs
+            m = {"loss_coarse": 0.1, "loss": 0.1, "psnr": train_psnr}
+            if (e + 1) % eval_every == 0:
+                v = val_evals[(e + 1) // eval_every - 1]
+                h.append(m, {"loss": 0.1, "psnr": v})
+            else:
+                h.append(m)
+        return h
+
+    # the real seed-23 12-view collapse curve (coarse arm)
+    collapsed = replay([10.88, 11.22, 11.32, 11.4, 11.43, 11.48, 11.5,
+                        11.55], 12.0, 24.0)
+    assert collapsed.few_view_collapse()
+
+    # healthy run (same scene, seed 42): val rises with train
+    healthy = replay([11.34, 14.85, 18.08, 19.44, 20.07, 20.35, 20.54,
+                      20.67], 12.0, 24.0)
+    assert not healthy.few_view_collapse()
+
+    # late decay from a healthy peak: NOT this signature (val is neither
+    # low-flat under the ceiling for the window, nor train-driven)
+    decay = replay([12.0, 20.0, 25.0, 24.0, 22.0, 20.0, 18.0, 16.0],
+                   12.0, 30.0)
+    assert not decay.few_view_collapse()
+
+    # flat val because training is flat too (converged tiny run): quiet
+    converged = replay([11.0, 11.2, 11.3, 11.3, 11.3, 11.3, 11.3, 11.3],
+                       11.0, 11.5)
+    assert not converged.few_view_collapse()
+
+    # too little history: quiet
+    assert not History().few_view_collapse()
