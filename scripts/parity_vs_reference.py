@@ -191,6 +191,13 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--views", type=int, default=16)
     p.add_argument("--out", default="docs/evidence")
+    p.add_argument("--npz", default=None,
+                   help="use this tiny_nerf_data.npz instead of "
+                        "synthesizing the sphere scene — the REAL-Lego "
+                        "closure path (scripts/real_data_kit.py): the day "
+                        "the capture is reachable, both arms train on it "
+                        "unchanged")
+    p.add_argument("--report-name", default="parity_report.json")
     args = p.parse_args()
 
     sys.path.insert(0, REPO)
@@ -202,9 +209,13 @@ def main() -> None:
         cfg = json.load(f)
     os.makedirs(args.out, exist_ok=True)
 
-    npz_path = os.path.join(args.out, "parity_scene.npz")
-    make_scene_npz(npz_path, args.views, cfg["HEIGHT"], cfg["WIDTH"])
-    print(f"[parity] scene npz at {npz_path}", flush=True)
+    if args.npz:
+        npz_path = args.npz
+        print(f"[parity] using provided npz {npz_path}", flush=True)
+    else:
+        npz_path = os.path.join(args.out, "parity_scene.npz")
+        make_scene_npz(npz_path, args.views, cfg["HEIGHT"], cfg["WIDTH"])
+        print(f"[parity] scene npz at {npz_path}", flush=True)
 
     ref = train_reference(npz_path, cfg, args.epochs, args.out)
     print(f"[parity] reference final: "
@@ -218,9 +229,15 @@ def main() -> None:
           f"val_psnr={cross['psnr']:.2f} (keras reported "
           f"{ref['history']['val_psnr'][-1]:.2f})", flush=True)
 
+    import hashlib
+
+    with open(npz_path, "rb") as f:
+        npz_sha = hashlib.sha256(f.read()).hexdigest()
     report = {
         "config": args.config,
         "epochs": args.epochs,
+        "npz": {"path": os.path.abspath(npz_path), "sha256": npz_sha,
+                "provided": bool(args.npz)},
         "scene": {"views": args.views, "height": cfg["HEIGHT"],
                   "width": cfg["WIDTH"]},
         "reference_history": ref["history"],
@@ -229,7 +246,7 @@ def main() -> None:
             k: float(v) for k, v in cross.items()
         },
     }
-    out_path = os.path.join(args.out, "parity_report.json")
+    out_path = os.path.join(args.out, args.report_name)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"[parity] report at {out_path}", flush=True)
