@@ -164,6 +164,16 @@ class NeRFConfig:
     #         disables; >= 2 (a 1-sample composite is all terminal
     #         delta).  Only meaningful with TRAIN_SAMPLER='proposal' and
     #         PROP_UNION=false.
+    #         MEASURED (round 5, 80-epoch flagship matrix — docs/
+    #         evidence/coverage_supervision_quality.json): 32 aux
+    #         samples at NS_FINE=128 confirm the mechanism at seed 42
+    #         (22.7 -> 25.72, ABOVE the official recipe) but fail the
+    #         hard seeds (s7 21.33, s23 20.63-with-decay) and every
+    #         reduced budget (aux16 20.63; NS_FINE 96/64 + aux32 lose
+    #         even s42).  NOT a recipe — the aux loss constrains the
+    #         density field, but the MAIN rgb loss still carries no
+    #         gradient through un-placed regions.  Kept as the measured
+    #         mechanism probe; see docs/PERF.md round-5.
     prop_aux_loss_mult: float = 1.0  # weight of the auxiliary coverage
     #         MSE above.  1.0 mirrors the reference's full-weight coarse
     #         rgb loss (models.py:88-120), which is the signal the union
@@ -177,6 +187,10 @@ class NeRFConfig:
     #         0 (default) disables; >= 2 (1 would be every step — just
     #         set PROP_UNION=true).  Composes with PROP_AUX_SAMPLES (the
     #         aux pass rides the union-free steps only).
+    #         MEASURED (round 5): REFUTED as a recipe — N=4 at
+    #         NS_FINE=128 trains non-monotone to 20.25 at seed 42
+    #         (WORSE than no coverage at all: the layout alternation
+    #         destabilizes); docs/PERF.md round-5 matrix.
     prop_anneal_epochs: int = 0  # epoch-unit alternative to
     #         PROP_ANNEAL_STEPS (mutually exclusive; the train CLI
     #         converts epochs -> steps).  Pair with LR_DECAY_EPOCHS on

@@ -42,7 +42,8 @@ def summarize(run_dir: str, cfg_path: str) -> dict | None:
                 "SEED", "TRAIN_SAMPLER", "PROP_UNION", "PROP_EXPLORE",
                 "PROP_TARGET_BLUR", "PROP_ANNEAL_STEPS",
                 "DISTORTION_LOSS_MULT", "PROP_LEVELS", "PROP_SAMPLES",
-                "NS_COARSE", "NS_FINE",
+                "NS_COARSE", "NS_FINE", "PROP_AUX_SAMPLES",
+                "PROP_AUX_LOSS_MULT", "PROP_UNION_EVERY", "EPOCHS",
             )
             if k in cfg
         },
