@@ -32,6 +32,7 @@ against encode→apply_nerf_mlp→volume_render in interpret mode.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -183,11 +184,30 @@ def _cat0(blocks):
 # the bf16 MLP dots both train paths already accept (measured: train
 # gradients land at XLA-bf16's own error level).  Uniform 3-limb
 # movement measured +10 ms/step for no measurable gradient gain.
+#
+# ROUND 5 (sample-major lever, CLOSED BY MEASUREMENT): Mosaic on
+# jax/jaxlib 0.9.0 now lowers the WIDEN reshape ((R*S,1)->(R,S)) and
+# broadcast+reshape expansion bit-exactly (the round-3 toolchain raised
+# "unsupported shape cast"; probe: docs/evidence/sample_major_probe
+# .json), while the NARROW direction ((R,S)->(R*S,1)) still does not,
+# and explicit-DMA variants fail with pinned internal errors.  The
+# compiling subset was swapped in and A/B'd on hardware
+# (docs/evidence/reshape_moves_ab.json): the reshape step runs 43.4 ms
+# vs the selector step's 31.8 (0.73x) and the serving render chunk
+# 59.5 vs 44.4 ms — Mosaic's cross-boundary reshape is a slow VPU
+# relayout, losing to the MXU one-hot dots by far more than the
+# selector FLOPs cost.  The selector design therefore REMAINS the
+# default; NKT_RESHAPE_MOVES=1 re-enables the measured-slower reshape
+# path for future-toolchain re-probes.
+_RESHAPE_MOVES = os.environ.get("NKT_RESHAPE_MOVES", "0") == "1"
 
 
 def _to_rs(v, a_ref, b_ref):
-    """(R*S, 1) column -> (R, S) tile, per G-ray block (bf16-rounded)."""
+    """(R*S, 1) column -> (R, S) tile (reshape: exact; selector fallback:
+    bf16-rounded)."""
     gs, s = b_ref.shape
+    if _RESHAPE_MOVES:
+        return v.reshape(v.shape[0] // s, s)
     b = b_ref[:]
     a = a_ref[:]
     return _cat0([
@@ -197,7 +217,14 @@ def _to_rs(v, a_ref, b_ref):
 
 
 def _from_rs(w, at_ref, b_ref):
-    """(R, S) tile -> (R*S, 1) column, per G-ray block (bf16-rounded)."""
+    """(R, S) tile -> (R*S, 1) column, per G-ray block (bf16-rounded).
+
+    NOT reshape-able: Mosaic 0.9.0 lowers the widen direction
+    ((R*S,1)->(R,S)) and broadcast-expand, but the narrow direction here
+    still raises 'infer-vector-layout: unsupported shape cast'
+    (tpu.reshape vector<16x160xf32> -> vector<2560x1xf32>; pinned in
+    docs/evidence/reshape_moves_ab.json) — so both _from_rs forms keep
+    the selector movement under either flag value."""
     gs, g = at_ref.shape
     at = at_ref[:]
     b = b_ref[:]
@@ -209,7 +236,8 @@ def _from_rs(w, at_ref, b_ref):
 
 
 def _from_rs_x(w, at_ref, b_ref):
-    """EXACT (R, S) -> (R*S, 1): 3-limb movement for encode inputs (t)."""
+    """EXACT (R, S) -> (R*S, 1): 3-limb selector movement for encode
+    inputs (t).  See _from_rs for why this direction cannot reshape."""
     gs, g = at_ref.shape
     at = at_ref[:]
     b = b_ref[:]
@@ -221,9 +249,14 @@ def _from_rs_x(w, at_ref, b_ref):
 
 
 def _expand_rows(v, at_ref):
-    """(R, W) per-ray rows -> (R*S, W) per-sample rows, per G-ray block
-    (bf16-rounded): row j of block k is ``v[k*G + j // S]``."""
+    """(R, W) per-ray rows -> (R*S, W) per-sample rows: row j is
+    ``v[j // S]`` (broadcast+reshape: exact; selector fallback:
+    bf16-rounded)."""
     gs, g = at_ref.shape
+    if _RESHAPE_MOVES:
+        r, w = v.shape
+        s = gs // g
+        return jnp.broadcast_to(v[:, None, :], (r, s, w)).reshape(r * s, w)
     at = at_ref[:]
     return _cat0([
         _nn_dot(at, v[k * g:(k + 1) * g, :])
@@ -232,8 +265,10 @@ def _expand_rows(v, at_ref):
 
 
 def _expand_rows_x(v, at_ref):
-    """EXACT (R, W) -> (R*S, W): 3-limb movement for encode inputs
-    (ray origins/directions)."""
+    """EXACT (R, W) -> (R*S, W) for encode inputs (origins/directions):
+    broadcast+reshape, or the 3-limb selector movement on fallback."""
+    if _RESHAPE_MOVES:
+        return _expand_rows(v, at_ref)
     gs, g = at_ref.shape
     at = at_ref[:]
     return _cat0([

@@ -100,21 +100,23 @@ def main() -> None:
                 kernel,
                 grid=(STEPS,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((1, G), lambda i: (i, 0)),
-                out_shape=jax.ShapeDtypeStruct((STEPS, G), jnp.float32),
+                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((STEPS * 8, 128), jnp.float32),
             )
             args = (jnp.asarray(x_np),) + tuple(extra_args)
             f = jax.jit(lambda *a: fn(*a))
+            f_scalar = jax.jit(lambda *a: jnp.sum(fn(*a)))
             t0 = time.perf_counter()
             out = np.asarray(f(*args))
             rec["compile_plus_first_s"] = round(time.perf_counter() - t0, 2)
-            err = float(np.abs(out - want).max())
+            err = float(np.abs(out[::8, :G] - want).max())
             rec["max_abs_err"] = err
             # timing: value-fetch sync (tunnel; block_until_ready lies)
-            reps = 20
+            float(f_scalar(*args))  # compile the scalar-reduced form
+            reps = 30
             t0 = time.perf_counter()
             for _ in range(reps):
-                float(np.asarray(f(*args))[0, 0])
+                float(f_scalar(*args))
             rec["ms_per_call"] = round(
                 (time.perf_counter() - t0) / reps * 1e3, 3)
             rec["ok"] = bool(err < 1e-5)
@@ -137,7 +139,8 @@ def main() -> None:
         tile = (jnp.dot(a3, l0, preferred_element_type=jnp.float32)
                 + jnp.dot(a3, l1, preferred_element_type=jnp.float32)
                 + jnp.dot(a3, l2, preferred_element_type=jnp.float32))
-        out_ref[0, :] = jnp.sum(tile, axis=-1)
+        out_ref[:] = jnp.pad(jnp.sum(tile, axis=-1)[None, :],
+                             ((0, 7), (0, 128 - G)))
 
     run_variant(
         "selector_limb", kern_selector,
@@ -149,7 +152,8 @@ def main() -> None:
     # B. in-kernel cross-boundary reshape
     def kern_reshape(x_ref, out_ref):
         tile = x_ref[:].reshape(G, S)
-        out_ref[0, :] = jnp.sum(tile, axis=-1)
+        out_ref[:] = jnp.pad(jnp.sum(tile, axis=-1)[None, :],
+                             ((0, 7), (0, 128 - G)))
 
     run_variant("reshape", kern_reshape, [x_spec])
 
@@ -168,7 +172,8 @@ def main() -> None:
                 scratch.at[g, pl.ds(0, S)],
                 sem,
             ).wait()
-        out_ref[0, :] = jnp.sum(scratch[:], axis=-1)
+        out_ref[:] = jnp.pad(jnp.sum(scratch[:], axis=-1)[None, :],
+                             ((0, 7), (0, 128 - G)))
 
     def run_dma_rows():
         rec: dict = {}
@@ -177,8 +182,8 @@ def main() -> None:
                 kern_dma_rows,
                 grid=(STEPS,),
                 in_specs=[x_spec],
-                out_specs=pl.BlockSpec((1, G), lambda i: (i, 0)),
-                out_shape=jax.ShapeDtypeStruct((STEPS, G), jnp.float32),
+                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((STEPS * 8, 128), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((G, S), jnp.float32),
                                 pltpu.SemaphoreType.DMA],
             )
@@ -186,7 +191,7 @@ def main() -> None:
             t0 = time.perf_counter()
             out = np.asarray(f(jnp.asarray(x_np)))
             rec["compile_plus_first_s"] = round(time.perf_counter() - t0, 2)
-            err = float(np.abs(out - want).max())
+            err = float(np.abs(out[::8, :G] - want).max())
             rec["max_abs_err"] = err
             reps = 20
             t0 = time.perf_counter()
@@ -210,7 +215,8 @@ def main() -> None:
         dma = pltpu.make_async_copy(x_ref, scratch, sem)
         dma.start()
         dma.wait()
-        out_ref[0, :] = jnp.sum(scratch[:], axis=-1)
+        out_ref[:] = jnp.pad(jnp.sum(scratch[:], axis=-1)[None, :],
+                             ((0, 7), (0, 128 - G)))
 
     def run_dma_bulk():
         rec: dict = {}
@@ -219,13 +225,13 @@ def main() -> None:
                 kern_dma_bulk,
                 grid=(STEPS,),
                 in_specs=[x_spec],
-                out_specs=pl.BlockSpec((1, G), lambda i: (i, 0)),
-                out_shape=jax.ShapeDtypeStruct((STEPS, G), jnp.float32),
+                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((STEPS * 8, 128), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((G, S), jnp.float32),
                                 pltpu.SemaphoreType.DMA],
             )
             out = np.asarray(jax.jit(lambda a: fn(a))(jnp.asarray(x_np)))
-            err = float(np.abs(out - want).max())
+            err = float(np.abs(out[::8, :G] - want).max())
             rec["max_abs_err"] = err
             rec["ok"] = bool(err < 1e-5)
         except Exception as e:
@@ -245,5 +251,69 @@ def main() -> None:
     print(f"[probe] wrote {out_path}", flush=True)
 
 
+
+def expand_probe() -> None:
+    """Variant E: the EXPAND direction — per-ray (G, D) vectors repeated
+    to per-sample rows (G*S, D).  Production uses the At selector matmul
+    (3 limb dots for f32 exactness); the alternative is broadcast +
+    cross-boundary reshape, which carries values EXACTLY (no arithmetic)
+    if Mosaic accepts it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    G, S, D, STEPS = 8, 160, 128, 512
+    rng = np.random.default_rng(1)
+    v_np = rng.normal(size=(STEPS * G, D)).astype(np.float32)
+    want_sum = np.repeat(v_np.reshape(STEPS, G, D), S, axis=1).sum(
+        axis=(1, 2))
+
+    def kern_expand_reshape(v_ref, out_ref):
+        v = v_ref[:]                                   # (G, D)
+        exp = jnp.broadcast_to(v[:, None, :], (G, S, D)).reshape(G * S, D)
+        out_ref[:] = jnp.pad(
+            jnp.sum(exp)[None, None], ((0, 7), (0, 127)))
+
+    rec = {}
+    try:
+        fn = pl.pallas_call(
+            kern_expand_reshape,
+            grid=(STEPS,),
+            in_specs=[pl.BlockSpec((G, D), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((STEPS * 8, 128), jnp.float32),
+        )
+        f = jax.jit(lambda a: fn(a))
+        f_scalar = jax.jit(lambda a: jnp.sum(fn(a)[::8, 0]))
+        import time as _t
+
+        t0 = _t.perf_counter()
+        out = np.asarray(f(jnp.asarray(v_np)))
+        rec["compile_plus_first_s"] = round(_t.perf_counter() - t0, 2)
+        err = float(np.abs(out[::8, 0] - want_sum).max()
+                    / max(1.0, np.abs(want_sum).max()))
+        rec["max_rel_err"] = err
+        float(f_scalar(jnp.asarray(v_np)))
+        reps = 30
+        t0 = _t.perf_counter()
+        for _ in range(reps):
+            float(f_scalar(jnp.asarray(v_np)))
+        rec["ms_per_call"] = round((_t.perf_counter() - t0) / reps * 1e3, 3)
+        rec["ok"] = bool(err < 1e-4)
+    except Exception as e:
+        rec["error"] = f"{type(e).__name__}: {e}"
+        rec["ok"] = False
+    print(f"[probe] expand_reshape: "
+          f"{rec.get('ms_per_call', rec.get('error'))}", flush=True)
+    import json as _json
+
+    path = os.path.join(REPO, "docs", "evidence", "sample_major_probe.json")
+    d = _json.load(open(path))
+    d["variants"]["expand_reshape"] = rec
+    _json.dump(d, open(path, "w"), indent=1)
+
+
 if __name__ == "__main__":
     main()
+    expand_probe()
