@@ -277,6 +277,14 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
                 gate_mse = float(np.mean(diff * diff))
                 gate_psnr = (float("inf") if gate_mse == 0.0
                              else -10.0 * np.log10(gate_mse))
+                # INTERLEAVED float/accel steady frames: the tunnel
+                # drifts 10-40% between measurement windows (same lesson
+                # as step timing — docs/PERF.md methodology), so a
+                # sequential accel loop can measure slower than the
+                # earlier float loop even though the int8 kernel is
+                # 1.2x.  Alternating frames share the drift; frame_s is
+                # re-minimized over the interleaved float samples so the
+                # pair is same-window comparable.
                 accel_steady = []
                 for _ in range(steady_n):
                     t0 = time.perf_counter()
@@ -284,6 +292,11 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
                                               **render_kw)
                     np.asarray(q0["rgb"])
                     accel_steady.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    f0 = trainer.render_image(pose, h, w, **render_kw)
+                    np.asarray(f0["rgb"])
+                    steady.append(time.perf_counter() - t0)
+                frame_best = min(steady)
                 frame_accel = min(accel_steady)
                 accel_gate = {
                     "int8_vs_float_psnr": round(gate_psnr, 2),
@@ -381,8 +394,14 @@ def run_bench(use_pallas: bool, steps: int, warmup: int, batch_size: int,
     if frame_accel is not None:
         # Accelerated serving frame: int8 fine megakernel + in-state
         # proposal sampler, same serving config as frame_s (800x800,
-        # device uint8, no depth), best of the same N.
+        # device uint8, no depth), best of the same N.  The RATIO is the
+        # drift-robust number: both arms are measured interleaved in the
+        # same window, while absolute frame seconds swing 10-40% with
+        # the shared-tunnel session (docs/PERF.md).
         result["frame_accel_s"] = round(frame_accel, 3)
+        if frame_best:
+            result["frame_accel_vs_float"] = round(
+                frame_accel / frame_best, 3)
     if accel_gate is not None:
         result["frame_accel_gate"] = accel_gate
     if prop_levels == 2 and train_sampler == "proposal":
