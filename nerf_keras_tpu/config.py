@@ -190,7 +190,10 @@ class NeRFConfig:
     #         MEASURED (round 5): REFUTED as a recipe — N=4 at
     #         NS_FINE=128 trains non-monotone to 20.25 at seed 42
     #         (WORSE than no coverage at all: the layout alternation
-    #         destabilizes); docs/PERF.md round-5 matrix.
+    #         destabilizes); N=2 passes s42 (25.21, above the official
+    #         recipe — half-duty coverage suffices there) but fails
+    #         both hard seeds (20.96/21.5-decaying).  docs/PERF.md
+    #         round-5 matrix.
     prop_anneal_epochs: int = 0  # epoch-unit alternative to
     #         PROP_ANNEAL_STEPS (mutually exclusive; the train CLI
     #         converts epochs -> steps).  Pair with LR_DECAY_EPOCHS on
