@@ -173,7 +173,8 @@ def run_lego_parity(npz_path: str, out_dir: str, epochs: int,
     }
 
 
-def run_fern_smoke(fern_dir: str, epochs: int) -> dict:
+def run_fern_smoke(fern_dir: str, epochs: int,
+                   config_path: str | None = None) -> dict:
     """Stage 3: the Fern capture through data/llff.py + a short training
     run (the reference's train_fern.py flow, reduced)."""
     import jax
@@ -184,7 +185,8 @@ def run_fern_smoke(fern_dir: str, epochs: int) -> dict:
     from nerf_keras_tpu.data.pipeline import iterate_batches
     from nerf_keras_tpu.engine.trainer import Trainer
 
-    cfg = load_config(os.path.join(REPO, "config", "fern_batch_debug.json"))
+    cfg = load_config(config_path or
+                      os.path.join(REPO, "config", "fern_batch_debug.json"))
     train_ds, val_ds, (near, far), focal = prepare_fern_data(
         cfg.height, cfg.width, basedir=fern_dir, factor=1,
     )
@@ -242,7 +244,22 @@ def main() -> None:
                    help="run all stages (default if no stage flag given)")
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the (slow) reference-control parity stage")
+    p.add_argument("--fern-config", default=None,
+                   help="config JSON for the fern smoke stage (default "
+                        "config/fern_batch_debug.json; the pinning test "
+                        "passes a tiny model so the stage exercises the "
+                        "pipeline, not an 8x256 CPU compile)")
     args = p.parse_args()
+
+    # Pin CPU BEFORE any backend use: this is a data/IO tool, and the
+    # synthetic-npz stage runs jnp code — without the pin a sitecustomize
+    # that registers the axon TPU plugin lands those trivial ops on the
+    # shared tunneled chip, where they serialize behind real jobs for
+    # minutes (the CLAUDE.md intended-CPU-run trap; cost this kit's test
+    # a 4-7 min wall time until diagnosed).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.out, exist_ok=True)
     report: dict = {
@@ -264,7 +281,8 @@ def main() -> None:
                 args.epochs, args.dry_run,
             )
         report["stages"]["fern_smoke"] = run_fern_smoke(
-            report["stages"]["fetch_fern"]["path"], max(2, args.epochs // 4)
+            report["stages"]["fetch_fern"]["path"],
+            max(2, args.epochs // 4), config_path=args.fern_config,
         )
         report["stages"]["gcs_roundtrip"] = run_gcs_roundtrip(
             args.gcs_prefix)

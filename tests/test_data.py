@@ -921,11 +921,20 @@ def test_real_data_kit_dry_run(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = tmp_path / "evidence"
+    tiny_cfg = tmp_path / "fern_tiny.json"
+    tiny_cfg.write_text(json.dumps({
+        "BATCH_SIZE": 128, "TEST_BATCH_SIZE": 64, "NS_COARSE": 8,
+        "NS_FINE": 8, "HEIGHT": 12, "WIDTH": 16, "L_XYZ": 4, "L_DIR": 2,
+        "NUM_LAYERS": 4, "HIDDEN_DIM": 32, "SKIP_LAYER": 4, "EPOCHS": 4,
+        "LEARNING_RATE": 0.002, "BATCH_NORM": False, "WITH_GCS": False,
+        "COMPUTE_DTYPE": "float32",
+    }))
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "real_data_kit.py"),
          "--dry-run", "--skip-parity", "--epochs", "4",
+         "--fern-config", str(tiny_cfg),
          "--dest", str(tmp_path / "data"), "--out", str(out)],
-        capture_output=True, text=True, timeout=540,
+        capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads((out / "real_data_readiness_dryrun.json").read_text())
